@@ -1,0 +1,174 @@
+"""Typed configuration dataclasses.
+
+The reference has no config system: hyper-parameters live as constructor
+kwargs and hard-coded constants (``/root/reference/demo.py:16-46``,
+``/root/reference/Demix/MotionCorrect.py:69-174``).  Here every subsystem
+gets a frozen dataclass; ``reference_demo_*`` constructors reproduce the
+reference's canonical defaults so the de-facto demo benchmark is a preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DeformationConfig:
+    """Quadratic deformation model settings.
+
+    ``footprint_mode``:
+      * ``"analytic"``  — evaluate Gaussians directly at deformed
+        coordinates (fast TPU path; exact, memory-light).
+      * ``"resample"``  — trilinear re-sampling of a stored footprint
+        volume with ``align_corners=True`` / zero-padding semantics,
+        bit-matching the reference's ``F.grid_sample`` path
+        (``/root/reference/Demix/dNMF.py:56-57``) for parity validation.
+    """
+
+    footprint_mode: str = "analytic"
+    # Mask analytic footprints to zero where the deformed coordinate leaves
+    # the volume (mimics grid_sample zero padding at the border).
+    mask_out_of_bounds: bool = True
+    # Reference builds the regularizer through torch.tensor(...), detaching
+    # it from autograd (``/root/reference/Demix/dNMF.py:60-61``) — the
+    # printed loss includes it but beta receives no gradient.  ``True``
+    # reproduces that behavior; ``False`` makes it differentiable.
+    detach_regularizer: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Shapes and priors of the deformable NMF model."""
+
+    size: Tuple[int, int, int] = (50, 50, 2)  # (M, N, Z) voxels
+    num_neurons: int = 10  # K
+    num_frames: int = 100  # T
+    shape_std: float = 3.0  # sigma of the spherical Gaussian footprints
+    deformation: DeformationConfig = dataclasses.field(
+        default_factory=DeformationConfig
+    )
+    dtype: str = "float32"
+
+    @property
+    def num_voxels(self) -> int:
+        m, n, z = self.size
+        return m * n * z
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Alternating-optimization schedule.
+
+    Mirrors the reference demo loop: ``outer_rounds`` x
+    (``motion_epochs`` Adam epochs on beta + ``mu_iters`` multiplicative
+    updates on C) — ``/root/reference/demo.py:42-46``.
+    """
+
+    learning_rate: float = 1e-5
+    batch_size: int = 4
+    outer_rounds: int = 5
+    motion_epochs: int = 10
+    mu_iters: int = 50
+    gamma_motion: float = 1.0  # Jacobian regularizer weight ("gamma")
+    gamma_traces: float = 0.0  # temporal smoothing weight ("gamma_c")
+    # "parity": serial Adam over shuffled mini-batches on the full beta
+    #   tensor, replicating the reference's schedule exactly.
+    # "parallel": per-frame independent Adam, vmapped over frames — the
+    #   TPU-native mode (per-frame beta fits are independent given C).
+    motion_mode: str = "parallel"
+    shuffle: bool = True
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """FFT rigid / piecewise-rigid registration settings.
+
+    Field-for-field covers the reference ``MotionCorrect.__init__``
+    hyper-parameters (``/root/reference/Demix/MotionCorrect.py:69-174``)
+    that affect numerical behavior; IO/plumbing-only knobs are dropped.
+    """
+
+    max_shifts: Tuple[int, ...] = (6, 6)
+    niter_rig: int = 1
+    splits: int = 1
+    strides: Tuple[int, ...] = (96, 96)
+    overlaps: Tuple[int, ...] = (32, 32)
+    upsample_factor_grid: int = 4
+    upsample_factor_fft: int = 10
+    max_deviation_rigid: int = 3
+    pw_rigid: bool = False
+    is3d: bool = False
+    border_nan: object = True  # True | False | "min" | "copy"
+    gSig_filt: Optional[Tuple[int, ...]] = None
+    min_mov: Optional[float] = None
+    nonneg_movie: bool = True
+    # Apply shifts with the fast interpolating remap (reference
+    # ``shifts_opencv=True``) instead of per-patch DFT + feathered blending.
+    use_remap: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulatorConfig:
+    """Synthetic-video generator settings (ground-truthed fixture).
+
+    Matches ``generate_video`` (``/root/reference/WUtils/Simulator.py:20-77``)
+    with the motion-model-name bug fixed: both ``"sq"`` (docstring name) and
+    ``"qs"`` (dispatch name) select sequential-quadratic motion.
+    """
+
+    num_neurons: int = 10
+    num_frames: int = 100
+    size: Tuple[int, int, int] = (50, 50, 2)
+    shape_std: float = 3.0
+    density: float = 0.2
+    bg_snr_db: float = -120.0
+    traces: str = "exp"
+    motion: str = "gp"  # "gp" | "sq"/"qs" (sequential quadratic) | "q"
+    # GP motion parameters (motion == "gp")
+    gp_sigma: Tuple[float, float, float] = (5.0, 5.0, 0.01)
+    gp_length_scale: Tuple[float, float, float] = (10.0, 10.0, 10.0)
+    # Quadratic motion parameters (motion in {"sq", "qs", "q"})
+    motion_means: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    motion_snr_db: Tuple[float, float, float] = (-100.0, -100.0, -100.0)
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution / partitioning settings."""
+
+    # Frames processed per device step when streaming long recordings.
+    frame_block: int = 8
+    # Mesh axis sizes; None => single device.
+    mesh_time: Optional[int] = None
+    mesh_batch: Optional[int] = None
+    donate_state: bool = True
+    # Rematerialize footprint evaluation in the beta-fit backward pass
+    # (trades FLOPs for HBM).
+    remat_footprints: bool = True
+    checkpoint_dir: Optional[str] = None
+    metrics_path: Optional[str] = None
+
+
+def reference_demo_model() -> ModelConfig:
+    """The reference demo model shapes (``/root/reference/demo.py:16-19``)."""
+    return ModelConfig(size=(50, 50, 2), num_neurons=10, num_frames=100,
+                       shape_std=3.0)
+
+
+def reference_demo_optimizer() -> OptimizerConfig:
+    """The reference demo schedule (``/root/reference/demo.py:33,42-46``)."""
+    return OptimizerConfig(learning_rate=1e-5, batch_size=4, outer_rounds=5,
+                           motion_epochs=10, mu_iters=50, gamma_motion=1.0,
+                           gamma_traces=0.0)
+
+
+def reference_demo_simulator() -> SimulatorConfig:
+    """The reference demo fixture (``/root/reference/demo.py:26-28``)."""
+    return SimulatorConfig(num_neurons=10, num_frames=100, size=(50, 50, 2),
+                           shape_std=3.0, density=0.2, bg_snr_db=-120.0,
+                           traces="exp", motion="gp",
+                           gp_sigma=(5.0, 5.0, 0.01),
+                           gp_length_scale=(10.0, 10.0, 10.0))

@@ -1,0 +1,98 @@
+"""Quadratic deformation basis and coordinate-grid helpers.
+
+The deformation model maps a 3-D point ``p = (x, y, z)`` through a
+second-order polynomial with per-frame coefficients ``beta``:
+
+    warp(p) = phi(p) @ beta,   phi(p) in R^10,  beta in R^{10x3}
+
+with the basis ordered ``[1, x, y, z, x^2, y^2, z^2, xy, xz, yz]`` —
+the same ordering as the reference (``/root/reference/Demix/dNMF.py:47-51``
+and ``/root/reference/WUtils/Simulator.py:80-94``).
+
+Everything here is shape-static and jit/vmap friendly.  The flat voxel
+basis ``Phi[P, 10]`` is precomputed once per volume size; per-frame warps
+are then a single ``[P,10] @ [10,3]`` matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+NUM_BASIS = 10
+
+
+def quadratic_basis_points(points: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic basis of a point set.
+
+    Args:
+      points: ``[..., 3]`` coordinates.
+
+    Returns:
+      ``[..., 10]`` basis ``[1, x, y, z, x^2, y^2, z^2, xy, xz, yz]``.
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [one, x, y, z, x * x, y * y, z * z, x * y, x * z, y * z], axis=-1
+    )
+
+
+# Volumetric alias mirroring the reference's grid-shaped variant
+# (``ExponentialFP.quadratic_basis``, ``/root/reference/Demix/dNMF.py:47-51``).
+quadratic_basis = quadratic_basis_points
+
+
+@functools.lru_cache(maxsize=32)
+def _voxel_grid_cached(size, dtype_name):
+    import numpy as np
+
+    m, n, z = size
+    g = np.stack(
+        np.meshgrid(
+            np.arange(m), np.arange(n), np.arange(z), indexing="ij"
+        ),
+        axis=-1,
+    ).astype(dtype_name)
+    return jnp.asarray(g.reshape(-1, 3))
+
+
+def voxel_grid(size, dtype=jnp.float32) -> jnp.ndarray:
+    """Flat identity coordinate grid ``[M*N*Z, 3]`` in ij ('xy z') order.
+
+    Equivalent to the reference's ``flow_id`` construction
+    (``/root/reference/Demix/dNMF.py:22``) flattened to ``[P, 3]``.
+    """
+    return _voxel_grid_cached(tuple(int(s) for s in size),
+                              jnp.dtype(dtype).name)
+
+
+def voxel_basis(size, dtype=jnp.float32) -> jnp.ndarray:
+    """Precomputed quadratic basis of every voxel: ``[P, 10]``."""
+    return quadratic_basis_points(voxel_grid(size, dtype))
+
+
+def identity_beta(num_frames: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Per-frame identity deformation coefficients ``[T, 10, 3]``.
+
+    Matches the reference's init (zero offset + identity linear part,
+    ``/root/reference/Demix/dNMF.py:24-27``) but stored time-major so the
+    time axis scans and shards naturally.
+    """
+    b0 = jnp.zeros((NUM_BASIS, 3), dtype=dtype).at[1, 0].set(1.0)
+    b0 = b0.at[2, 1].set(1.0).at[3, 2].set(1.0)
+    return jnp.broadcast_to(b0, (num_frames, NUM_BASIS, 3))
+
+
+def warp_points(points: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """Apply the quadratic warp to points.
+
+    Args:
+      points: ``[..., 3]``.
+      beta: ``[10, 3]`` per-frame coefficients.
+
+    Returns:
+      ``[..., 3]`` warped coordinates.
+    """
+    return quadratic_basis_points(points) @ beta

@@ -1,0 +1,163 @@
+"""Multiplicative NMF updates on traces and (optionally) static footprints.
+
+Functional equivalents of the reference's NumPy updates
+(``DeformableNMF.update_temporal`` ``/root/reference/Demix/dNMF.py:139-149``
+and ``update_spatial`` ``:151-160``) reformulated for TPU:
+
+* The per-frame Gram matrices ``G_t = A_t^T A_t`` (``[K, K]``) and data
+  projections ``c1_t = A_t^T y_t`` (``[K]``) depend only on the (fixed)
+  warped footprints and the data — NOT on ``C``.  The reference recomputes
+  the full ``O(P K^2 T)`` einsum every MU iteration
+  (``update_footprints`` calls ``update_temporal`` ``iter_c`` times,
+  ``:172-173``); here the Grams are computed **once** per footprint update
+  and the ``iter_c`` MU iterations cost only ``O(K^2 T)`` each — an
+  ``iter_c``-fold FLOP reduction with identical iterates.
+* Gram accumulation is a ``[K, P] @ [P, K]`` matmul per frame — pure MXU —
+  and streams over frame blocks so ``A`` never materializes for all T.
+* The temporal-smoothness term couples only +-1 neighboring frames
+  (edge-replicated), which under frame-sharding needs a single
+  ``ppermute`` halo (see :mod:`dnmf_tpu.parallel`).
+
+All updates preserve non-negativity given non-negative inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-32  # reference's denominator guard (/root/reference/Demix/dNMF.py:148)
+
+
+def mu_grams(a_t: jnp.ndarray, y_t: jnp.ndarray,
+             precision=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame Gram matrix and data projection.
+
+    Args:
+      a_t: ``[P, K]`` warped footprints for one frame.
+      y_t: ``[P]`` observed frame (flattened voxels).
+
+    Returns:
+      ``(G, c1)``: ``G[k, l] = sum_p a[p,k] a[p,l]`` (``[K, K]``, the
+      reference's ``A_ts`` einsum ``:141``) and ``c1[k] = sum_p a[p,k] y[p]``
+      (the reference's ``C1`` einsum ``:142``).
+    """
+    g = jnp.dot(a_t.T, a_t, precision=precision,
+                preferred_element_type=jnp.float32)
+    c1 = jnp.dot(a_t.T, y_t, precision=precision,
+                 preferred_element_type=jnp.float32)
+    return g, c1
+
+
+def _neighbor_sum(c: jnp.ndarray) -> jnp.ndarray:
+    """Edge-replicated +-1-frame neighbor sum along the time axis.
+
+    ``reg[:, t] = C[:, t-1] + C[:, t+1]`` with clamped ends — the
+    reference's ``hstack`` construction (``:145``).
+    """
+    left = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
+    right = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+    return left + right
+
+
+def mu_temporal_step(
+    c: jnp.ndarray,
+    grams: jnp.ndarray,
+    c1: jnp.ndarray,
+    gamma: Optional[float] = None,
+    halo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """One multiplicative update of the traces.
+
+    Args:
+      c: ``[K, T]`` current traces.
+      grams: ``[T, K, K]`` per-frame Grams.
+      c1: ``[T, K]`` per-frame data projections.
+      gamma: temporal smoothing weight (``None``/0 disables — the
+        reference treats ``gamma=None`` as off, ``:144``).
+      halo: optional ``(left_col, right_col)`` each ``[K]`` — the
+        neighboring trace columns owned by adjacent shards when the time
+        axis is sharded.  Used instead of edge replication at shard edges.
+
+    Returns:
+      Updated ``[K, T]`` traces.
+    """
+    # C2[k,t] = sum_l G[t,k,l] C[l,t]  (reference einsum ':143')
+    c2 = jnp.einsum("tkl,lt->kt", grams, c,
+                    preferred_element_type=jnp.float32)
+    num = c1.T
+    den = c2
+    if gamma is not None and gamma != 0.0:
+        if halo is None:
+            reg = _neighbor_sum(c)
+        else:
+            left_col, right_col = halo
+            inner_left = jnp.concatenate([left_col[:, None], c[:, :-1]], 1)
+            inner_right = jnp.concatenate([c[:, 1:], right_col[:, None]], 1)
+            reg = inner_left + inner_right
+        num = num + gamma * reg
+        den = den + 2.0 * gamma * c
+    return c * num / (den + EPS)
+
+
+def run_mu_temporal(
+    c: jnp.ndarray,
+    grams: jnp.ndarray,
+    c1: jnp.ndarray,
+    iters: int,
+    gamma: Optional[float] = None,
+) -> jnp.ndarray:
+    """``iters`` MU iterations under ``lax.scan`` (single-shard path)."""
+
+    def body(carry, _):
+        return mu_temporal_step(carry, grams, c1, gamma=gamma), None
+
+    out, _ = jax.lax.scan(body, c, None, length=iters)
+    return out
+
+
+def mu_spatial_step(
+    a: jnp.ndarray,
+    c: jnp.ndarray,
+    y: jnp.ndarray,
+    d: Optional[jnp.ndarray] = None,
+    gamma: Optional[float] = None,
+) -> jnp.ndarray:
+    """Multiplicative update of a *static* footprint matrix.
+
+    Equivalent of the reference's (dead-in-main-path but supported here)
+    ``update_spatial`` (``/root/reference/Demix/dNMF.py:151-160``) on
+    flattened voxels, with the optional distance-penalty field ``D``
+    (``:133-135``).
+
+    Args:
+      a: ``[P, K]`` footprints.
+      c: ``[K, T]`` traces.
+      y: ``[P, T]`` (motion-corrected) video.
+      d: optional ``[P, K]`` distance penalty
+        (``1 - exp(-0.01 * dist(voxel, pos_k))``).
+      gamma: penalty weight.
+
+    Returns:
+      Updated ``[P, K]`` footprints.
+    """
+    c_s = jnp.dot(c, c.T, preferred_element_type=jnp.float32)  # [K, K]
+    a1 = jnp.dot(y, c.T, preferred_element_type=jnp.float32)   # [P, K]
+    a2 = jnp.dot(a, c_s, preferred_element_type=jnp.float32)   # [P, K]
+    if d is not None and gamma is not None:
+        a2 = a2 + gamma * d
+    return a * a1 / (a2 + EPS)
+
+
+def distance_penalty(grid: jnp.ndarray, pos: jnp.ndarray,
+                     rate: float = 0.01) -> jnp.ndarray:
+    """Distance-penalty field ``D[p, k] = 1 - exp(-rate * ||x_p - pos_k||)``.
+
+    Matches the reference's construction
+    (``/root/reference/Demix/dNMF.py:133-135``).
+    """
+    diff = grid[:, None, :] - pos[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    return 1.0 - jnp.exp(-rate * dist)

@@ -1,0 +1,47 @@
+import jax.numpy as jnp
+import numpy as np
+
+from dnmf_tpu.ops import basis
+
+
+def test_quadratic_basis_values():
+    p = jnp.asarray([[2.0, 3.0, 5.0]])
+    b = basis.quadratic_basis_points(p)
+    expected = [1, 2, 3, 5, 4, 9, 25, 6, 10, 15]
+    np.testing.assert_allclose(np.asarray(b[0]), expected)
+
+
+def test_voxel_grid_layout():
+    g = basis.voxel_grid((2, 3, 2))
+    assert g.shape == (12, 3)
+    # ij ordering: last axis (z) fastest.
+    np.testing.assert_allclose(np.asarray(g[0]), [0, 0, 0])
+    np.testing.assert_allclose(np.asarray(g[1]), [0, 0, 1])
+    np.testing.assert_allclose(np.asarray(g[2]), [0, 1, 0])
+    np.testing.assert_allclose(np.asarray(g[-1]), [1, 2, 1])
+
+
+def test_identity_beta_is_identity_warp(rng):
+    beta = basis.identity_beta(4)
+    assert beta.shape == (4, 10, 3)
+    pts = jnp.asarray(rng.uniform(0, 10, size=(7, 3)).astype(np.float32))
+    warped = basis.warp_points(pts, beta[0])
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(pts), atol=1e-5)
+
+
+def test_warp_points_quadratic(rng):
+    beta = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32)) * 0.1
+    p = jnp.asarray([[1.0, 2.0, 3.0]])
+    out = basis.warp_points(p, beta)
+    phi = np.array([1, 1, 2, 3, 1, 4, 9, 2, 3, 6], dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), phi @ np.asarray(beta), rtol=1e-5
+    )
+
+
+def test_voxel_basis_matches_grid():
+    vb = basis.voxel_basis((3, 3, 2))
+    g = basis.voxel_grid((3, 3, 2))
+    np.testing.assert_allclose(
+        np.asarray(vb), np.asarray(basis.quadratic_basis_points(g))
+    )
