@@ -1,0 +1,191 @@
+"""Benchmark: deformable-NMF demixing throughput on one chip.
+
+Workload (BASELINE.md config 2 scale): 256x256x10 volume, K=50 neurons,
+T=256 frames.  One "iteration" = one full alternation round:
+
+  * 1 deformation epoch (per-frame Adam on beta, streamed frame blocks)
+  * per-frame MU Grams (the O(P K^2 T) reduction)
+  * 50 MU trace iterations on the Grams
+
+The mathematical iterates match the reference's
+``update_motion`` + ``update_footprints(iter_c=50)``
+(``/root/reference/Demix/dNMF.py:163-194``); the reference recomputes the
+full Gram einsum for each of the 50 MU iterations on host NumPy, which is
+counted in the baseline measurement (identical math, its cost structure).
+
+Prints ONE JSON line:
+  {"metric": "frames/sec/chip", "value": N, "unit": "frames/s",
+   "vs_baseline": speedup_vs_torch_cpu_reference_equivalent, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+SIZE = (256, 256, 10)
+K = 50
+T = 256
+FRAME_BLOCK = 8
+MU_ITERS = 50
+ROUNDS = 3  # timed alternation rounds
+
+BASELINE_FRAMES = 2  # frames for the torch-CPU reference measurement
+
+
+def _tpu_run():
+    import jax
+    import jax.numpy as jnp
+
+    from dnmf_tpu.config import ModelConfig, OptimizerConfig
+    from dnmf_tpu.models import dnmf as M
+
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=3.0)
+    optimizer = M.make_motion_optimizer(OptimizerConfig(learning_rate=1e-3))
+    key = jax.random.PRNGKey(0)
+    pos = 10.0 + jax.random.uniform(key, (K, 3)) * (
+        jnp.asarray(SIZE, jnp.float32) - 20.0
+    )
+    state = M.init_state(model, optimizer, positions=pos, key=key)
+    p = SIZE[0] * SIZE[1] * SIZE[2]
+    video = jax.random.uniform(jax.random.PRNGKey(1), (T, p))
+
+    def one_round(state):
+        state, metrics = M.motion_epoch_parallel(
+            state, video, model, optimizer, gamma=0.1,
+            frame_block=FRAME_BLOCK,
+        )
+        grams, c1 = M.compute_grams(state, video, model,
+                                    frame_block=FRAME_BLOCK)
+        state = M.footprint_update(state, grams, c1, iters=MU_ITERS,
+                                   gamma=0.0)
+        return state, metrics
+
+    # Warm-up / compile.  NOTE: on the tunneled TPU backend
+    # block_until_ready returns before execution completes — a scalar host
+    # read is the only reliable completion fence.
+    state, _ = one_round(state)
+    _ = float(jnp.sum(state.c))
+
+    t0 = time.time()
+    for _ in range(ROUNDS):
+        state, metrics = one_round(state)
+    _ = float(jnp.sum(state.c)) + float(metrics["recon_mse"])
+    elapsed = time.time() - t0
+    per_round = elapsed / ROUNDS
+    return {
+        "tpu_round_seconds": per_round,
+        "tpu_frames_per_sec": T / per_round,
+        "recon_mse": float(metrics["recon_mse"]),
+        "backend": jax.default_backend(),
+    }
+
+
+def _torch_cpu_baseline_per_frame():
+    """Per-frame cost of the reference-equivalent round on torch/NumPy CPU.
+
+    Measured on BASELINE_FRAMES frames and scaled linearly in T: the
+    reference's per-round cost is T-linear (batch loop over all frames for
+    the motion epoch; Gram einsums carry a T axis).
+    """
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    m, n, z = SIZE
+    tb = BASELINE_FRAMES
+    torch.manual_seed(0)
+    # Stored footprint volume A[m,n,z,K] warped per frame via grid_sample
+    # (reference ExponentialFP.forward, Demix/dNMF.py:53-62).
+    grid_pts = torch.stack(
+        torch.meshgrid(
+            torch.arange(m, dtype=torch.float32),
+            torch.arange(n, dtype=torch.float32),
+            torch.arange(z, dtype=torch.float32),
+            indexing="ij",
+        ),
+        dim=-1,
+    )
+    pos = 10.0 + torch.rand(K, 3) * (torch.tensor(SIZE).float() - 20.0)
+    a_vol = torch.exp(
+        -((grid_pts[:, :, :, None, :] - pos[None, None, None]) ** 2).sum(-1)
+        / 9.0
+    )  # [m, n, z, K]
+    beta = torch.zeros(tb, 10, 3, requires_grad=True)
+    with torch.no_grad():
+        beta[:, 1, 0] = 1.0
+        beta[:, 2, 1] = 1.0
+        beta[:, 3, 2] = 1.0
+    c = torch.rand(K, tb)
+    y = torch.rand(tb, m, n, z)
+    opt = torch.optim.Adam([beta], lr=1e-3)
+    sizes = torch.tensor(SIZE).float()
+
+    basis = torch.cat(
+        [
+            torch.ones(m, n, z, 1),
+            grid_pts,
+            grid_pts**2,
+            (grid_pts[..., 0] * grid_pts[..., 1])[..., None],
+            (grid_pts[..., 0] * grid_pts[..., 2])[..., None],
+            (grid_pts[..., 1] * grid_pts[..., 2])[..., None],
+        ],
+        dim=-1,
+    )  # [m, n, z, 10]
+
+    def motion_step():
+        opt.zero_grad()
+        grid = torch.einsum("mnza,tab->tmnzb", basis, beta)
+        grid = 2 * grid / (sizes - 1) - 1
+        a_in = a_vol.permute(3, 2, 1, 0)[None].expand(tb, -1, -1, -1, -1)
+        warped = F.grid_sample(
+            a_in, grid.permute(0, 3, 2, 1, 4), align_corners=True
+        ).permute(0, 1, 4, 3, 2)  # [tb, K, m, n, z]
+        recon = torch.einsum("tkmnz,kt->tmnz", warped, c)
+        loss = F.mse_loss(recon, y)
+        loss.backward()
+        opt.step()
+        return warped
+
+    # Motion epoch over the tb frames.
+    t0 = time.time()
+    warped = motion_step()
+    motion_time = time.time() - t0
+
+    # One full-Gram MU einsum round (reference recomputes this each of the
+    # iter_c=50 iterations, Demix/dNMF.py:139-149,172-173).
+    a_np = warped.detach().numpy().transpose(2, 3, 4, 1, 0)  # [m,n,z,K,tb]
+    y_np = y.numpy().transpose(1, 2, 3, 0)
+    c_np = c.numpy()
+    t0 = time.time()
+    a_ts = np.einsum("mnzkt,mnzlt->klt", a_np, a_np)
+    c1 = np.einsum("mnzkt,mnzt->kt", a_np, y_np)
+    c2 = np.einsum("klt,lt->kt", a_ts, c_np)
+    _ = c_np * c1 / (c2 + 1e-32)
+    mu_once = time.time() - t0
+
+    per_frame = (motion_time + MU_ITERS * mu_once) / tb
+    return per_frame
+
+
+def main():
+    tpu = _tpu_run()
+    base_per_frame = _torch_cpu_baseline_per_frame()
+    baseline_round = base_per_frame * T
+    result = {
+        "metric": "frames/sec/chip",
+        "value": round(tpu["tpu_frames_per_sec"], 2),
+        "unit": "frames/s",
+        "vs_baseline": round(baseline_round / tpu["tpu_round_seconds"], 1),
+        "workload": f"{SIZE[0]}x{SIZE[1]}x{SIZE[2]} K={K} T={T} "
+                    f"1 motion epoch + grams + {MU_ITERS} MU",
+        "round_ms": round(tpu["tpu_round_seconds"] * 1e3, 1),
+        "baseline_round_s_extrapolated": round(baseline_round, 1),
+        "backend": tpu["backend"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

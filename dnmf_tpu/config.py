@@ -27,6 +27,15 @@ class DeformationConfig:
     """
 
     footprint_mode: str = "analytic"
+    # Coordinate space of the beta parameterization:
+    #   "normalized" — basis built on [-1, 1]^3 coordinates; all 10
+    #     coefficients have O(1) sensitivity, so Adam is well-conditioned
+    #     at ordinary learning rates (TPU-native default).
+    #   "pixel" — the reference's parameterization (basis on raw voxel
+    #     coordinates, ``/root/reference/Demix/dNMF.py:22-23``); quadratic
+    #     terms carry O(size^2) leverage, requiring tiny learning rates
+    #     (the reference's lr=1e-5).  Used by parity mode.
+    basis_scaling: str = "normalized"
     # Mask analytic footprints to zero where the deformed coordinate leaves
     # the volume (mimics grid_sample zero padding at the border).
     mask_out_of_bounds: bool = True
@@ -132,6 +141,10 @@ class SimulatorConfig:
     # Quadratic motion parameters (motion in {"sq", "qs", "q"})
     motion_means: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     motion_snr_db: Tuple[float, float, float] = (-100.0, -100.0, -100.0)
+    # Fixture-quality constraints on random anchors (0 = reference
+    # behavior, which can place neurons arbitrarily close / at the border).
+    min_separation: float = 0.0
+    margin: float = 0.0
     seed: int = 0
 
 
@@ -152,10 +165,21 @@ class RuntimeConfig:
     metrics_path: Optional[str] = None
 
 
-def reference_demo_model() -> ModelConfig:
-    """The reference demo model shapes (``/root/reference/demo.py:16-19``)."""
+def reference_demo_model(parity: bool = False) -> ModelConfig:
+    """The reference demo model shapes (``/root/reference/demo.py:16-19``).
+
+    ``parity=True`` selects the reference's exact numerics: pixel-space
+    beta parameterization, grid_sample-style resampled footprints, and the
+    detached (gradient-free) Jacobian regularizer.
+    """
+    deform = (
+        DeformationConfig(footprint_mode="resample", basis_scaling="pixel",
+                          detach_regularizer=True)
+        if parity
+        else DeformationConfig()
+    )
     return ModelConfig(size=(50, 50, 2), num_neurons=10, num_frames=100,
-                       shape_std=3.0)
+                       shape_std=3.0, deformation=deform)
 
 
 def reference_demo_optimizer() -> OptimizerConfig:

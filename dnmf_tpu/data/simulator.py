@@ -1,0 +1,367 @@
+"""Ground-truthed synthetic video simulator (JAX PRNG, deterministic).
+
+Rebuild of the reference fixture generator
+(``/root/reference/WUtils/Simulator.py``): videos of moving Gaussian
+neurons with known positions and activity traces, used as the oracle for
+every end-to-end test (SURVEY.md §4).
+
+Deliberate fixes over the reference (SURVEY.md §2.4 #5):
+
+* ``generate_video`` dispatched on ``'qs'`` while its docstring and the
+  demo advertised ``'sq'`` — both names select the sequential-quadratic
+  model here.
+* The reference passed ``motion_par['means']`` into
+  ``simulate_quadratic_trajectory``'s ``snr`` argument; here arguments are
+  keyword-only and wired correctly.
+
+Statistical notes (behavior preserved, mechanism re-derived for JAX):
+
+* GP motion: the reference samples an *unfitted*
+  ``sklearn.GaussianProcessRegressor`` prior at the neuron anchor
+  coordinates — per axis ``d``, T i.i.d. draws from
+  ``N(0, sigma_d * RBF(ls_d))`` evaluated at the K anchor values
+  (``/root/reference/WUtils/Simulator.py:362-391``).  Motion is therefore
+  spatially smooth across neurons but temporally white.  Implemented as an
+  explicit kernel Cholesky draw; parity with sklearn is statistical
+  (mean/cov), not bitwise.
+* Cell rendering: the reference evaluates a multivariate-normal pdf with
+  covariance ``shape_std * I`` scaled so the peak is 1
+  (``Simulator.py:197-212``), i.e. ``exp(-||x - mu||^2 / (2*shape_std))``.
+  Note this differs from the *model's* footprint
+  ``exp(-||x - p||^2 / shape_std^2)`` — a quirk of the reference that is
+  preserved so difficulty is comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dnmf_tpu.config import SimulatorConfig
+from dnmf_tpu.ops.basis import quadratic_basis_points
+
+
+def _rbf_kernel(x: jnp.ndarray, amplitude: float,
+                length_scale: float) -> jnp.ndarray:
+    """``amplitude * exp(-(x_i - x_j)^2 / (2 ls^2))`` over scalar inputs."""
+    d = x[:, None] - x[None, :]
+    return amplitude * jnp.exp(-0.5 * (d / length_scale) ** 2)
+
+
+def _sample_anchors(
+    key: jax.Array,
+    num_neurons: int,
+    size,
+    min_separation: float = 0.0,
+    margin: float = 0.0,
+) -> jnp.ndarray:
+    """Uniform anchors, optionally with a separation/margin constraint.
+
+    ``min_separation=0, margin=0`` reproduces the reference's plain
+    ``rand(K,3) * size`` (``Simulator.py:378``).  With constraints, a
+    candidate pool is greedily thinned so no two anchors are closer than
+    ``min_separation`` (a fixture-quality upgrade: the reference can place
+    neurons ~1 px apart, which no demixer separates).
+    """
+    import numpy as np
+
+    lo = jnp.full((3,), margin, dtype=jnp.float32)
+    hi = jnp.asarray(size, dtype=jnp.float32) - margin
+    if min_separation <= 0.0:
+        u = jax.random.uniform(key, (num_neurons, 3))
+        return lo + u * (hi - lo)
+    pool = np.asarray(
+        lo + jax.random.uniform(key, (num_neurons * 50, 3)) * (hi - lo)
+    )
+    chosen = [pool[0]]
+    for cand in pool[1:]:
+        if len(chosen) == num_neurons:
+            break
+        if min(np.linalg.norm(cand - c) for c in chosen) >= min_separation:
+            chosen.append(cand)
+    if len(chosen) < num_neurons:
+        raise ValueError(
+            f"could not place {num_neurons} anchors with separation "
+            f"{min_separation} in volume {size} (margin {margin})"
+        )
+    return jnp.asarray(np.stack(chosen))
+
+
+def gp_motion(
+    key: jax.Array,
+    num_neurons: int,
+    num_frames: int,
+    sigma=(10.0, 10.0, 10.0),
+    length_scale=(10.0, 10.0, 10.0),
+    size=(10, 10, 1),
+    min_separation: float = 0.0,
+    margin: float = 0.0,
+) -> jnp.ndarray:
+    """Gaussian-process motion trajectories.
+
+    Returns positions ``[K, 3, T]`` — anchors uniform in the volume plus
+    per-frame GP offsets (see module docstring for the reference's exact
+    sampling scheme).
+    """
+    k_anchor, k_eps = jax.random.split(key)
+    anchors = _sample_anchors(k_anchor, num_neurons, size,
+                              min_separation=min_separation, margin=margin)
+
+    eps = jax.random.normal(k_eps, (3, num_neurons, num_frames))
+
+    def per_axis(d):
+        cov = _rbf_kernel(anchors[:, d], sigma[d], length_scale[d])
+        # RBF kernels are numerically rank-deficient; a Cholesky in float32
+        # NaNs.  Use a symmetric eigendecomposition with clamped
+        # eigenvalues — the same Gaussian up to an orthogonal rotation of
+        # the white noise.
+        evals, evecs = jnp.linalg.eigh(cov)
+        factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
+        return anchors[:, d][:, None] + factor @ eps[d]
+
+    pos = jnp.stack([per_axis(d) for d in range(3)], axis=1)  # [K, 3, T]
+    return pos
+
+
+def _identity_affine_beta(means) -> jnp.ndarray:
+    """``[10, 3]`` identity affine with constant offsets ``means``."""
+    b = jnp.zeros((10, 3), dtype=jnp.float32)
+    b = b.at[0, :].set(jnp.asarray(means, dtype=jnp.float32))
+    return b.at[1, 0].set(1.0).at[2, 1].set(1.0).at[3, 2].set(1.0)
+
+
+def _motion_noise_std(snr_db, size) -> jnp.ndarray:
+    """Per-axis noise std ``sqrt(10^(snr/10)) * size`` (reference
+    ``Simulator.py:122,156``)."""
+    snr = jnp.asarray(snr_db, dtype=jnp.float32)
+    sz = jnp.asarray(size, dtype=jnp.float32)
+    return jnp.sqrt(10.0 ** (snr / 10.0)) * sz
+
+
+def quadratic_sequential_trajectory(
+    key: jax.Array,
+    num_neurons: int,
+    num_frames: int,
+    means=(0.0, 0.0, 0.0),
+    snr_db=(-2.0, -2.0, -2.0),
+    size=(20, 20, 1),
+) -> jnp.ndarray:
+    """Frame-to-frame quadratic motion (reference ``'qs'``/``'sq'`` model,
+    ``Simulator.py:96-137``): each frame's positions are a noisy quadratic
+    transform of the previous frame's.
+
+    Returns ``[K, 3, T]``.
+    """
+    k_beta, k_init = jax.random.split(key)
+    std = _motion_noise_std(snr_db, size)  # [3]
+    noise = jax.random.normal(k_beta, (num_frames, 10, 3)) * std[None, None, :]
+    betas = _identity_affine_beta(means)[None] + noise  # [T, 10, 3]
+
+    sz = jnp.asarray(size, dtype=jnp.float32)
+    init = ((sz - 1.0) / 2.0) * jax.random.uniform(
+        k_init, (num_neurons, 3)
+    ) + (sz - 1.0) / 4.0
+
+    def step(prev, beta_t):
+        nxt = quadratic_basis_points(prev) @ beta_t
+        return nxt, nxt
+
+    # Frame 0 keeps the initial positions (reference :131-135).
+    _, rest = jax.lax.scan(step, init, betas[1:])
+    pos = jnp.concatenate([init[None], rest], axis=0)  # [T, K, 3]
+    return jnp.transpose(pos, (1, 2, 0))
+
+
+def quadratic_trajectory(
+    key: jax.Array,
+    num_neurons: int,
+    num_frames: int,
+    snr_db=(-2.0, -2.0, -2.0),
+    size=(20, 20, 1),
+) -> jnp.ndarray:
+    """Cumulative-noise quadratic motion from frame 0 (reference ``'q'``
+    model, ``Simulator.py:139-171``).  Returns ``[K, 3, T]``."""
+    k_beta, k_init = jax.random.split(key)
+    std = _motion_noise_std(snr_db, size)
+    noise = jnp.cumsum(jax.random.normal(k_beta, (num_frames, 10, 3)), axis=0)
+    betas = _identity_affine_beta((0.0, 0.0, 0.0))[None] + noise * std[
+        None, None, :
+    ]
+
+    sz = jnp.asarray(size, dtype=jnp.float32)
+    init = (sz - 1.0) * jax.random.uniform(k_init, (num_neurons, 3))
+    init = init.at[:, :2].add(4.0)
+    phi = quadratic_basis_points(init)  # [K, 10]
+    pos = jnp.einsum("kb,tbd->tkd", phi, betas)  # [T, K, 3]
+    return jnp.transpose(pos, (1, 2, 0))
+
+
+def exponential_traces(
+    key: jax.Array,
+    num_neurons: int,
+    num_frames: int,
+    density: float = 0.1,
+    baseline: float = 1.0,
+) -> jnp.ndarray:
+    """Sparse spikes convolved with an exponential kernel.
+
+    Reference ``simulate_exponential_traces`` (``Simulator.py:174-195``):
+    kernel ``exp(0:-0.3:-3)`` (10 taps), exactly
+    ``int(density * (T + 9))`` unit spikes per neuron at distinct times,
+    plus baseline.  Returns ``[K, T]``.
+    """
+    kernel = jnp.exp(jnp.arange(0.0, -3.0, -0.3))
+    n = num_frames + kernel.shape[0] - 1
+    nnz = int(density * n)  # scipy.sparse.rand's exact nnz rule
+
+    def one(k):
+        perm = jax.random.permutation(k, n)
+        spikes = jnp.zeros((n,)).at[perm[:nnz]].set(1.0)
+        return jnp.convolve(spikes, kernel, mode="valid")
+
+    keys = jax.random.split(key, num_neurons)
+    return baseline + jax.vmap(one)(keys)
+
+
+def render_video(
+    positions: jnp.ndarray,
+    traces: jnp.ndarray,
+    size,
+    shape_std: float = 3.0,
+) -> jnp.ndarray:
+    """Render moving Gaussian cells: ``video[t] = sum_k c[k,t] g_k,t``.
+
+    ``g`` has peak 1 and squared-width ``2*shape_std`` (the reference's
+    pdf-with-peak-normalization, see module docstring).  Streams over
+    frames with ``lax.scan`` so only one ``[P, K]`` block is live.
+
+    Args:
+      positions: ``[K, 3, T]``; traces: ``[K, T]``; size: ``(M, N, Z)``.
+
+    Returns:
+      ``[T, M, N, Z]`` clean video (no noise / normalization).
+    """
+    from dnmf_tpu.ops.basis import voxel_grid
+    from dnmf_tpu.ops.footprints import gaussian_footprints
+
+    grid = voxel_grid(size)
+    k = positions.shape[0]
+    sigma_eff = jnp.full((k,), jnp.sqrt(2.0 * shape_std))
+    pos_t = jnp.transpose(positions, (2, 0, 1))  # [T, K, 3]
+    c_t = traces.T  # [T, K]
+
+    def frame(_, inputs):
+        p, c = inputs
+        a = gaussian_footprints(grid, p, sigma_eff)
+        return None, a @ c
+
+    _, frames = jax.lax.scan(frame, None, (pos_t, c_t))
+    m, n, z = (int(s) for s in size)
+    return frames.reshape(-1, m, n, z)
+
+
+def generate_video(
+    config: SimulatorConfig,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full fixture: video + ground-truth positions and traces.
+
+    Mirrors ``generate_video`` (``Simulator.py:20-77``): render, normalize
+    to unit power, add Gaussian background noise at ``bg_snr_db``, rescale
+    by the max.
+
+    Returns:
+      ``(video[T, M, N, Z], positions[K, 3, T], traces[K, T])`` — video is
+      time-major (reference is ``[M, N, Z, T]``; transpose at the boundary
+      if needed).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+    k_motion, k_traces, k_noise = jax.random.split(key, 3)
+
+    motion = config.motion
+    if motion in ("sq", "qs"):
+        positions = quadratic_sequential_trajectory(
+            k_motion, config.num_neurons, config.num_frames,
+            means=config.motion_means, snr_db=config.motion_snr_db,
+            size=config.size,
+        )
+    elif motion == "q":
+        positions = quadratic_trajectory(
+            k_motion, config.num_neurons, config.num_frames,
+            snr_db=config.motion_snr_db, size=config.size,
+        )
+    elif motion == "gp":
+        positions = gp_motion(
+            k_motion, config.num_neurons, config.num_frames,
+            sigma=config.gp_sigma, length_scale=config.gp_length_scale,
+            size=config.size, min_separation=config.min_separation,
+            margin=config.margin,
+        )
+    else:
+        raise ValueError(f"unknown motion model: {motion!r}")
+
+    if config.traces == "exp":
+        traces = exponential_traces(
+            k_traces, config.num_neurons, config.num_frames,
+            density=config.density,
+        )
+    else:
+        raise ValueError(f"unknown trace model: {config.traces!r}")
+
+    video = render_video(positions, traces, config.size, config.shape_std)
+    video = video / jnp.sum(video**2)
+    bg_std = math.sqrt(10.0 ** (config.bg_snr_db / 10.0))
+    video = video + bg_std * jax.random.normal(k_noise, video.shape)
+    video = video / jnp.max(video)
+    return video, positions, traces
+
+
+def roi_signals(
+    video: jnp.ndarray,
+    positions: jnp.ndarray,
+    window=(3, 3, 0),
+) -> jnp.ndarray:
+    """Cube-mean baseline trace extractor.
+
+    Equivalent of ``get_roi_signals`` (``Simulator.py:230-240``): mean of
+    the ``(2w+1)``-cube around each rounded tracked position, with
+    out-of-volume voxels excluded from the mean.
+
+    Args:
+      video: ``[T, M, N, Z]``; positions: ``[K, 3, T]``.
+
+    Returns:
+      ``[K, T]`` signals.
+    """
+    t_frames, m, n, z = video.shape
+    wx, wy, wz = (int(w) for w in window)
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-wx, wx + 1),
+            jnp.arange(-wy, wy + 1),
+            jnp.arange(-wz, wz + 1),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)  # [W, 3]
+
+    dims = jnp.asarray([m, n, z])
+    centers = jnp.round(jnp.transpose(positions, (2, 0, 1))).astype(
+        jnp.int32
+    )  # [T, K, 3]
+    coords = centers[:, :, None, :] + offs[None, None, :, :]  # [T, K, W, 3]
+    valid = jnp.all((coords >= 0) & (coords < dims), axis=-1)
+    cc = jnp.clip(coords, 0, dims - 1)
+    flat_idx = (cc[..., 0] * n + cc[..., 1]) * z + cc[..., 2]  # [T, K, W]
+    flat_video = video.reshape(t_frames, -1)
+    vals = jnp.take_along_axis(
+        flat_video[:, None, :], flat_idx.reshape(t_frames, -1)[:, None, :],
+        axis=2,
+    ).reshape(coords.shape[:-1])
+    s = jnp.sum(jnp.where(valid, vals, 0.0), axis=-1)
+    cnt = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    return (s / cnt).T  # [K, T]

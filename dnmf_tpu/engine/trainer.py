@@ -1,0 +1,202 @@
+"""User-facing driver: alternating deformation fits and trace updates.
+
+Equivalent of the reference demo loop
+(``/root/reference/demo.py:41-46``: 5 outer rounds of 10 Adam epochs on
+beta + 50 MU iterations on C) as a configured, metric-logging, resumable
+engine.  All heavy steps are jitted device functions; the Python level
+only sequences epochs and collects scalar metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnmf_tpu.config import ModelConfig, OptimizerConfig, RuntimeConfig
+from dnmf_tpu.models import dnmf as model_lib
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: model_lib.DNMFState
+    metrics: List[dict]
+
+    @property
+    def traces(self) -> np.ndarray:
+        return np.asarray(self.state.c)
+
+    @property
+    def beta(self) -> np.ndarray:
+        return np.asarray(self.state.beta)
+
+
+class DeformableNMF:
+    """Alternating optimizer over a device-resident video.
+
+    Usage::
+
+        dnmf = DeformableNMF(model_cfg, opt_cfg, positions=pos0)
+        result = dnmf.fit(video)   # video [T, M, N, Z] or dataset
+    """
+
+    def __init__(
+        self,
+        model: ModelConfig,
+        optimizer: OptimizerConfig,
+        runtime: Optional[RuntimeConfig] = None,
+        positions: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        self.model = model
+        self.opt_config = optimizer
+        self.runtime = runtime or RuntimeConfig()
+        self.optimizer = model_lib.make_motion_optimizer(optimizer)
+        self._key = key if key is not None else jax.random.PRNGKey(
+            optimizer.seed
+        )
+        self._key, init_key = jax.random.split(self._key)
+        self.state = model_lib.init_state(
+            model, self.optimizer, positions=positions, key=init_key
+        )
+        self.metrics: List[dict] = []
+
+    # ------------------------------------------------------------------
+    def _video_flat(self, video) -> jnp.ndarray:
+        if hasattr(video, "frames_flat"):
+            return video.frames_flat()
+        video = jnp.asarray(video)
+        if video.ndim == 4:
+            return video.reshape(video.shape[0], -1)
+        return video
+
+    def _epoch_batches(self, key):
+        """Shuffled, zero-padded batch index/weight arrays for parity mode."""
+        t = self.model.num_frames
+        b = self.opt_config.batch_size
+        order = (
+            np.asarray(jax.random.permutation(key, t))
+            if self.opt_config.shuffle
+            else np.arange(t)
+        )
+        pad = (-t) % b
+        times = np.concatenate([order, np.zeros(pad, dtype=order.dtype)])
+        weights = np.concatenate(
+            [np.ones(t, np.float32), np.zeros(pad, np.float32)]
+        )
+        nb = (t + pad) // b
+        return (
+            jnp.asarray(times.reshape(nb, b)),
+            jnp.asarray(weights.reshape(nb, b)),
+        )
+
+    # ------------------------------------------------------------------
+    def update_motion(self, video, epochs: Optional[int] = None) -> dict:
+        """Run ``epochs`` of deformation fitting (reference
+        ``update_motion``)."""
+        video_flat = self._video_flat(video)
+        epochs = epochs or self.opt_config.motion_epochs
+        gamma = self.opt_config.gamma_motion
+        last = {}
+        for _ in range(epochs):
+            if self.opt_config.motion_mode == "parity":
+                self._key, bkey = jax.random.split(self._key)
+                times, weights = self._epoch_batches(bkey)
+                self.state, m = model_lib.motion_epoch_parity(
+                    self.state, video_flat, times, weights, self.model,
+                    self.optimizer, gamma,
+                )
+            else:
+                self.state, m = model_lib.motion_epoch_parallel(
+                    self.state, video_flat, self.model, self.optimizer,
+                    gamma, frame_block=self.runtime.frame_block,
+                )
+            last = {k: float(v) for k, v in m.items()}
+            self.metrics.append({"phase": "motion", **last})
+        return last
+
+    def update_footprints(self, video, iters: Optional[int] = None) -> dict:
+        """Recompute Grams once, then run MU trace iterations (reference
+        ``update_footprints`` without the host round-trip)."""
+        video_flat = self._video_flat(video)
+        iters = iters or self.opt_config.mu_iters
+        grams, c1 = model_lib.compute_grams(
+            self.state, video_flat, self.model,
+            frame_block=self.runtime.frame_block,
+        )
+        self.state = model_lib.footprint_update(
+            self.state, grams, c1, iters=iters,
+            gamma=self.opt_config.gamma_traces,
+        )
+        m = {"phase": "traces", "c_mean": float(jnp.mean(self.state.c))}
+        self.metrics.append(m)
+        return m
+
+    def fit(self, video, rounds: Optional[int] = None) -> FitResult:
+        """Full alternation schedule; returns final state + metric log."""
+        video_flat = self._video_flat(video)
+        rounds = rounds or self.opt_config.outer_rounds
+        for r in range(rounds):
+            t0 = time.time()
+            motion_m = self.update_motion(video_flat)
+            traces_m = self.update_footprints(video_flat)
+            entry = {
+                "phase": "round",
+                "round": r,
+                "seconds": time.time() - t0,
+                **{f"motion_{k}": v for k, v in motion_m.items()},
+                **{f"traces_{k}": v for k, v in traces_m.items()},
+            }
+            self.metrics.append(entry)
+            if self.runtime.metrics_path:
+                with open(self.runtime.metrics_path, "a") as f:
+                    f.write(json.dumps(entry) + "\n")
+            if self.runtime.checkpoint_dir:
+                self.save(f"{self.runtime.checkpoint_dir}/round_{r}")
+        return FitResult(state=self.state, metrics=self.metrics)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        from dnmf_tpu.utils.checkpoint import save_state
+
+        save_state(path, self.state)
+
+    def restore(self, path: str) -> None:
+        from dnmf_tpu.utils.checkpoint import load_state
+
+        self.state = load_state(path, self.state)
+
+    @property
+    def traces(self) -> np.ndarray:
+        return np.asarray(self.state.c)
+
+    def positions_at(self, frame: int) -> np.ndarray:
+        """Deformed neuron positions at a frame: ``warp_t^{-1}`` applied to
+        footprint centers via the forward warp of the tracked grid.
+
+        The model warps *coordinates* (footprints stay anchored at frame-0
+        positions and the sampling grid deforms), so the apparent position
+        of neuron k at frame t is the point ``x`` with ``warp_t(x) = p_k``;
+        we return the first-order estimate ``2*p_k - warp_t(p_k)``.
+        """
+        from dnmf_tpu.ops.basis import (
+            denormalize_points,
+            normalize_points,
+            warp_points,
+        )
+
+        pos = self.state.pos
+        if self.model.deformation.basis_scaling == "normalized":
+            warped = denormalize_points(
+                warp_points(normalize_points(pos, self.model.size),
+                            self.state.beta[frame]),
+                self.model.size,
+            )
+        else:
+            warped = warp_points(pos, self.state.beta[frame])
+        return np.asarray(2 * pos - warped)

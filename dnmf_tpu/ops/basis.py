@@ -46,6 +46,8 @@ quadratic_basis = quadratic_basis_points
 
 @functools.lru_cache(maxsize=32)
 def _voxel_grid_cached(size, dtype_name):
+    # Cache host-side NumPy only: caching a jnp array created inside a jit
+    # trace would leak a tracer into later traces.
     import numpy as np
 
     m, n, z = size
@@ -55,7 +57,7 @@ def _voxel_grid_cached(size, dtype_name):
         ),
         axis=-1,
     ).astype(dtype_name)
-    return jnp.asarray(g.reshape(-1, 3))
+    return g.reshape(-1, 3)
 
 
 def voxel_grid(size, dtype=jnp.float32) -> jnp.ndarray:
@@ -64,8 +66,10 @@ def voxel_grid(size, dtype=jnp.float32) -> jnp.ndarray:
     Equivalent to the reference's ``flow_id`` construction
     (``/root/reference/Demix/dNMF.py:22``) flattened to ``[P, 3]``.
     """
-    return _voxel_grid_cached(tuple(int(s) for s in size),
-                              jnp.dtype(dtype).name)
+    return jnp.asarray(
+        _voxel_grid_cached(tuple(int(s) for s in size),
+                           jnp.dtype(dtype).name)
+    )
 
 
 def voxel_basis(size, dtype=jnp.float32) -> jnp.ndarray:
@@ -96,3 +100,52 @@ def warp_points(points: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
       ``[..., 3]`` warped coordinates.
     """
     return quadratic_basis_points(points) @ beta
+
+
+def normalize_points(points: jnp.ndarray, size) -> jnp.ndarray:
+    """Map pixel coordinates ``[0, size-1]`` to ``[-1, 1]``.
+
+    The reference applies this normalization only to feed grid_sample
+    (``/root/reference/Demix/dNMF.py:55``); here it is also the coordinate
+    space of the default beta parameterization: with a pixel-space basis,
+    Adam's uniform per-coordinate step gives quadratic coefficients
+    ``O(size^2)`` leverage over offsets and the fit diverges unless the
+    learning rate is tiny (the reference's lr=1e-5).  In ``[-1, 1]`` all
+    10 basis terms are O(1) and conditioning is uniform.
+    """
+    hi = jnp.asarray(size, dtype=points.dtype) - 1.0
+    return 2.0 * points / hi - 1.0
+
+
+def denormalize_points(points: jnp.ndarray, size) -> jnp.ndarray:
+    """Inverse of :func:`normalize_points`."""
+    hi = jnp.asarray(size, dtype=points.dtype) - 1.0
+    return (points + 1.0) / 2.0 * hi
+
+
+def voxel_basis_normalized(size, dtype=jnp.float32) -> jnp.ndarray:
+    """Quadratic basis of every voxel in normalized coordinates: ``[P, 10]``."""
+    return quadratic_basis_points(
+        normalize_points(voxel_grid(size, dtype), size)
+    )
+
+
+def warp_voxel_coords(
+    voxel_basis_arr: jnp.ndarray,
+    beta: jnp.ndarray,
+    size,
+    scaling: str,
+) -> jnp.ndarray:
+    """Deformed *pixel-space* coordinates of all voxels.
+
+    Args:
+      voxel_basis_arr: ``[P, 10]`` basis (pixel or normalized, matching
+        ``scaling``).
+      beta: ``[10, 3]``.
+      scaling: ``"pixel"`` (reference parameterization) or
+        ``"normalized"`` (well-conditioned default).
+    """
+    psi = voxel_basis_arr @ beta
+    if scaling == "normalized":
+        psi = denormalize_points(psi, size)
+    return psi

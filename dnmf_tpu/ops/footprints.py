@@ -73,10 +73,19 @@ def gaussian_weights(pos: jnp.ndarray, sigma: jnp.ndarray):
 
 
 def _bounds_mask(psi: jnp.ndarray, size) -> jnp.ndarray:
-    """``[P, 1]`` mask: 1 where psi is inside ``[0, size-1]^3``."""
+    """``[P, 1]`` border fade: 1 inside, linear ramp to 0 across the border.
+
+    Matches ``grid_sample`` zero-padding semantics for a constant volume:
+    a sample at distance ``d`` outside the border keeps weight
+    ``max(0, 1 - d)`` per axis (the in-bounds corner weights).  A hard
+    step mask here would make the loss discontinuous in beta — with thin
+    volumes (e.g. Z=2) every voxel is a border voxel in z and gradient
+    descent on the deformation breaks.
+    """
     hi = jnp.asarray(size, dtype=psi.dtype) - 1.0
-    ok = jnp.all((psi >= 0.0) & (psi <= hi), axis=-1)
-    return ok[:, None].astype(psi.dtype)
+    dist_in = jnp.minimum(psi, hi[None, :] - psi)  # >=0 inside
+    w = jnp.clip(1.0 + dist_in, 0.0, 1.0)
+    return jnp.prod(w, axis=-1, keepdims=True)
 
 
 def evaluate_footprints(

@@ -69,23 +69,34 @@ def log_det_jacobian(beta: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
 
 
 def corner_regularizer(
-    beta: jnp.ndarray, size, detach: bool = False
+    beta: jnp.ndarray, size, detach: bool = False, scaling: str = "pixel"
 ) -> jnp.ndarray:
     """Per-frame corner regularizer.
 
-    ``log|det J(size-1)|^2 + log|det J(0)|^2`` — the reference's per-frame
-    ``reg`` term (``/root/reference/Demix/dNMF.py:60-61``).
+    ``log|det J(hi)|^2 + log|det J(lo)|^2`` evaluated at the two volume
+    corners — the reference's per-frame ``reg`` term
+    (``/root/reference/Demix/dNMF.py:60-61``).  In pixel scaling the
+    corners are ``0`` and ``size-1``; in normalized scaling they are
+    ``-1`` and ``+1`` (the log-det of the pixel-space map differs from the
+    normalized one only by a beta-independent similarity transform, so the
+    regularizer is equivalent).
 
     Args:
       beta: ``[10, 3]`` (single frame) or ``[B, 10, 3]`` (batched).
       size: volume size ``(M, N, Z)``.
       detach: reproduce the reference's detached (no-gradient) behavior.
+      scaling: coordinate space beta is parameterized in.
     """
-    size = jnp.asarray(size, dtype=beta.dtype)
+    if scaling == "normalized":
+        lo_pt = -jnp.ones(3, dtype=beta.dtype)
+        hi_pt = jnp.ones(3, dtype=beta.dtype)
+    else:
+        lo_pt = jnp.zeros(3, dtype=beta.dtype)
+        hi_pt = jnp.asarray(size, dtype=beta.dtype) - 1.0
 
     def one(b):
-        hi = log_det_jacobian(b, size - 1.0)
-        lo = log_det_jacobian(b, jnp.zeros(3, dtype=beta.dtype))
+        hi = log_det_jacobian(b, hi_pt)
+        lo = log_det_jacobian(b, lo_pt)
         return hi**2 + lo**2
 
     reg = jax.vmap(one)(beta) if beta.ndim == 3 else one(beta)

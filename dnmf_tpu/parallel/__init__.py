@@ -1,0 +1,21 @@
+"""Partitioning layer: device meshes, frame-sharded training steps, and
+the +-1-frame halo exchange for temporally-smoothed trace updates."""
+
+from dnmf_tpu.parallel.mesh import make_mesh, video_sharding
+from dnmf_tpu.parallel.sharded import (
+    sharded_compute_grams,
+    sharded_footprint_update,
+    sharded_motion_epoch,
+    shard_state,
+    shard_video,
+)
+
+__all__ = [
+    "make_mesh",
+    "video_sharding",
+    "sharded_compute_grams",
+    "sharded_footprint_update",
+    "sharded_motion_epoch",
+    "shard_state",
+    "shard_video",
+]

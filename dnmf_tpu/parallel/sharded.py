@@ -1,0 +1,251 @@
+"""Frame-sharded training steps via ``shard_map``.
+
+Partitioning (SURVEY.md §5 "north-star feature"):
+
+* ``beta [T,10,3]``, Adam moments, video ``[T,P]`` and traces ``C [K,T]``
+  shard along the ``"time"`` mesh axis; positions/sigmas replicate.
+* The deformation fit is per-frame independent — zero communication.
+* Per-frame MU Grams reduce over voxels locally — zero communication.
+* The temporally-smoothed MU update couples +-1 frames: one
+  ``ppermute`` halo per iteration exchanges a single ``[K]`` trace column
+  with each neighbor (global edges keep the reference's edge-replication
+  semantics, ``/root/reference/Demix/dNMF.py:145``).
+
+Adam is elementwise, so running ``optimizer.update`` on local shards is
+exactly the global update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dnmf_tpu.config import ModelConfig
+from dnmf_tpu.models import dnmf as model_lib
+from dnmf_tpu.ops import basis as basis_ops
+from dnmf_tpu.ops import jacobian as jac_ops
+from dnmf_tpu.ops import mu as mu_ops
+from dnmf_tpu.parallel.mesh import TIME_AXIS
+
+
+def _state_specs(state: model_lib.DNMFState):
+    """PartitionSpec pytree for a DNMFState: time-sharded factors."""
+    t = state.beta.shape[0]
+    k = state.c.shape[0]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if shape == state.beta.shape:
+            return P(TIME_AXIS)  # beta and Adam moments
+        if shape == (k, t):
+            return P(None, TIME_AXIS)  # traces
+        return P()
+
+    return jax.tree_util.tree_map(spec, state)
+
+
+def shard_state(state: model_lib.DNMFState, mesh: Mesh):
+    """Place a state pytree onto the mesh with time-sharded factors."""
+    specs = _state_specs(state)
+    return jax.tree_util.tree_map(
+        lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
+        state, specs,
+    )
+
+
+def shard_video(video_flat: jnp.ndarray, mesh: Mesh):
+    """Place ``[T, P]`` frames time-sharded onto the mesh."""
+    return jax.device_put(video_flat, NamedSharding(mesh, P(TIME_AXIS)))
+
+
+def _local_frame_grads(state, video_loc, model, gamma, frame_block):
+    """Per-frame loss grads for the local frame shard (streamed)."""
+    vb = model_lib.model_voxel_basis(model)
+    stored_a = model_lib._maybe_stored_a(state, model, vb)
+
+    def frame_loss(beta_t, y_t, c_t):
+        a = model_lib.frame_footprints(beta_t, state.pos, state.sigma,
+                                       model, vb, stored_a)
+        mse = jnp.mean((a @ c_t - y_t) ** 2)
+        reg = jac_ops.corner_regularizer(
+            beta_t, model.size,
+            detach=model.deformation.detach_regularizer,
+            scaling=model.deformation.basis_scaling,
+        )
+        return mse + gamma * reg, (mse, reg)
+
+    grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
+    tl, p = video_loc.shape
+    fb = min(frame_block, tl)
+    pad = (-tl) % fb
+    beta_p = jnp.concatenate(
+        [state.beta, basis_ops.identity_beta(pad)], 0
+    ) if pad else state.beta
+    y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
+    c_p = jnp.pad(state.c, ((0, 0), (0, pad))) if pad else state.c
+    nb = (tl + pad) // fb
+
+    def block(_, xs):
+        beta_blk, y_blk, c_blk = xs
+        (_, (mse, reg)), g = grad_fn(beta_blk, y_blk, c_blk)
+        return None, (g, mse, reg)
+
+    _, (grads, mses, regs) = jax.lax.scan(
+        block, None,
+        (beta_p.reshape(nb, fb, 10, 3), y_p.reshape(nb, fb, p),
+         c_p.T.reshape(nb, fb, -1)),
+    )
+    return (grads.reshape(-1, 10, 3)[:tl],
+            mses.reshape(-1)[:tl], regs.reshape(-1)[:tl])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "optimizer", "gamma", "frame_block", "mesh"),
+)
+def sharded_motion_epoch(
+    state: model_lib.DNMFState,
+    video_flat: jnp.ndarray,
+    model: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    gamma: float,
+    mesh: Mesh,
+    frame_block: int = 16,
+) -> Tuple[model_lib.DNMFState, dict]:
+    """Frame-sharded equivalent of ``motion_epoch_parallel``.
+
+    Requires ``T % mesh.shape["time"] == 0``.
+    """
+    specs = _state_specs(state)
+
+    def local_fn(state_loc, video_loc):
+        grads, mses, regs = _local_frame_grads(
+            state_loc, video_loc, model, gamma, frame_block
+        )
+        updates, opt_state = optimizer.update(
+            grads, state_loc.opt_state, state_loc.beta
+        )
+        beta = optax.apply_updates(state_loc.beta, updates)
+        t_global = mses.shape[0] * mesh.shape[TIME_AXIS]
+        mse = jax.lax.psum(jnp.sum(mses), TIME_AXIS) / t_global
+        reg = jax.lax.psum(jnp.sum(regs), TIME_AXIS) / t_global
+        new_state = state_loc._replace(beta=beta, opt_state=opt_state)
+        return new_state, {"recon_mse": mse, "reg": reg}
+
+    f = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(specs, P(TIME_AXIS)),
+        out_specs=(specs, {"recon_mse": P(), "reg": P()}),
+    )
+    return f(state, video_flat)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "frame_block", "mesh")
+)
+def sharded_compute_grams(
+    state: model_lib.DNMFState,
+    video_flat: jnp.ndarray,
+    model: ModelConfig,
+    mesh: Mesh,
+    frame_block: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-sharded per-frame Grams: ``([T,K,K], [T,K])`` sharded on T."""
+    specs = _state_specs(state)
+
+    def local_fn(state_loc, video_loc):
+        vb = model_lib.model_voxel_basis(model)
+        stored_a = model_lib._maybe_stored_a(state_loc, model, vb)
+        tl, p = video_loc.shape
+        fb = min(frame_block, tl)
+        pad = (-tl) % fb
+        beta_p = jnp.concatenate(
+            [state_loc.beta, basis_ops.identity_beta(pad)], 0
+        ) if pad else state_loc.beta
+        y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
+        nb = (tl + pad) // fb
+
+        def one(beta_t, y_t):
+            a = model_lib.frame_footprints(
+                beta_t, state_loc.pos, state_loc.sigma, model, vb, stored_a
+            )
+            return mu_ops.mu_grams(a, y_t)
+
+        def block(_, xs):
+            g, c1 = jax.vmap(one)(*xs)
+            return None, (g, c1)
+
+        _, (grams, c1) = jax.lax.scan(
+            block, None,
+            (beta_p.reshape(nb, fb, 10, 3), y_p.reshape(nb, fb, p)),
+        )
+        k = state_loc.c.shape[0]
+        return grams.reshape(-1, k, k)[:tl], c1.reshape(-1, k)[:tl]
+
+    f = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(specs, P(TIME_AXIS)),
+        out_specs=(P(TIME_AXIS), P(TIME_AXIS)),
+    )
+    return f(state, video_flat)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "gamma", "mesh")
+)
+def sharded_footprint_update(
+    state: model_lib.DNMFState,
+    grams: jnp.ndarray,
+    c1: jnp.ndarray,
+    mesh: Mesh,
+    iters: int,
+    gamma: float = 0.0,
+) -> model_lib.DNMFState:
+    """Frame-sharded MU iterations with a +-1-frame ``ppermute`` halo."""
+    specs = _state_specs(state)
+    n_time = mesh.shape[TIME_AXIS]
+
+    def local_fn(state_loc, grams_loc, c1_loc):
+        idx = jax.lax.axis_index(TIME_AXIS)
+
+        def one_iter(c_loc, _):
+            if gamma:
+                # Halo: receive right-edge column of the left neighbor and
+                # left-edge column of the right neighbor.
+                from_left = jax.lax.ppermute(
+                    c_loc[:, -1], TIME_AXIS,
+                    [(i, i + 1) for i in range(n_time - 1)],
+                )
+                from_right = jax.lax.ppermute(
+                    c_loc[:, 0], TIME_AXIS,
+                    [(i + 1, i) for i in range(n_time - 1)],
+                )
+                # Global edges: replicate own edge column (reference
+                # edge-replication semantics).
+                left_col = jnp.where(idx == 0, c_loc[:, 0], from_left)
+                right_col = jnp.where(
+                    idx == n_time - 1, c_loc[:, -1], from_right
+                )
+                halo = (left_col, right_col)
+            else:
+                halo = None
+            c_new = mu_ops.mu_temporal_step(
+                c_loc, grams_loc, c1_loc,
+                gamma=gamma if gamma else None, halo=halo,
+            )
+            return c_new, None
+
+        c_out, _ = jax.lax.scan(one_iter, state_loc.c, None, length=iters)
+        return state_loc._replace(c=c_out)
+
+    f = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(specs, P(TIME_AXIS), P(TIME_AXIS)),
+        out_specs=specs,
+    )
+    return f(state, grams, c1)

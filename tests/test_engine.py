@@ -1,0 +1,166 @@
+"""End-to-end engine tests on tiny simulated fixtures (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnmf_tpu.config import (
+    DeformationConfig,
+    ModelConfig,
+    OptimizerConfig,
+    RuntimeConfig,
+    SimulatorConfig,
+)
+from dnmf_tpu.data.datasets import SimulatedVideoDataset
+from dnmf_tpu.engine import DeformableNMF
+from dnmf_tpu.utils.metrics import trace_correlations
+
+SIZE = (16, 16, 2)
+K, T = 4, 10
+
+
+class _HandPlacedDataset:
+    """Well-separated neurons with optional smooth drift — a controlled
+    fixture so recovery thresholds are meaningful (random anchors can put
+    neurons ~2 px apart, where trace mixing is expected)."""
+
+    def __init__(self, drift=0.0):
+        from dnmf_tpu.data import simulator
+
+        base = jnp.asarray(
+            [[4.0, 4.0, 1.0], [11.0, 4.0, 1.0],
+             [4.0, 11.0, 1.0], [11.0, 11.0, 1.0]]
+        )
+        tt = jnp.arange(T, dtype=jnp.float32)
+        dx = drift * jnp.sin(2 * jnp.pi * tt / T)
+        dy = drift * jnp.cos(2 * jnp.pi * tt / T)
+        offsets = jnp.stack([dx, dy, jnp.zeros_like(tt)], axis=0)  # [3, T]
+        self.positions = base[:, :, None] + offsets[None]
+        self.traces = simulator.exponential_traces(
+            jax.random.PRNGKey(7), K, T, density=0.3
+        )
+        video = simulator.render_video(
+            self.positions, self.traces, SIZE, shape_std=2.0
+        )
+        video = video / jnp.sum(video**2)
+        video = video / jnp.max(video)
+        self.video = jnp.maximum(video, 0.0)
+
+    def frames_flat(self):
+        return self.video.reshape(self.video.shape[0], -1)
+
+
+def _dataset(drift=0.0):
+    return _HandPlacedDataset(drift=drift)
+
+
+def _engine(ds, motion_mode="parallel", footprint_mode="analytic",
+            lr=1e-3):
+    model = ModelConfig(
+        size=SIZE, num_neurons=K, num_frames=T, shape_std=2.0,
+        deformation=DeformationConfig(footprint_mode=footprint_mode),
+    )
+    opt = OptimizerConfig(
+        learning_rate=lr, batch_size=4, motion_epochs=3, mu_iters=30,
+        gamma_motion=0.1, motion_mode=motion_mode,
+    )
+    return DeformableNMF(
+        model, opt, RuntimeConfig(frame_block=4),
+        positions=ds.positions[:, :, 0],
+    )
+
+
+def test_trace_recovery_static_positions():
+    ds = _dataset()
+    eng = _engine(ds)
+    eng.update_footprints(ds, iters=50)
+    corr = trace_correlations(eng.traces, np.asarray(ds.traces))
+    assert np.all(corr > 0.8), corr
+
+
+def test_motion_fit_reduces_loss_parallel():
+    ds = _dataset(drift=1.0)
+    eng = _engine(ds)
+    eng.update_footprints(ds, iters=30)
+    first = eng.update_motion(ds, epochs=1)["recon_mse"]
+    for _ in range(4):
+        last = eng.update_motion(ds, epochs=5)["recon_mse"]
+    assert last < first, (first, last)
+    assert np.isfinite(last)
+
+
+def test_motion_fit_parity_mode_runs_and_reduces_loss():
+    ds = _dataset(drift=1.0)
+    eng = _engine(ds, motion_mode="parity")
+    eng.update_footprints(ds, iters=30)
+    first = eng.update_motion(ds, epochs=1)["recon_mse"]
+    for _ in range(3):
+        last = eng.update_motion(ds, epochs=5)["recon_mse"]
+    assert last < first
+    assert np.isfinite(last)
+
+
+def test_resample_mode_close_to_analytic():
+    ds = _dataset()
+    eng_a = _engine(ds, footprint_mode="analytic")
+    eng_r = _engine(ds, footprint_mode="resample")
+    eng_a.update_footprints(ds, iters=20)
+    eng_r.update_footprints(ds, iters=20)
+    # Identity deformation: resampled == analytic exactly on lattice points,
+    # so traces should agree tightly.
+    np.testing.assert_allclose(eng_a.traces, eng_r.traces, rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_full_fit_improves_traces():
+    ds = _dataset(drift=0.8)
+    eng = _engine(ds)
+    result = eng.fit(ds, rounds=2)
+    corr = trace_correlations(result.traces, np.asarray(ds.traces))
+    assert np.all(corr > 0.7), corr
+    phases = {m["phase"] for m in result.metrics}
+    assert phases == {"motion", "traces", "round"}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ds = _dataset()
+    eng = _engine(ds)
+    eng.update_footprints(ds, iters=10)
+    eng.update_motion(ds, epochs=2)
+    path = str(tmp_path / "ckpt")
+    eng.save(path)
+    eng2 = _engine(ds)
+    eng2.restore(path)
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.beta), np.asarray(eng2.state.beta)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.c), np.asarray(eng2.state.c)
+    )
+
+
+def test_inverse_warp_identity():
+    from dnmf_tpu.ops.basis import voxel_grid
+    from dnmf_tpu.ops.interp import inverse_warp_nearest
+
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.normal(size=(16 * 16 * 2,)).astype(np.float32))
+    psi = voxel_grid(SIZE)
+    out = inverse_warp_nearest(vals, psi, SIZE)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(vals))
+
+
+def test_inverse_warp_shift():
+    from dnmf_tpu.ops.basis import voxel_grid
+    from dnmf_tpu.ops.interp import inverse_warp_nearest
+
+    size = (10, 10, 1)
+    grid = voxel_grid(size)
+    vals = jnp.arange(100, dtype=jnp.float32)
+    # All content shifted by +1 in x: output at g should take the value
+    # whose shifted position lands at g, i.e. from source voxel x-1.
+    psi = grid + jnp.asarray([1.0, 0.0, 0.0])
+    out = np.asarray(inverse_warp_nearest(vals, psi, size)).reshape(10, 10)
+    ref = np.arange(100, dtype=np.float32).reshape(10, 10)
+    np.testing.assert_array_equal(out[1:, :], ref[:-1, :])

@@ -1,0 +1,100 @@
+"""Sharded-vs-single-device equivalence on the 8-virtual-device CPU mesh —
+the 'multi-node test without a cluster' (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnmf_tpu.config import ModelConfig, OptimizerConfig
+from dnmf_tpu.models import dnmf as M
+from dnmf_tpu.parallel import (
+    make_mesh,
+    shard_state,
+    shard_video,
+    sharded_compute_grams,
+    sharded_footprint_update,
+    sharded_motion_epoch,
+)
+
+SIZE = (12, 12, 2)
+K, T = 3, 16  # T divisible by 8 devices
+
+
+def _setup():
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3)
+    optimizer = M.make_motion_optimizer(opt_cfg)
+    key = jax.random.PRNGKey(3)
+    pos = jnp.asarray([[3.0, 3.0, 1.0], [8.0, 3.0, 1.0], [5.0, 8.0, 1.0]])
+    state = M.init_state(model, optimizer, positions=pos, key=key)
+    video = jax.random.uniform(jax.random.PRNGKey(9),
+                               (T, SIZE[0] * SIZE[1] * SIZE[2]))
+    return model, optimizer, state, video
+
+
+def test_sharded_motion_epoch_matches_single_device():
+    model, optimizer, state, video = _setup()
+    mesh = make_mesh(num_time=8)
+
+    ref_state, ref_m = M.motion_epoch_parallel(
+        state, video, model, optimizer, gamma=0.1, frame_block=4
+    )
+    sh_state, sh_m = sharded_motion_epoch(
+        shard_state(state, mesh), shard_video(video, mesh), model,
+        optimizer, gamma=0.1, mesh=mesh, frame_block=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.beta), np.asarray(ref_state.beta),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        float(sh_m["recon_mse"]), float(ref_m["recon_mse"]), rtol=1e-5
+    )
+
+
+def test_sharded_grams_match_single_device():
+    model, optimizer, state, video = _setup()
+    mesh = make_mesh(num_time=8)
+    ref_g, ref_c1 = M.compute_grams(state, video, model, frame_block=4)
+    sh_g, sh_c1 = sharded_compute_grams(
+        shard_state(state, mesh), shard_video(video, mesh), model,
+        mesh=mesh, frame_block=4,
+    )
+    np.testing.assert_allclose(np.asarray(sh_g), np.asarray(ref_g),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_c1), np.asarray(ref_c1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_mu_with_halo_matches_single_device():
+    model, optimizer, state, video = _setup()
+    mesh = make_mesh(num_time=8)
+    grams, c1 = M.compute_grams(state, video, model, frame_block=4)
+
+    # Smoothing active (gamma>0): exercises the ppermute halo.
+    ref = M.footprint_update(state, grams, c1, iters=15, gamma=0.05)
+    sh = sharded_footprint_update(
+        shard_state(state, mesh), shard_video(grams, mesh),
+        shard_video(c1, mesh), mesh=mesh, iters=15, gamma=0.05,
+    )
+    np.testing.assert_allclose(np.asarray(sh.c), np.asarray(ref.c),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_mu_no_smoothing_matches():
+    model, optimizer, state, video = _setup()
+    mesh = make_mesh(num_time=8)
+    grams, c1 = M.compute_grams(state, video, model, frame_block=4)
+    ref = M.footprint_update(state, grams, c1, iters=15, gamma=0.0)
+    sh = sharded_footprint_update(
+        shard_state(state, mesh), shard_video(grams, mesh),
+        shard_video(c1, mesh), mesh=mesh, iters=15, gamma=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(sh.c), np.asarray(ref.c),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(num_time=4, num_batch=2)
+    assert mesh.shape == {"batch": 2, "time": 4}
