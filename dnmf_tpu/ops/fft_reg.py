@@ -1,0 +1,265 @@
+"""FFT phase-correlation registration primitives (2-D and 3-D).
+
+TPU-native rebuild of the reference's subpixel registration core
+(``register_translation`` ``/root/reference/Demix/MotionCorrect.py:801-1024``,
+``register_translation_3d`` ``:648-797``, ``_upsampled_dft`` ``:498-614``,
+``apply_shifts_dft`` ``:1028-1156`` — themselves adapted from
+scikit-image/SIMA's Guizar-Sicairos matrix-multiply DFT algorithm):
+
+* integer shift from the argmax of the FFT cross-correlation, restricted
+  to a shift window.  The reference zeroes slices of the correlation
+  surface (data-dependent Python slicing); here the window is a mask over
+  *signed wrapped indices* — fully static shapes, traced bounds, so the
+  same compiled kernel serves rigid and patch-bounded registration.
+* subpixel refinement by evaluating the DFT on an ``upsample_factor``-fine
+  grid around the integer estimate via small matrix products (MXU work,
+  no zero-padded giant FFT).
+* shift application by a Fourier-domain phase ramp with the reference's
+  border policies (``True``/nan, ``False``, ``"min"``, ``"copy"``)
+  expressed as masks/clamped gathers so shifts may be traced values.
+
+Everything is jit/vmap-friendly: vmap over frames and over patches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _signed_freq_index(n: int) -> jnp.ndarray:
+    """``[n]`` signed wrapped indices: 0, 1, ..., mid, -(n-mid-1), ..., -1.
+
+    Index ``i`` of an FFT cross-correlation corresponds to signed shift
+    ``i`` if ``i <= fix(n/2)`` else ``i - n`` (reference ``:974-978``).
+    """
+    idx = np.arange(n)
+    mid = np.fix(n / 2.0)
+    return jnp.asarray(np.where(idx > mid, idx - n, idx), dtype=jnp.float32)
+
+
+def _shift_window_mask(shape, lb, ub) -> jnp.ndarray:
+    """Mask keeping signed shifts in ``[lb_d, ub_d - 1]`` per dim.
+
+    Matches the reference's slice-zeroing exactly: with bounds ``lb<0<=ub``
+    it zeroes ``[ub:lb]`` which keeps ``lb <= s <= ub-1`` (``:953-965``);
+    the plain ``max_shifts`` path is the special case ``lb=-m, ub=m``.
+    """
+    mask = None
+    for d, n in enumerate(shape):
+        s = _signed_freq_index(n)
+        keep = (s >= lb[d]) & (s <= ub[d] - 1)
+        shape_d = [1] * len(shape)
+        shape_d[d] = n
+        keep = keep.reshape(shape_d)
+        mask = keep if mask is None else (mask & keep)
+    return mask
+
+
+def _upsampled_dft(
+    data: jnp.ndarray,
+    region_size: int,
+    upsample_factor: int,
+    axis_offsets: jnp.ndarray,
+) -> jnp.ndarray:
+    """Matrix-multiply DFT of ``data`` on an upsampled sub-region.
+
+    N-dim version of the reference ``_upsampled_dft`` (``:498-614``):
+    evaluates the inverse DFT of the (frequency-domain) ``data`` at
+    ``region_size`` points per axis spaced ``1/upsample_factor`` apart,
+    starting at ``axis_offsets``.
+
+    Args:
+      data: complex frequency-domain array.
+      region_size: static int, points per output axis.
+      upsample_factor: static int.
+      axis_offsets: ``[ndim]`` (traced ok) region start offsets.
+
+    Returns:
+      Complex array ``[region_size] * ndim``.
+    """
+    out = data
+    ndim = data.ndim
+    for d in range(ndim - 1, -1, -1):
+        n = data.shape[d]
+        # Frequency sample positions (ifftshifted), matching the
+        # reference's ifftshift(arange(n)) - floor(n/2).
+        freqs = jnp.asarray(
+            np.fft.ifftshift(np.arange(n)) - np.floor(n / 2.0),
+            dtype=jnp.float32,
+        )
+        pts = jnp.arange(region_size, dtype=jnp.float32) - axis_offsets[d]
+        kernel = jnp.exp(
+            (-1j * 2 * np.pi / (n * upsample_factor))
+            * pts[:, None] * freqs[None, :]
+        )
+        # Contract axis d of `out` with the kernel and put the transformed
+        # axis back at position d, preserving axis order.
+        out = jnp.tensordot(kernel, out, axes=[[1], [d]])
+        out = jnp.moveaxis(out, 0, d)
+    return out
+
+
+def phase_cross_correlation(
+    src_image: jnp.ndarray,
+    target_image: jnp.ndarray,
+    upsample_factor: int = 1,
+    max_shifts: Optional[Sequence[float]] = None,
+    shifts_lb: Optional[jnp.ndarray] = None,
+    shifts_ub: Optional[jnp.ndarray] = None,
+    space: str = "real",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Subpixel FFT registration of ``src`` against ``target``.
+
+    Returns ``(shifts, src_freq, phasediff)``: the displacement of the
+    source content relative to the target (apply ``-shifts`` to correct),
+    the source FFT (reusable for applying shifts), and the global phase
+    difference — mirroring the reference's return contract.
+
+    Shift bounds: either ``max_shifts`` (keep ``|s| <= m`` per dim, the
+    reference's asymmetric ``[-m, m-1]`` window) or explicit traced
+    ``shifts_lb``/``shifts_ub`` (the patchwise ``max_deviation_rigid``
+    path).
+    """
+    if space == "fourier":
+        src_freq, target_freq = src_image, target_image
+    else:
+        src_freq = jnp.fft.fftn(src_image.astype(jnp.complex64))
+        target_freq = jnp.fft.fftn(target_image.astype(jnp.complex64))
+
+    shape = src_freq.shape
+    ndim = len(shape)
+    image_product = src_freq * jnp.conj(target_freq)
+    cross_correlation = jnp.fft.ifftn(image_product)
+    magnitude = jnp.abs(cross_correlation)
+
+    if shifts_lb is not None or shifts_ub is not None:
+        lb = jnp.asarray(shifts_lb, dtype=jnp.float32)
+        ub = jnp.asarray(shifts_ub, dtype=jnp.float32)
+    elif max_shifts is not None:
+        m = jnp.asarray(max_shifts, dtype=jnp.float32)
+        lb, ub = -m, m
+    else:
+        lb = -jnp.asarray(shape, dtype=jnp.float32)
+        ub = jnp.asarray(shape, dtype=jnp.float32)
+    mask = _shift_window_mask(shape, lb, ub)
+    magnitude = jnp.where(mask, magnitude, 0.0)
+
+    flat_idx = jnp.argmax(magnitude)
+    maxima = jnp.stack(jnp.unravel_index(flat_idx, shape)).astype(
+        jnp.float32
+    )
+    midpoints = jnp.asarray(
+        [np.fix(s / 2.0) for s in shape], dtype=jnp.float32
+    )
+    sizes = jnp.asarray(shape, dtype=jnp.float32)
+    shifts = jnp.where(maxima > midpoints, maxima - sizes, maxima)
+    ccmax = cross_correlation.reshape(-1)[flat_idx]
+
+    if upsample_factor > 1:
+        usf = int(upsample_factor)
+        shifts = jnp.round(shifts * usf) / usf
+        region_size = int(np.ceil(usf * 1.5))
+        dftshift = float(np.fix(region_size / 2.0))
+        sample_region_offset = dftshift - shifts * usf
+        cc_up = jnp.conj(
+            _upsampled_dft(
+                jnp.conj(image_product), region_size, usf,
+                sample_region_offset,
+            )
+        ) / (src_freq.size * usf**2)
+        up_idx = jnp.argmax(jnp.abs(cc_up))
+        up_maxima = jnp.stack(
+            jnp.unravel_index(up_idx, cc_up.shape)
+        ).astype(jnp.float32)
+        shifts = shifts + (up_maxima - dftshift) / usf
+        ccmax = cc_up.reshape(-1)[up_idx]
+
+    # Singleton axes carry no shift information (reference :1020-1022).
+    shifts = jnp.where(sizes == 1, 0.0, shifts)
+    phasediff = jnp.arctan2(jnp.imag(ccmax), jnp.real(ccmax))
+    return shifts, src_freq, phasediff
+
+
+def apply_shifts_fourier(
+    src: jnp.ndarray,
+    shifts: jnp.ndarray,
+    diffphase: jnp.ndarray = 0.0,
+    is_freq: bool = False,
+    border_nan=True,
+) -> jnp.ndarray:
+    """Translate an image/volume by (possibly fractional) ``shifts`` via a
+    Fourier phase ramp, with the reference's border policies.
+
+    ``border_nan``: ``True`` (NaN borders), ``False`` (leave wrapped),
+    ``"min"`` (fill with the min), ``"copy"`` (replicate edge).
+    """
+    src_freq = src if is_freq else jnp.fft.fftn(
+        src.astype(jnp.complex64)
+    )
+    shape = src_freq.shape
+    ndim = len(shape)
+    shifts = jnp.asarray(shifts, dtype=jnp.float32)
+
+    ramp = jnp.zeros(shape, dtype=jnp.float32)
+    for d in range(ndim):
+        n = shape[d]
+        freqs = jnp.asarray(
+            np.fft.ifftshift(
+                np.arange(-np.fix(n / 2.0), np.ceil(n / 2.0))
+            ),
+            dtype=jnp.float32,
+        )
+        sd = [1] * ndim
+        sd[d] = n
+        ramp = ramp + shifts[d] * freqs.reshape(sd) / n
+    greg = src_freq * jnp.exp(-1j * 2 * np.pi * ramp)
+    greg = greg * jnp.exp(1j * jnp.asarray(diffphase, dtype=jnp.float32))
+    out = jnp.real(jnp.fft.ifftn(greg))
+
+    if border_nan is not False:
+        lo_w = jnp.ceil(jnp.maximum(shifts, 0.0)).astype(jnp.int32)
+        hi_w = jnp.floor(jnp.minimum(shifts, 0.0)).astype(jnp.int32)
+        if border_nan == "copy":
+            # Clamp each axis's index into the valid interior.
+            for d in range(ndim):
+                n = shape[d]
+                idx = jnp.arange(n)
+                idx = jnp.clip(idx, lo_w[d], n - 1 + hi_w[d])
+                out = jnp.take(out, idx, axis=d)
+        else:
+            fill = (
+                jnp.nan if border_nan is True else jnp.nanmin(out)
+            )
+            mask = jnp.zeros(shape, dtype=bool)
+            for d in range(ndim):
+                n = shape[d]
+                idx = jnp.arange(n)
+                bad = (idx < lo_w[d]) | (idx >= n + hi_w[d])
+                sd = [1] * ndim
+                sd[d] = n
+                mask = mask | bad.reshape(sd)
+            out = jnp.where(mask, fill, out)
+    return out
+
+
+def bin_median(video: jnp.ndarray, window: int = 10,
+               exclude_nans: bool = True) -> jnp.ndarray:
+    """Template initializer: median over window-binned means
+    (reference ``bin_median``/``bin_median_3d``, ``:432-494``).
+
+    Args:
+      video: ``[T, ...spatial]``.
+    """
+    t = video.shape[0]
+    window = min(window, t)
+    num_windows = t // window
+    num_frames = num_windows * window
+    binned = video[:num_frames].reshape(
+        (window, num_windows) + video.shape[1:]
+    )
+    if exclude_nans:
+        return jnp.nanmedian(jnp.nanmean(binned, axis=0), axis=0)
+    return jnp.median(jnp.mean(binned, axis=0), axis=0)

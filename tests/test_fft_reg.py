@@ -1,0 +1,138 @@
+"""FFT registration primitives vs known shifts (scipy as shift oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.ndimage import fourier_shift
+
+from dnmf_tpu.ops import fft_reg
+
+
+def _rand_image(rng, shape):
+    # Smooth random image so correlation peaks are well defined.
+    img = rng.normal(size=shape)
+    from scipy.ndimage import gaussian_filter
+
+    return gaussian_filter(img, 2.0).astype(np.float32)
+
+
+@pytest.mark.parametrize("shift", [(3, -2), (0, 5), (-4, -4)])
+def test_integer_shift_2d(rng, shift):
+    img = _rand_image(rng, (64, 48))
+    shifted = np.roll(img, shift, axis=(0, 1))
+    shifts, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(shifted), jnp.asarray(img), max_shifts=(8, 8)
+    )
+    np.testing.assert_allclose(np.asarray(shifts), shift, atol=1e-3)
+
+
+def test_integer_shift_3d(rng):
+    img = _rand_image(rng, (32, 32, 8))
+    shifted = np.roll(img, (2, -3, 1), axis=(0, 1, 2))
+    shifts, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(shifted), jnp.asarray(img), max_shifts=(6, 6, 2)
+    )
+    np.testing.assert_allclose(np.asarray(shifts), (2, -3, 1), atol=1e-3)
+
+
+def test_subpixel_shift_2d(rng):
+    img = _rand_image(rng, (64, 64))
+    true = (1.3, -2.6)
+    shifted = np.real(
+        np.fft.ifftn(fourier_shift(np.fft.fftn(img), true))
+    ).astype(np.float32)
+    shifts, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(shifted), jnp.asarray(img), upsample_factor=10,
+        max_shifts=(6, 6),
+    )
+    np.testing.assert_allclose(np.asarray(shifts), true, atol=0.1)
+
+
+def test_subpixel_shift_3d(rng):
+    img = _rand_image(rng, (32, 32, 10))
+    true = (0.5, -1.25, 0.75)
+    shifted = np.real(
+        np.fft.ifftn(fourier_shift(np.fft.fftn(img), true))
+    ).astype(np.float32)
+    shifts, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(shifted), jnp.asarray(img), upsample_factor=8,
+        max_shifts=(4, 4, 2),
+    )
+    np.testing.assert_allclose(np.asarray(shifts), true, atol=0.15)
+
+
+def test_max_shifts_window_excludes_larger_shift(rng):
+    img = _rand_image(rng, (64, 64))
+    shifted = np.roll(img, (6, 0), axis=(0, 1))
+    shifts, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(shifted), jnp.asarray(img), max_shifts=(3, 3)
+    )
+    assert abs(float(shifts[0])) <= 3.0
+
+
+def test_bounds_lb_ub(rng):
+    img = _rand_image(rng, (64, 64))
+    shifted = np.roll(img, (4, -2), axis=(0, 1))
+    shifts, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(shifted), jnp.asarray(img),
+        shifts_lb=jnp.asarray([2.0, -4.0]),
+        shifts_ub=jnp.asarray([7.0, 1.0]),
+    )
+    np.testing.assert_allclose(np.asarray(shifts), (4, -2), atol=1e-3)
+
+
+def test_apply_shifts_roundtrip(rng):
+    img = _rand_image(rng, (48, 48))
+    shifts, src_freq, phasediff = fft_reg.phase_cross_correlation(
+        jnp.asarray(np.roll(img, (3, 1), axis=(0, 1))), jnp.asarray(img),
+        max_shifts=(6, 6),
+    )
+    corrected = fft_reg.apply_shifts_fourier(
+        src_freq, -shifts, phasediff, is_freq=True, border_nan=False
+    )
+    # Interior must match the unshifted original.
+    np.testing.assert_allclose(
+        np.asarray(corrected)[6:-6, 6:-6], img[6:-6, 6:-6], atol=1e-3
+    )
+
+
+def test_apply_shifts_border_nan(rng):
+    img = _rand_image(rng, (20, 20))
+    out = np.asarray(
+        fft_reg.apply_shifts_fourier(jnp.asarray(img), jnp.asarray([2.0, -3.0]),
+                                     border_nan=True)
+    )
+    assert np.all(np.isnan(out[:2, :]))
+    assert np.all(np.isnan(out[:, -3:]))
+    assert np.all(np.isfinite(out[3:, :-4]))
+
+
+def test_apply_shifts_border_copy(rng):
+    img = _rand_image(rng, (20, 20))
+    out = np.asarray(
+        fft_reg.apply_shifts_fourier(jnp.asarray(img), jnp.asarray([2.0, 0.0]),
+                                     border_nan="copy")
+    )
+    np.testing.assert_allclose(out[0], out[2], atol=1e-6)
+    np.testing.assert_allclose(out[1], out[2], atol=1e-6)
+
+
+def test_apply_shifts_border_min(rng):
+    img = _rand_image(rng, (20, 20))
+    out = np.asarray(
+        fft_reg.apply_shifts_fourier(jnp.asarray(img), jnp.asarray([0.0, 2.0]),
+                                     border_nan="min")
+    )
+    mn = np.nanmin(out)
+    np.testing.assert_allclose(out[:, 0], mn)
+
+
+def test_bin_median_matches_reference_binning(rng):
+    video = rng.normal(size=(25, 8, 8)).astype(np.float32)
+    ours = np.asarray(fft_reg.bin_median(jnp.asarray(video), window=10))
+    num_windows = 25 // 10
+    ref = np.nanmedian(
+        np.nanmean(video[:20].reshape(10, num_windows, 8, 8), axis=0),
+        axis=0,
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)

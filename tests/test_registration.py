@@ -1,0 +1,145 @@
+"""Registration stack tests: rigid + piecewise-rigid on synthetic videos
+with known motion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.ndimage import gaussian_filter
+
+from dnmf_tpu.config import RegistrationConfig
+from dnmf_tpu.registration import MotionCorrect, patch_grid, tile_and_correct
+
+
+def _template(rng, shape=(64, 64)):
+    return gaussian_filter(rng.normal(size=shape), 2.0).astype(np.float32)
+
+
+def _rolled_video(template, shifts):
+    frames = [
+        np.roll(template, s, axis=tuple(range(len(s)))) for s in shifts
+    ]
+    return np.stack(frames).astype(np.float32)
+
+
+def test_rigid_recovers_known_shifts(rng):
+    tmpl = _template(rng)
+    true = [(0, 0), (2, -1), (-3, 2), (1, 3), (-2, -2), (3, 0)]
+    video = _rolled_video(tmpl, true)
+    mc = MotionCorrect(
+        video, RegistrationConfig(max_shifts=(5, 5), pw_rigid=False,
+                                  splits=2, border_nan=False)
+    ).motion_correct(template=jnp.asarray(tmpl))
+    rec = np.asarray(mc.shifts_rig)
+    np.testing.assert_allclose(rec, -np.asarray(true, dtype=float),
+                               atol=0.15)
+    assert mc.border_to_0 == 3
+
+
+def test_rigid_template_iteration_without_template(rng):
+    tmpl = _template(rng)
+    true = [(1, 0), (0, 1), (-1, 0), (0, -1), (2, 1), (-2, -1)]
+    video = _rolled_video(tmpl, true)
+    cfg = RegistrationConfig(max_shifts=(4, 4), niter_rig=2, splits=2,
+                             border_nan=False)
+    mc = MotionCorrect(video, cfg).motion_correct()
+    rec = np.asarray(mc.shifts_rig)
+    # Shifts recovered up to a common offset (self-built template).
+    centered = rec - rec.mean(0)
+    true_arr = -np.asarray(true, dtype=float)
+    np.testing.assert_allclose(centered, true_arr - true_arr.mean(0),
+                               atol=0.3)
+
+
+def test_rigid_3d(rng):
+    tmpl = _template(rng, (32, 32, 8))
+    true = [(0, 0, 0), (2, -1, 1), (-2, 2, -1), (1, 0, 0)]
+    video = _rolled_video(tmpl, true)
+    mc = MotionCorrect(
+        video, RegistrationConfig(max_shifts=(4, 4, 2), border_nan=False)
+    ).motion_correct(template=jnp.asarray(tmpl))
+    rec = np.asarray(mc.shifts_rig)
+    np.testing.assert_allclose(rec, -np.asarray(true, dtype=float),
+                               atol=0.2)
+
+
+def test_patch_grid_geometry():
+    starts, grid_shape, window = patch_grid((64, 64), (8, 8), (24, 24))
+    assert window == (32, 32)
+    assert grid_shape == (3, 3)
+    assert starts.shape == (9, 2)
+    assert starts[-1].tolist() == [32, 32]
+
+
+def test_tile_and_correct_uniform_shift_matches_rigid(rng):
+    tmpl = _template(rng)
+    img = np.roll(tmpl, (2, -1), axis=(0, 1))
+    corrected, shifts = tile_and_correct(
+        jnp.asarray(img), jnp.asarray(tmpl), (24, 24), (8, 8), (5, 5),
+        max_deviation_rigid=2, use_remap=True, border_nan=False,
+    )
+    # Small smooth patches carry real FFT boundary effects (crops are not
+    # circular shifts), so per-patch estimates scatter around the truth.
+    s = np.asarray(shifts)
+    np.testing.assert_allclose(s.mean(0), [-2.0, 1.0], atol=0.8)
+    np.testing.assert_allclose(s, np.tile([-2.0, 1.0], (9, 1)), atol=1.6)
+    c = np.asarray(corrected)
+    assert np.abs(c[6:-6, 6:-6] - tmpl[6:-6, 6:-6]).max() < 0.15
+
+
+def test_tile_and_correct_dft_path(rng):
+    tmpl = _template(rng)
+    img = np.roll(tmpl, (2, -1), axis=(0, 1))
+    corrected, shifts = tile_and_correct(
+        jnp.asarray(img), jnp.asarray(tmpl), (24, 24), (8, 8), (5, 5),
+        max_deviation_rigid=2, use_remap=False, border_nan=False,
+    )
+    s = np.asarray(shifts)
+    np.testing.assert_allclose(s.mean(0), [-2.0, 1.0], atol=0.8)
+    c = np.asarray(corrected)
+    interior = np.isfinite(c[6:-6, 6:-6])
+    assert np.abs(c[6:-6, 6:-6] - tmpl[6:-6, 6:-6])[interior].max() < 0.2
+
+
+def test_pwrigid_full_pipeline_and_points(rng):
+    tmpl = _template(rng, (64, 64))
+    true = [(0, 0), (2, 1), (-1, 2), (1, -2)]
+    video = _rolled_video(tmpl, true)
+    cfg = RegistrationConfig(
+        max_shifts=(4, 4), pw_rigid=True, strides=(24, 24),
+        overlaps=(8, 8), max_deviation_rigid=2, border_nan=False,
+    )
+    mc = MotionCorrect(video, cfg).motion_correct(
+        template=jnp.asarray(tmpl)
+    )
+    xs = np.asarray(mc.x_shifts_els)
+    assert xs.shape == (4, 9)
+    np.testing.assert_allclose(
+        xs.mean(1), [0, -2, 1, -1], atol=0.3
+    )
+
+    # apply_shifts_points: uniform frame shift s => positions move by
+    # -shift_t + shift_0 per reference convention.
+    points = np.array([[20.0, 20.0], [40.0, 30.0]])
+    p_t = mc.apply_shifts_points(points)
+    assert p_t.shape == (2, 2, 4)
+    np.testing.assert_allclose(p_t[:, :, 0], points, atol=0.3)
+    # frame 1 true motion (2,1): correction shift = (-2,-1), so
+    # p_t = points - (-2) + 0 = points + 2 in x.
+    np.testing.assert_allclose(
+        p_t[0, :, 1], points[0] + np.array([2.0, 1.0]), atol=0.5
+    )
+
+
+def test_high_pass_filter_zero_mean_kernel(rng):
+    from dnmf_tpu.registration import high_pass_filter_space
+
+    img = rng.normal(size=(32, 32)).astype(np.float32)
+    out = np.asarray(high_pass_filter_space(jnp.asarray(img), (3, 3)))
+    assert out.shape == (32, 32)
+    # High-pass: removes the DC component of smooth regions.
+    flat = np.ones((32, 32), dtype=np.float32) * 5.0
+    out_flat = np.asarray(
+        high_pass_filter_space(jnp.asarray(flat), (3, 3))
+    )
+    np.testing.assert_allclose(out_flat, 0.0, atol=1e-4)
