@@ -161,6 +161,10 @@ class RuntimeConfig:
     # Rematerialize footprint evaluation in the beta-fit backward pass
     # (trades FLOPs for HBM).
     remat_footprints: bool = True
+    # Fused Pallas kernels for footprint evaluation + Gram/gradient
+    # accumulation (None = auto: on for TPU backends with analytic
+    # footprints).
+    use_pallas: Optional[bool] = None
     checkpoint_dir: Optional[str] = None
     metrics_path: Optional[str] = None
 

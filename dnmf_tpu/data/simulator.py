@@ -365,3 +365,175 @@ def roi_signals(
     s = jnp.sum(jnp.where(valid, vals, 0.0), axis=-1)
     cnt = jnp.maximum(jnp.sum(valid, axis=-1), 1)
     return (s / cnt).T  # [K, T]
+
+
+# ----------------------------------------------------------------------
+# Auxiliary fixture generators & SNR calculators
+# (host-side NumPy; parity with WUtils/Simulator.py:197-360)
+# ----------------------------------------------------------------------
+def simulate_cell(size4, mean, cov, color, noise_mean, noise_std,
+                  trunc_percentile=0.0):
+    """Render one multi-channel cell volume with peak-normalized
+    multivariate-Gaussian intensity (reference ``simulate_cell``,
+    ``/root/reference/WUtils/Simulator.py:197-212``).
+
+    Args:
+      size4: ``(M, N, Z, C)``; mean: ``[3]``; cov: ``[3, 3]``;
+      color/noise_mean/noise_std: per-channel scalars ``[C]``;
+      trunc_percentile: zero out intensities below this percentile.
+    """
+    import numpy as np
+
+    m, n, z, c = (int(s) for s in size4)
+    grid = np.stack(
+        np.meshgrid(np.arange(m), np.arange(n), np.arange(z),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float64)
+    diff = grid - np.asarray(mean, dtype=np.float64)
+    prec = np.linalg.inv(np.asarray(cov, dtype=np.float64))
+    expo = -0.5 * np.einsum("pi,ij,pj->p", diff, prec, diff)
+    p = np.exp(expo)  # peak-normalized (the reference rescales the pdf
+    # by (2 pi)^{3/2} |cov|^{1/2}, i.e. exactly this)
+    if p.size > 1 and trunc_percentile > 0:
+        p[p < np.percentile(p, trunc_percentile)] = 0.0
+    prob = p.reshape(m, n, z)
+    out = np.zeros((m, n, z, c))
+    rng = np.random.default_rng(0)
+    for ch in range(c):
+        out[..., ch] = (color[ch] * prob + noise_mean[ch]
+                        + noise_std[ch] * rng.standard_normal((m, n, z)))
+    return out
+
+
+def rotation_matrix(angle, direction):
+    """4x4 rotation about an axis direction (fresh implementation of the
+    standard Rodrigues form; same contract as the reference's vendored
+    helper, ``Simulator.py:318-338``)."""
+    import numpy as np
+
+    d = np.asarray(direction[:3], dtype=np.float64)
+    d = d / np.linalg.norm(d)
+    s, c = np.sin(angle), np.cos(angle)
+    rot = c * np.eye(3) + (1 - c) * np.outer(d, d) + s * np.array(
+        [[0, -d[2], d[1]], [d[2], 0, -d[0]], [-d[1], d[0], 0]]
+    )
+    out = np.eye(4)
+    out[:3, :3] = rot
+    return out
+
+
+def generate_random_video(
+    cellnum=10, rnd_pos=True, rnd_rot=True, trunc=60.0,
+    size=(64, 64, 1, 3, 32), cell_size=(15, 15, 1, 3),
+    cov=((7, 0, 0), (0, 2, 0), (0, 0, 1e-6)), noise_std=1.0, seed=0,
+):
+    """Rotating-cell fixture video (reference ``generate_random_video``,
+    ``Simulator.py:244-285``): random-walking, rotating anisotropic cells
+    composited into a noisy multi-channel volume sequence.
+
+    Returns ``(video [M,N,Z,C,T], trajectory [T,cellnum,3],
+    rotations [T,cellnum,3], colors [cellnum,C])``.
+    """
+    import numpy as np
+
+    from dnmf_tpu.utils.volume import placement
+
+    rng = np.random.default_rng(seed)
+    size = np.asarray(size)
+    cell_size = np.asarray(cell_size)
+    cov = np.asarray(cov, dtype=np.float64)
+    border = np.maximum(size[:3] - cell_size[:3], 0)
+    centers = (cell_size[:3] - 1) / 2.0 + rng.random(
+        (cellnum, 3)
+    ) * border
+
+    t_frames = int(size[4])
+    if rnd_pos:
+        steps = rng.multivariate_normal(
+            np.zeros(3), [[3.0, 0.3, 0], [0.3, 1.4, 0], [0, 0, 1e-6]],
+            size=(t_frames, cellnum),
+        )
+        trajectory = (np.cumsum(steps, axis=0)
+                      + centers[None]).astype(int)
+    else:
+        trajectory = np.tile(centers.astype(int), (t_frames, 1, 1))
+    trajectory[trajectory < 0] = 0
+
+    colors = rng.random((cellnum, int(size[3])))
+    colors = colors / colors.sum()
+    video = noise_std * rng.random(tuple(size))
+    center = (cell_size[:3] / 2).astype(int)
+
+    if rnd_rot:
+        rot = np.cumsum(
+            rng.multivariate_normal(np.zeros(3), 0.01 * np.eye(3),
+                                    size=(t_frames, cellnum)),
+            axis=0,
+        )
+    else:
+        rot = np.tile(
+            rng.multivariate_normal(np.zeros(3), np.eye(3),
+                                    size=(1, cellnum)),
+            (t_frames, 1, 1),
+        )
+
+    for k in range(cellnum):
+        for t in range(t_frames):
+            rt = rotation_matrix(rot[t, k, 0], [0, 0, 1])[:3, :3]
+            rcov = rt.T @ cov @ rt
+            cell = simulate_cell(
+                tuple(cell_size), center, rcov, colors[k],
+                np.zeros(int(size[3])), np.zeros(int(size[3])), trunc,
+            )
+            video[:, :, :, :, t] += placement(
+                tuple(size[:3]), trajectory[t, k], cell
+            )
+    video = video / video.max()
+    return video, trajectory, rot, colors
+
+
+def compute_snr_intensity(density, cov=None, num_frames=20,
+                          bg_std=1e-4, seed=0):
+    """Cell-activity SNR from trace/footprint peaks vs noise std
+    (reference ``compute_snr_intensity``, ``Simulator.py:287-298``)."""
+    import numpy as np
+
+    if cov is None:
+        cov = 2 * np.eye(3)
+    cov = np.asarray(cov, dtype=np.float64)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 10)
+    max_c = float(np.mean([
+        float(jnp.max(exponential_traces(k, 1, num_frames, density)))
+        for k in keys
+    ]))
+    center = (np.sqrt(np.linalg.eigvals(cov).real) * 3).astype(int)
+    sz4 = tuple(center * 2) + (1,)
+    max_a = simulate_cell(sz4, center.tolist(), cov, [1.0], [0.0],
+                          [0.0]).max()
+    return 2 * (np.log10(max_c) + np.log10(max_a) - np.log10(bg_std))
+
+
+def compute_snr_motion(stds=(1e-3, 1e-3, 1e-5)):
+    """Motion SNR of the quadratic coefficients vs identity (reference
+    ``compute_snr_motion``, ``Simulator.py:300-309``)."""
+    import numpy as np
+
+    b0 = np.zeros((3, 10))
+    b0[0, 1] = b0[1, 2] = b0[2, 3] = 1.0
+    noise_power = sum(s**2 for s in stds) * b0.size / 3
+    return float(np.log((b0**2).sum()) - np.log(noise_power))
+
+
+def compute_snr_positions(positions):
+    """Position SNR: frame-0 energy vs mean drift energy (reference
+    ``compute_snr_positions``, ``Simulator.py:311-316``)."""
+    import numpy as np
+
+    p = np.asarray(positions)
+    num = (p[:, :, 0] ** 2).sum()
+    drift = np.mean([
+        ((p[:, :, t] - p[:, :, 0]) ** 2).sum()
+        for t in range(1, p.shape[2])
+    ])
+    return float(np.log(num) - np.log(drift))

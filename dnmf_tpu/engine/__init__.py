@@ -1,5 +1,17 @@
-"""Engine: the user-facing alternating-optimization driver."""
+"""Engine: the user-facing alternating-optimization driver and the
+register->seed->demix pipeline."""
 
+from dnmf_tpu.engine.pipeline import (
+    PipelineResult,
+    detect_peaks,
+    register_and_demix,
+)
 from dnmf_tpu.engine.trainer import DeformableNMF, FitResult
 
-__all__ = ["DeformableNMF", "FitResult"]
+__all__ = [
+    "DeformableNMF",
+    "FitResult",
+    "PipelineResult",
+    "detect_peaks",
+    "register_and_demix",
+]

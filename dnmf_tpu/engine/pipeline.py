@@ -1,0 +1,123 @@
+"""End-to-end pipeline: registration -> position seeding -> demixing.
+
+This is the real-data path the reference assembles by hand (register with
+``MotionCorrect``, propagate patch shifts onto curated neuron positions
+via ``apply_shifts_points``, construct ``DeformableNMF`` with the frame-0
+positions — ``/root/reference/Demix/MotionCorrect.py:351-371`` +
+``/root/reference/demo.py:41``), packaged as one call, plus a simple
+template peak detector for recordings without curated positions (the
+reference has none; positions there come from annotation files).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dnmf_tpu.config import (
+    ModelConfig,
+    OptimizerConfig,
+    RegistrationConfig,
+    RuntimeConfig,
+)
+from dnmf_tpu.engine.trainer import DeformableNMF, FitResult
+from dnmf_tpu.registration import MotionCorrect
+
+
+def detect_peaks(
+    volume: np.ndarray,
+    num_peaks: int,
+    min_distance: float = 4.0,
+    smooth_sigma: float = 1.0,
+) -> np.ndarray:
+    """Greedy local-maxima detection with distance suppression.
+
+    Returns up to ``num_peaks`` ``[K, 3]`` voxel coordinates sorted by
+    intensity — a minimal seeding detector for recordings without curated
+    positions.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    vol = gaussian_filter(np.asarray(volume, dtype=np.float64),
+                          smooth_sigma)
+    flat_order = np.argsort(vol.reshape(-1))[::-1]
+    coords = np.stack(np.unravel_index(flat_order, vol.shape), axis=1)
+    chosen: list = []
+    for c in coords:
+        if len(chosen) == num_peaks:
+            break
+        if all(np.linalg.norm(c - p) >= min_distance for p in chosen):
+            chosen.append(c.astype(np.float64))
+    return np.stack(chosen)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    fit: FitResult
+    motion: MotionCorrect
+    positions: np.ndarray  # [K, 3, T] registration-tracked positions
+
+    @property
+    def traces(self) -> np.ndarray:
+        return self.fit.traces
+
+
+def register_and_demix(
+    video,
+    num_neurons: Optional[int] = None,
+    points: Optional[np.ndarray] = None,
+    registration: Optional[RegistrationConfig] = None,
+    model: Optional[ModelConfig] = None,
+    optimizer: Optional[OptimizerConfig] = None,
+    runtime: Optional[RuntimeConfig] = None,
+) -> PipelineResult:
+    """Full pipeline on a time-major video ``[T, M, N, Z]``.
+
+    1. Piecewise-rigid registration (template self-built).
+    2. Neuron positions: provided ``points [K, 3]`` or detected on the
+       registration template; per-frame positions from
+       ``apply_shifts_points``.
+    3. Deformable NMF demixing seeded at the frame-0 positions.
+    """
+    video = jnp.asarray(video, dtype=jnp.float32)
+    t, m, n, z = video.shape
+
+    reg_cfg = registration or RegistrationConfig(
+        max_shifts=(8, 8, 2), pw_rigid=True,
+        strides=(max(m // 2, 8), max(n // 2, 8), max(z, 1)),
+        overlaps=(8, 8, 0), is3d=True, border_nan=False,
+    )
+    mc = MotionCorrect(video, reg_cfg).motion_correct()
+
+    if points is None:
+        if num_neurons is None:
+            raise ValueError("need either points or num_neurons")
+        template = np.asarray(mc.total_template_els
+                              if reg_cfg.pw_rigid
+                              else mc.total_template_rig)
+        points = detect_peaks(template, num_neurons)
+    points = np.asarray(points, dtype=np.float64)
+
+    if reg_cfg.pw_rigid:
+        positions = mc.apply_shifts_points(points)
+    else:
+        shifts = np.asarray(mc.shifts_rig)  # [T, nd] corrections
+        positions = np.repeat(points[:, :, None], t, axis=2)
+        for d in range(min(3, shifts.shape[1])):
+            positions[:, d, :] += -shifts[None, :, d] + shifts[0, d]
+
+    model_cfg = model or ModelConfig(
+        size=(m, n, z), num_neurons=points.shape[0], num_frames=t,
+        shape_std=3.0,
+    )
+    opt_cfg = optimizer or OptimizerConfig(learning_rate=1e-3,
+                                           outer_rounds=3)
+    engine = DeformableNMF(
+        model_cfg, opt_cfg, runtime,
+        positions=jnp.asarray(positions[:, :, 0], dtype=jnp.float32),
+    )
+    fit = engine.fit(video.reshape(t, -1))
+    return PipelineResult(fit=fit, motion=mc, positions=positions)

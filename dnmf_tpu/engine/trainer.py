@@ -65,6 +65,12 @@ class DeformableNMF:
             model, self.optimizer, positions=positions, key=init_key
         )
         self.metrics: List[dict] = []
+        if self.runtime.use_pallas is None:
+            # Opt-in for now: compiled-mode multi-frame grid validation on
+            # real hardware is still in progress (interpret mode verified).
+            self._use_pallas = False
+        else:
+            self._use_pallas = bool(self.runtime.use_pallas)
 
     # ------------------------------------------------------------------
     def _video_flat(self, video) -> jnp.ndarray:
@@ -115,6 +121,7 @@ class DeformableNMF:
                 self.state, m = model_lib.motion_epoch_parallel(
                     self.state, video_flat, self.model, self.optimizer,
                     gamma, frame_block=self.runtime.frame_block,
+                    use_pallas=self._use_pallas,
                 )
             last = {k: float(v) for k, v in m.items()}
             self.metrics.append({"phase": "motion", **last})
@@ -128,6 +135,7 @@ class DeformableNMF:
         grams, c1 = model_lib.compute_grams(
             self.state, video_flat, self.model,
             frame_block=self.runtime.frame_block,
+            use_pallas=self._use_pallas,
         )
         self.state = model_lib.footprint_update(
             self.state, grams, c1, iters=iters,

@@ -230,7 +230,8 @@ def motion_epoch_parity(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "optimizer", "gamma", "frame_block"),
+    static_argnames=("model", "optimizer", "gamma", "frame_block",
+                     "use_pallas", "pallas_interpret"),
 )
 def motion_epoch_parallel(
     state: DNMFState,
@@ -239,12 +240,17 @@ def motion_epoch_parallel(
     optimizer: optax.GradientTransformation,
     gamma: float,
     frame_block: int = 16,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[DNMFState, dict]:
     """TPU-native epoch: one Adam step with per-frame gradients.
 
     Per-frame losses are independent given C and Adam is elementwise, so
     this is per-frame Adam, vmapped — gradients stream in frame blocks so
-    only ``[frame_block, P, K]`` of footprints is ever live.
+    only ``[frame_block, P, K]`` of footprints is ever live.  With
+    ``use_pallas`` (analytic footprint mode only) the data term and its
+    analytic gradient come from the fused Pallas kernel — the footprint
+    matrix never touches HBM.
     """
     vb = model_voxel_basis(model)
     stored_a = _maybe_stored_a(state, model, vb)
@@ -261,7 +267,28 @@ def motion_epoch_parallel(
         )
         return mse + gamma * reg, (mse, reg)
 
-    grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
+    if use_pallas:
+        if model.deformation.footprint_mode != "analytic":
+            raise ValueError("pallas path requires analytic footprints")
+        from dnmf_tpu.ops import pallas_kernels as pk
+
+        reg_fn = functools.partial(
+            jac_ops.corner_regularizer, size=model.size,
+            detach=model.deformation.detach_regularizer,
+            scaling=model.deformation.basis_scaling,
+        )
+
+        def grad_fn(beta_blk, y_blk, c_blk):
+            mses, dbetas = pk.motion_block(
+                beta_blk, state.pos, state.sigma, c_blk, y_blk,
+                model.size, scaling=model.deformation.basis_scaling,
+                interpret=pallas_interpret,
+            )
+            regs, dregs = jax.vmap(jax.value_and_grad(reg_fn))(beta_blk)
+            losses = mses + gamma * regs
+            return (losses, (mses, regs)), dbetas + gamma * dregs
+    else:
+        grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
 
     pad = (-t) % frame_block
     beta_p = jnp.concatenate(
@@ -303,18 +330,23 @@ def _maybe_stored_a(state: DNMFState, model: ModelConfig,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "frame_block")
+    jax.jit, static_argnames=("model", "frame_block", "use_pallas",
+                              "pallas_interpret")
 )
 def compute_grams(
     state: DNMFState,
     video_flat: jnp.ndarray,
     model: ModelConfig,
     frame_block: int = 16,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU Grams, streamed over frame blocks.
 
     Returns ``(grams[T, K, K], c1[T, K])`` — the one-time O(P K^2 T)
-    reduction that the reference recomputed every MU iteration.
+    reduction that the reference recomputed every MU iteration.  With
+    ``use_pallas`` the fused kernel accumulates each frame's Gram in VMEM
+    (analytic footprint mode only).
     """
     vb = model_voxel_basis(model)
     stored_a = _maybe_stored_a(state, model, vb)
@@ -327,15 +359,29 @@ def compute_grams(
     y_p = jnp.pad(video_flat, ((0, pad), (0, 0))) if pad else video_flat
     nb = (t + pad) // frame_block
 
-    def one(beta_t, y_t):
-        a = frame_footprints(beta_t, state.pos, state.sigma, model, vb,
-                             stored_a)
-        return mu_ops.mu_grams(a, y_t)
+    if use_pallas:
+        if model.deformation.footprint_mode != "analytic":
+            raise ValueError("pallas path requires analytic footprints")
+        from dnmf_tpu.ops import pallas_kernels as pk
 
-    def block(_, xs):
-        beta_blk, y_blk = xs
-        g, c1 = jax.vmap(one)(beta_blk, y_blk)
-        return None, (g, c1)
+        def block(_, xs):
+            beta_blk, y_blk = xs
+            g, c1 = pk.gram_block(
+                beta_blk, state.pos, state.sigma, y_blk, model.size,
+                scaling=model.deformation.basis_scaling,
+                interpret=pallas_interpret,
+            )
+            return None, (g, c1)
+    else:
+        def one(beta_t, y_t):
+            a = frame_footprints(beta_t, state.pos, state.sigma, model,
+                                 vb, stored_a)
+            return mu_ops.mu_grams(a, y_t)
+
+        def block(_, xs):
+            beta_blk, y_blk = xs
+            g, c1 = jax.vmap(one)(beta_blk, y_blk)
+            return None, (g, c1)
 
     _, (grams, c1) = jax.lax.scan(
         block, None,

@@ -1,6 +1,11 @@
 """Partitioning layer: device meshes, frame-sharded training steps, and
 the +-1-frame halo exchange for temporally-smoothed trace updates."""
 
+from dnmf_tpu.parallel.batched import (
+    batched_round,
+    stack_states,
+    unstack_states,
+)
 from dnmf_tpu.parallel.mesh import make_mesh, video_sharding
 from dnmf_tpu.parallel.sharded import (
     sharded_compute_grams,
@@ -11,6 +16,9 @@ from dnmf_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "batched_round",
+    "stack_states",
+    "unstack_states",
     "make_mesh",
     "video_sharding",
     "sharded_compute_grams",

@@ -1,0 +1,70 @@
+"""Registration -> seeding -> demixing integration on a synthetic video
+with rigid-ish motion and known traces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnmf_tpu.config import (
+    ModelConfig,
+    OptimizerConfig,
+    RegistrationConfig,
+)
+from dnmf_tpu.data import simulator
+from dnmf_tpu.engine.pipeline import detect_peaks, register_and_demix
+from dnmf_tpu.utils.metrics import trace_correlations
+
+SIZE = (24, 24, 2)
+K, T = 4, 8
+
+
+def _fixture():
+    base = jnp.asarray(
+        [[6.0, 6.0, 1.0], [17.0, 6.0, 1.0], [6.0, 17.0, 1.0],
+         [17.0, 17.0, 1.0]]
+    )
+    tt = jnp.arange(T, dtype=jnp.float32)
+    dx = 1.5 * jnp.sin(2 * jnp.pi * tt / T)
+    dy = 1.0 * jnp.cos(2 * jnp.pi * tt / T) - 1.0
+    offsets = jnp.stack([dx, dy, jnp.zeros_like(tt)], axis=0)
+    positions = base[:, :, None] + offsets[None]
+    traces = simulator.exponential_traces(jax.random.PRNGKey(2), K, T,
+                                          density=0.4)
+    video = simulator.render_video(positions, traces, SIZE, shape_std=2.0)
+    video = video / jnp.max(video)
+    return video, positions, traces
+
+
+def test_detect_peaks_finds_neurons():
+    video, positions, traces = _fixture()
+    template = np.asarray(video).mean(0)
+    peaks = detect_peaks(template, K, min_distance=5.0)
+    assert peaks.shape == (K, 3)
+    gt = np.asarray(positions[:, :, 0])
+    # Each ground-truth neuron has a detected peak within ~2 px.
+    d = np.linalg.norm(gt[:, None, :] - peaks[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 2.5).all(), d.min(axis=1)
+
+
+def test_register_and_demix_end_to_end():
+    video, positions, traces = _fixture()
+    reg = RegistrationConfig(
+        max_shifts=(4, 4, 1), pw_rigid=False, is3d=True, splits=2,
+        border_nan=False,
+    )
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt = OptimizerConfig(learning_rate=1e-3, outer_rounds=3,
+                          motion_epochs=8, mu_iters=30, gamma_motion=0.1)
+    result = register_and_demix(
+        video, num_neurons=K, registration=reg, model=model,
+        optimizer=opt,
+    )
+    assert result.positions.shape == (K, 3, T)
+    corr = trace_correlations(result.traces, np.asarray(traces))
+    # Detected peak ordering need not match GT ordering: match greedily.
+    full = np.corrcoef(
+        np.vstack([result.traces, np.asarray(traces)])
+    )[:K, K:]
+    best = full.max(axis=0)
+    assert (best > 0.6).all(), best

@@ -98,3 +98,40 @@ def test_sharded_mu_no_smoothing_matches():
 def test_mesh_construction():
     mesh = make_mesh(num_time=4, num_batch=2)
     assert mesh.shape == {"batch": 2, "time": 4}
+
+
+def test_batched_multi_recording_round():
+    """vmap over recordings (BASELINE config 5) matches per-recording."""
+    from dnmf_tpu.parallel.batched import (
+        batched_round,
+        stack_states,
+        unstack_states,
+    )
+
+    model, optimizer, state0, video0 = _setup()
+    key = jax.random.PRNGKey(11)
+    state1 = M.init_state(model, optimizer,
+                          positions=state0.pos + 0.5, key=key)
+    video1 = jax.random.uniform(key, video0.shape)
+
+    batched = stack_states([state0, state1])
+    videos = jnp.stack([video0, video1])
+    new_batched, metrics = batched_round(
+        batched, videos, model, optimizer, gamma=0.1, mu_iters=5,
+        frame_block=4,
+    )
+    assert metrics["recon_mse"].shape == (2,)
+
+    # Per-recording serial reference.
+    for i, (st, vid) in enumerate(((state0, video0), (state1, video1))):
+        st_m, _ = M.motion_epoch_parallel(st, vid, model, optimizer, 0.1,
+                                          frame_block=4)
+        g, c1 = M.compute_grams(st_m, vid, model, frame_block=4)
+        st_ref = M.footprint_update(st_m, g, c1, iters=5, gamma=0.0)
+        got = unstack_states(new_batched)[i]
+        np.testing.assert_allclose(np.asarray(got.beta),
+                                   np.asarray(st_ref.beta),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(got.c),
+                                   np.asarray(st_ref.c),
+                                   rtol=1e-4, atol=1e-6)

@@ -132,3 +132,42 @@ def test_simulated_dataset_batches():
     )
     all_times = np.concatenate([np.asarray(t) for _, t in shuffled])
     assert sorted(all_times.tolist()) == list(range(12))
+
+
+def test_generate_random_video_contract():
+    from dnmf_tpu.data import simulator as S
+
+    v, traj, rot, colors = S.generate_random_video(
+        cellnum=2, size=(24, 24, 1, 2, 4), cell_size=(9, 9, 1, 2), seed=1
+    )
+    assert v.shape == (24, 24, 1, 2, 4)
+    assert traj.shape == (4, 2, 3)
+    assert colors.shape == (2, 2)
+    assert np.isfinite(v).all() and abs(float(v.max()) - 1.0) < 1e-9
+
+
+def test_simulate_cell_peak_normalized():
+    from dnmf_tpu.data import simulator as S
+
+    cell = S.simulate_cell((9, 9, 3, 1), [4, 4, 1], 2 * np.eye(3),
+                           [2.0], [0.0], [0.0])
+    assert cell.shape == (9, 9, 3, 1)
+    np.testing.assert_allclose(cell[4, 4, 1, 0], 2.0, rtol=1e-6)
+
+
+def test_rotation_matrix_orthonormal():
+    from dnmf_tpu.data import simulator as S
+
+    r = S.rotation_matrix(0.7, [0, 0, 1])
+    np.testing.assert_allclose(r[:3, :3] @ r[:3, :3].T, np.eye(3),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(r[:3, :3]), 1.0, atol=1e-12)
+
+
+def test_snr_calculators_finite():
+    from dnmf_tpu.data import simulator as S
+
+    assert np.isfinite(S.compute_snr_motion())
+    pos = S.gp_motion(jax.random.PRNGKey(0), 5, 10, sigma=(1, 1, 0.01),
+                      length_scale=(5, 5, 5), size=(20, 20, 2))
+    assert np.isfinite(S.compute_snr_positions(np.asarray(pos)))
