@@ -108,10 +108,49 @@ def main():
             result.traces, titlestr="C (estimated)",
             save=True, file=os.path.join(args.outdir, "temporal"),
         )
+        viz.visualize_trajectory(
+            np.asarray(ds.positions), np.asarray(ds.positions),
+            save=True, file=os.path.join(args.outdir, "trajectory"),
+        )
+
+        # Footprint map at identity deformation (reference demo renders
+        # fp.A max-projected, /root/reference/demo.py:61).
+        from dnmf_tpu.ops.basis import voxel_grid
+        from dnmf_tpu.ops.footprints import gaussian_footprints
+
+        grid = voxel_grid(model.size)
+        a0 = np.asarray(
+            gaussian_footprints(grid, eng.state.pos, eng.state.sigma)
+        ).reshape(model.size + (model.num_neurons,))
+        viz.visualize_spatial(a0.max(2), save=True,
+                              file=os.path.join(args.outdir, "spatial"))
+
+        # Original, inverse-registered, and reconstruction videos
+        # (reference demo.py:63-66).
+        from dnmf_tpu.models import dnmf as model_lib
+
         video_mnzt = np.transpose(np.asarray(ds.video), (1, 2, 3, 0))
         viz.visualize_video(
             video=video_mnzt / video_mnzt.max(), save=True,
             file=os.path.join(args.outdir, "original.mp4"),
+        )
+        a_all, y_inv = model_lib.spatial_pushforward(
+            eng.state, ds.frames_flat(), model, frame_block=4
+        )
+        y_inv = np.transpose(
+            np.asarray(y_inv).reshape((-1,) + model.size), (1, 2, 3, 0)
+        )
+        viz.visualize_video(
+            video=y_inv / (y_inv.max() + 1e-32), save=True,
+            file=os.path.join(args.outdir, "registered.mp4"),
+        )
+        recon = np.einsum(
+            "tpk,kt->tp", np.asarray(a_all), result.traces
+        ).reshape((-1,) + model.size)
+        recon_mnzt = np.transpose(recon, (1, 2, 3, 0))
+        viz.visualize_video(
+            video=recon_mnzt / (recon_mnzt.max() + 1e-32), save=True,
+            file=os.path.join(args.outdir, "reconstruction.mp4"),
         )
         print(f"wrote figures to {args.outdir}")
 

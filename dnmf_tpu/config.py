@@ -165,6 +165,11 @@ class RuntimeConfig:
     # accumulation (None = auto: on for TPU backends with analytic
     # footprints).
     use_pallas: Optional[bool] = None
+    # Raise on non-finite factors after each update phase (the analog of
+    # the reference's hard NaN guards in MotionCorrect, SURVEY.md §5).
+    check_finite: bool = False
+    # Capture a jax.profiler trace of each fit() round into this dir.
+    profile_dir: Optional[str] = None
     checkpoint_dir: Optional[str] = None
     metrics_path: Optional[str] = None
 

@@ -1,0 +1,62 @@
+"""Host-streamed video source for recordings larger than device memory.
+
+Whole-brain configs (BASELINE.md config 3+: 512x512x20 x 1k-10k frames)
+exceed single-chip HBM, so the engine can consume frames in fixed-size
+blocks transferred host->device per step.  The source wraps any
+NumPy-like array — including ``np.memmap``, so multi-hundred-GB
+recordings stream straight from disk (the reference holds everything in
+host RAM, ``/root/reference/Demix/dNMF.py:72-93``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamingVideo:
+    """Frame-block iterator over a host-resident (or memmapped) video.
+
+    Args:
+      array: ``[T, M, N, Z]`` or ``[T, P]`` NumPy-like array (memmap ok).
+      block: frames per device transfer; the final block is zero-padded
+        to a fixed shape (one compiled program serves every block) and
+        accompanied by a validity count.
+    """
+
+    def __init__(self, array, block: int = 64):
+        self.array = array
+        self.block = int(block)
+        self.num_frames = int(array.shape[0])
+        if array.ndim == 4:
+            self.size = tuple(int(s) for s in array.shape[1:])
+        self.num_voxels = int(np.prod(array.shape[1:]))
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def num_blocks(self) -> int:
+        return -(-self.num_frames // self.block)
+
+    def blocks(self) -> Iterator[Tuple[jnp.ndarray, int, int]]:
+        """Yield ``(frames [block, P] device array, start, valid)``."""
+        for start in range(0, self.num_frames, self.block):
+            stop = min(start + self.block, self.num_frames)
+            chunk = np.asarray(
+                self.array[start:stop], dtype=np.float32
+            ).reshape(stop - start, -1)
+            chunk = np.maximum(chunk, 0.0)
+            valid = stop - start
+            if valid < self.block:
+                chunk = np.pad(chunk,
+                               ((0, self.block - valid), (0, 0)))
+            yield jnp.asarray(chunk), start, valid
+
+
+def open_memmap_video(path: str, shape, dtype=np.float32,
+                      block: int = 64) -> StreamingVideo:
+    """Open a raw binary volume sequence as a streaming source."""
+    mm = np.memmap(path, dtype=dtype, mode="r", shape=tuple(shape))
+    return StreamingVideo(mm, block=block)

@@ -66,9 +66,10 @@ class DeformableNMF:
         )
         self.metrics: List[dict] = []
         if self.runtime.use_pallas is None:
-            # Opt-in for now: compiled-mode multi-frame grid validation on
-            # real hardware is still in progress (interpret mode verified).
-            self._use_pallas = False
+            self._use_pallas = (
+                jax.default_backend() == "tpu"
+                and model.deformation.footprint_mode == "analytic"
+            )
         else:
             self._use_pallas = bool(self.runtime.use_pallas)
 
@@ -101,13 +102,28 @@ class DeformableNMF:
             jnp.asarray(weights.reshape(nb, b)),
         )
 
+    @staticmethod
+    def _is_streaming(video) -> bool:
+        return hasattr(video, "blocks") and not hasattr(video,
+                                                        "frames_flat")
+
     # ------------------------------------------------------------------
     def update_motion(self, video, epochs: Optional[int] = None) -> dict:
         """Run ``epochs`` of deformation fitting (reference
         ``update_motion``)."""
-        video_flat = self._video_flat(video)
         epochs = epochs or self.opt_config.motion_epochs
         gamma = self.opt_config.gamma_motion
+        if self._is_streaming(video):
+            last = {}
+            for _ in range(epochs):
+                self.state, m = model_lib.motion_epoch_streaming(
+                    self.state, video, self.model, self.optimizer, gamma,
+                    use_pallas=self._use_pallas,
+                )
+                last = {k: float(v) for k, v in m.items()}
+                self.metrics.append({"phase": "motion", **last})
+            return last
+        video_flat = self._video_flat(video)
         last = {}
         for _ in range(epochs):
             if self.opt_config.motion_mode == "parity":
@@ -130,13 +146,19 @@ class DeformableNMF:
     def update_footprints(self, video, iters: Optional[int] = None) -> dict:
         """Recompute Grams once, then run MU trace iterations (reference
         ``update_footprints`` without the host round-trip)."""
-        video_flat = self._video_flat(video)
         iters = iters or self.opt_config.mu_iters
-        grams, c1 = model_lib.compute_grams(
-            self.state, video_flat, self.model,
-            frame_block=self.runtime.frame_block,
-            use_pallas=self._use_pallas,
-        )
+        if self._is_streaming(video):
+            grams, c1 = model_lib.compute_grams_streaming(
+                self.state, video, self.model,
+                use_pallas=self._use_pallas,
+            )
+        else:
+            video_flat = self._video_flat(video)
+            grams, c1 = model_lib.compute_grams(
+                self.state, video_flat, self.model,
+                frame_block=self.runtime.frame_block,
+                use_pallas=self._use_pallas,
+            )
         self.state = model_lib.footprint_update(
             self.state, grams, c1, iters=iters,
             gamma=self.opt_config.gamma_traces,
@@ -145,14 +167,35 @@ class DeformableNMF:
         self.metrics.append(m)
         return m
 
+    def _check_finite(self, phase: str) -> None:
+        if not self.runtime.check_finite:
+            return
+        for name, leaf in (("beta", self.state.beta), ("C", self.state.c)):
+            if not bool(jnp.all(jnp.isfinite(leaf))):
+                raise FloatingPointError(
+                    f"non-finite {name} after {phase} — check learning "
+                    "rate / regularizer weights"
+                )
+
     def fit(self, video, rounds: Optional[int] = None) -> FitResult:
         """Full alternation schedule; returns final state + metric log."""
-        video_flat = self._video_flat(video)
+        import contextlib
+
+        video_flat = (video if self._is_streaming(video)
+                      else self._video_flat(video))
         rounds = rounds or self.opt_config.outer_rounds
         for r in range(rounds):
             t0 = time.time()
-            motion_m = self.update_motion(video_flat)
-            traces_m = self.update_footprints(video_flat)
+            profiler_ctx = (
+                jax.profiler.trace(self.runtime.profile_dir)
+                if self.runtime.profile_dir and r == rounds - 1
+                else contextlib.nullcontext()
+            )
+            with profiler_ctx:
+                motion_m = self.update_motion(video_flat)
+                self._check_finite("motion")
+                traces_m = self.update_footprints(video_flat)
+                self._check_finite("traces")
             entry = {
                 "phase": "round",
                 "round": r,
@@ -208,3 +251,63 @@ class DeformableNMF:
         else:
             warped = warp_points(pos, self.state.beta[frame])
         return np.asarray(2 * pos - warped)
+
+
+class StaticFootprintNMF:
+    """Classic static-footprint NMF on motion-corrected video.
+
+    The reference carries (but never exercises — the call is commented
+    out, ``/root/reference/Demix/dNMF.py:174``) a multiplicative update
+    for a *learned* static footprint matrix with a distance-penalty field
+    around the tracked positions (``update_spatial``, ``:151-160``;
+    ``D``, ``:133-135``).  This engine makes that mode first-class:
+    alternate MU updates of ``A [P, K]`` and ``C [K, T]`` on an
+    (inverse-warped / registered) video.
+    """
+
+    def __init__(self, model: ModelConfig, positions: jnp.ndarray,
+                 gamma_a: float = 1.0, penalty_rate: float = 0.01,
+                 key: Optional[jax.Array] = None):
+        from dnmf_tpu.ops.basis import voxel_grid
+        from dnmf_tpu.ops.footprints import gaussian_footprints
+        from dnmf_tpu.ops.mu import distance_penalty
+
+        self.model = model
+        grid = voxel_grid(model.size)
+        sigma = jnp.full((model.num_neurons,), model.shape_std)
+        self.a = gaussian_footprints(grid, positions, sigma)  # [P, K]
+        self.d = distance_penalty(grid, positions, rate=penalty_rate)
+        self.gamma_a = gamma_a
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.c = jax.random.uniform(
+            key, (model.num_neurons, model.num_frames)
+        )
+
+    def fit(self, video, iters: int = 50):
+        """Alternate spatial/temporal MU updates; returns (A, C)."""
+        from dnmf_tpu.ops.mu import (
+            mu_grams,
+            mu_spatial_step,
+            mu_temporal_step,
+        )
+
+        video_flat = jnp.asarray(video)
+        if video_flat.ndim == 4:
+            video_flat = video_flat.reshape(video_flat.shape[0], -1)
+        y = video_flat.T  # [P, T]
+
+        @jax.jit
+        def step(a, c):
+            g, c1v = mu_grams(a, jnp.ones(a.shape[0]))  # G = A^T A
+            c1 = a.T @ y  # [K, T]
+            c2 = g @ c
+            c_new = c * c1 / (c2 + 1e-32)
+            a_new = mu_spatial_step(a, c_new, y, d=self.d,
+                                    gamma=self.gamma_a)
+            return a_new, c_new
+
+        a, c = self.a, self.c
+        for _ in range(iters):
+            a, c = step(a, c)
+        self.a, self.c = a, c
+        return a, c

@@ -443,3 +443,162 @@ def spatial_pushforward(
         lambda xs: one(*xs), (state.beta, video_flat),
         batch_size=frame_block,
     )
+
+
+# ----------------------------------------------------------------------
+# Host-streamed variants (videos larger than device memory)
+# ----------------------------------------------------------------------
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gamma", "block", "use_pallas",
+                     "pallas_interpret"),
+)
+def _stream_block_grads(
+    state: DNMFState,
+    frames: jnp.ndarray,
+    start: jnp.ndarray,
+    valid: jnp.ndarray,
+    model: ModelConfig,
+    gamma: float,
+    block: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
+    """Per-frame loss grads for one host-streamed frame block.
+
+    One compiled program serves every block: the final partial block is
+    zero-padded and masked via ``valid``.
+    """
+    # Pad before slicing: dynamic_slice clamps out-of-range starts, which
+    # would silently hand the final (padded) block earlier frames' beta.
+    beta_pad = jnp.concatenate(
+        [state.beta, basis_ops.identity_beta(block)], axis=0
+    )
+    c_pad = jnp.pad(state.c, ((0, 0), (0, block)))
+    beta_blk = jax.lax.dynamic_slice_in_dim(beta_pad, start, block)
+    c_blk = jax.lax.dynamic_slice_in_dim(c_pad, start, block,
+                                         axis=1).T  # [B, K]
+    mask = (jnp.arange(block) < valid).astype(jnp.float32)
+
+    reg_fn = functools.partial(
+        jac_ops.corner_regularizer, size=model.size,
+        detach=model.deformation.detach_regularizer,
+        scaling=model.deformation.basis_scaling,
+    )
+
+    if use_pallas:
+        from dnmf_tpu.ops import pallas_kernels as pk
+
+        mses, dbetas = pk.motion_block(
+            beta_blk, state.pos, state.sigma, c_blk, frames, model.size,
+            scaling=model.deformation.basis_scaling,
+            interpret=pallas_interpret,
+        )
+        regs, dregs = jax.vmap(jax.value_and_grad(reg_fn))(beta_blk)
+        grads = dbetas + gamma * dregs
+    else:
+        vb = model_voxel_basis(model)
+        stored_a = _maybe_stored_a(state, model, vb)
+
+        def frame_loss(beta_t, y_t, c_t):
+            a = frame_footprints(beta_t, state.pos, state.sigma, model,
+                                 vb, stored_a)
+            mse = jnp.mean((a @ c_t - y_t) ** 2)
+            reg = reg_fn(beta_t)
+            return mse + gamma * reg, (mse, reg)
+
+        (_, (mses, regs)), grads = jax.vmap(
+            jax.value_and_grad(frame_loss, has_aux=True)
+        )(beta_blk, frames, c_blk)
+
+    grads = grads * mask[:, None, None]
+    return grads, jnp.sum(mses * mask), jnp.sum(regs * mask)
+
+
+def motion_epoch_streaming(
+    state: DNMFState,
+    source,
+    model: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    gamma: float,
+    use_pallas: bool = False,
+) -> Tuple[DNMFState, dict]:
+    """One parallel-mode epoch over a host-streamed video.
+
+    Per-frame gradients are collected block-by-block (host->device
+    transfer per block), then a single full-tensor Adam step applies —
+    identical math to ``motion_epoch_parallel``.
+    """
+    grad_blocks = []
+    mse_sum = reg_sum = 0.0
+    for frames, start, valid in source.blocks():
+        g, ms, rs = _stream_block_grads(
+            state, frames, start, valid, model, gamma, source.block,
+            use_pallas=use_pallas,
+        )
+        grad_blocks.append(g)
+        mse_sum += float(ms)
+        reg_sum += float(rs)
+    t = state.beta.shape[0]
+    grads = jnp.concatenate(grad_blocks, axis=0)[:t]
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.beta)
+    beta = optax.apply_updates(state.beta, updates)
+    metrics = {"recon_mse": mse_sum / t, "reg": reg_sum / t}
+    return state._replace(beta=beta, opt_state=opt_state), metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "block", "use_pallas", "pallas_interpret"),
+)
+def _stream_block_grams(
+    state: DNMFState,
+    frames: jnp.ndarray,
+    start: jnp.ndarray,
+    model: ModelConfig,
+    block: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
+    beta_pad = jnp.concatenate(
+        [state.beta, basis_ops.identity_beta(block)], axis=0
+    )
+    beta_blk = jax.lax.dynamic_slice_in_dim(beta_pad, start, block)
+    if use_pallas:
+        from dnmf_tpu.ops import pallas_kernels as pk
+
+        return pk.gram_block(
+            beta_blk, state.pos, state.sigma, frames, model.size,
+            scaling=model.deformation.basis_scaling,
+            interpret=pallas_interpret,
+        )
+    vb = model_voxel_basis(model)
+    stored_a = _maybe_stored_a(state, model, vb)
+
+    def one(beta_t, y_t):
+        a = frame_footprints(beta_t, state.pos, state.sigma, model, vb,
+                             stored_a)
+        return mu_ops.mu_grams(a, y_t)
+
+    return jax.vmap(one)(beta_blk, frames)
+
+
+def compute_grams_streaming(
+    state: DNMFState,
+    source,
+    model: ModelConfig,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame MU Grams over a host-streamed video."""
+    gs, c1s = [], []
+    for frames, start, valid in source.blocks():
+        g, c1 = _stream_block_grams(
+            state, frames, start, model, source.block,
+            use_pallas=use_pallas,
+        )
+        gs.append(g)
+        c1s.append(c1)
+    t = state.beta.shape[0]
+    return (jnp.concatenate(gs, axis=0)[:t],
+            jnp.concatenate(c1s, axis=0)[:t])

@@ -98,9 +98,13 @@ def _eval_tile(idx, beta_ref, size, scaling, total_p):
     cols = _phi_columns(xs, ys, zs)
     phi = jnp.concatenate([c for c in cols], axis=1)  # [tp, 10]
     beta = beta_ref[:]  # [10, 3]
+    # HIGHEST: in pixel scaling the basis mixes O(size^2) and O(1) terms;
+    # Mosaic's default dot precision is bf16 passes, which destroys the
+    # cancellation.
     psi = jax.lax.dot_general(
         phi, beta, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [tp, 3]
     if scaling == "normalized":
         psi = jnp.concatenate(
@@ -115,34 +119,35 @@ def _eval_tile(idx, beta_ref, size, scaling, total_p):
     return psi, phi, w * valid, valid
 
 
-def _footprint_tile(psi, w4_ref, b_ref):
-    """Raw Gaussian tile ``exp(psi_aug @ W4 + b)`` ``[tp, Kp]``."""
-    psi_aug = jnp.concatenate(
-        [psi, jnp.sum(psi * psi, axis=1, keepdims=True)], axis=1
-    )  # [tp, 4]
-    expo = jax.lax.dot_general(
-        psi_aug, w4_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[:]
-    return jnp.exp(expo)
+def _footprint_tile(psi, pos_ref, invs2_ref):
+    """Raw Gaussian tile ``exp(-sum_d (psi_d - p_kd)^2 / sigma_k^2)``.
+
+    Direct (VPU) evaluation: the matmul form of the exponent sums
+    O(coord^2)-magnitude terms that cancel — catastrophic under the
+    MXU's bf16-pass default precision at pixel coordinate scales.
+    """
+    pos_rows = pos_ref[:]  # [3, Kp] (padding far away)
+    d2 = (psi[:, 0:1] - pos_rows[0:1, :]) ** 2
+    d2 += (psi[:, 1:2] - pos_rows[1:2, :]) ** 2
+    d2 += (psi[:, 2:3] - pos_rows[2:3, :]) ** 2
+    return jnp.exp(-d2 * invs2_ref[:])
 
 
 def _gaussian_params(pos, sigma, kp):
-    """Padded exponent parameterization ``(W4 [4,Kp], b [1,Kp])``."""
+    """Padded direct parameterization ``(pos [3,Kp], inv_s2 [1,Kp])``;
+    padded neurons sit far outside the volume, so they evaluate to 0."""
     k = pos.shape[0]
-    inv_s2 = 1.0 / (sigma**2)
-    w4 = jnp.zeros((4, kp), dtype=jnp.float32)
-    w4 = w4.at[:3, :k].set(2.0 * pos.T * inv_s2[None, :])
-    w4 = w4.at[3, :k].set(-inv_s2)
-    b = jnp.full((1, kp), -1e30, dtype=jnp.float32)
-    b = b.at[0, :k].set(-jnp.sum(pos * pos, axis=-1) * inv_s2)
-    return w4, b
+    pos_rows = jnp.full((3, kp), 1e4, dtype=jnp.float32)
+    pos_rows = pos_rows.at[:, :k].set(pos.T)
+    inv_s2 = jnp.ones((1, kp), dtype=jnp.float32)
+    inv_s2 = inv_s2.at[0, :k].set(1.0 / (sigma**2))
+    return pos_rows, inv_s2
 
 
 # ----------------------------------------------------------------------
 # Gram kernel
 # ----------------------------------------------------------------------
-def _gram_kernel(beta_ref, w4_ref, b_ref, y_ref, g_ref, c1_ref,
+def _gram_kernel(beta_ref, pos_ref, invs2_ref, y_ref, g_ref, c1_ref,
                  g_acc, c1_acc, *, size, scaling, tile_p, total_p,
                  n_tiles):
     # Accumulate in VMEM scratch (persists across grid steps) and write
@@ -159,15 +164,17 @@ def _gram_kernel(beta_ref, w4_ref, b_ref, y_ref, g_ref, c1_ref,
     base = tile * tile_p
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
     psi, _, w, _ = _eval_tile(idx, beta_ref, size, scaling, total_p)
-    a = _footprint_tile(psi, w4_ref, b_ref) * w  # [tp, Kp]
+    a = _footprint_tile(psi, pos_ref, invs2_ref) * w  # [tp, Kp]
 
     g_acc[:] += jax.lax.dot_general(
         a, a, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     c1_acc[:] += jax.lax.dot_general(
         y_ref[:], a, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [1, Kp]
 
     @pl.when(tile == n_tiles - 1)
@@ -187,7 +194,7 @@ def gram_block(
     y: jnp.ndarray,
     size,
     scaling: str = "normalized",
-    tile_p: int = 2048,
+    tile_p: int = 8192,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused MU statistics for a block of frames.
@@ -203,7 +210,7 @@ def gram_block(
     kp = _round_up(k, LANE)
     total_p = int(np.prod(size))
     p_pad = _round_up(total_p, tile_p)
-    w4, b = _gaussian_params(pos, sigma, kp)
+    pos_rows, invs2 = _gaussian_params(pos, sigma, kp)
 
     y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
         bsz, -1, 1
@@ -223,7 +230,7 @@ def gram_block(
         in_specs=[
             pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, kp), lambda bi, ti: (0, 0),
+            pl.BlockSpec((3, kp), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -241,12 +248,12 @@ def gram_block(
             jax.ShapeDtypeStruct((bsz, 1, kp), jnp.float32),
         ],
         interpret=interpret,
-    )(betas, w4, b, y_pad)
+    )(betas, pos_rows, invs2, y_pad)
     return g[:, :k, :k], c1[:, 0, :k]
 
 
 def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
-               tile_p: int = 2048, interpret: bool = False):
+               tile_p: int = 8192, interpret: bool = False):
     """Single-frame convenience wrapper around :func:`gram_block`."""
     g, c1 = gram_block(beta_t[None], pos, sigma, y[None], size,
                        scaling=scaling, tile_p=tile_p,
@@ -257,9 +264,9 @@ def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
 # ----------------------------------------------------------------------
 # Motion kernel (data term + analytic gradient)
 # ----------------------------------------------------------------------
-def _motion_kernel(beta_ref, w4_ref, b_ref, u5_ref, y_ref, scale_ref,
-                   sse_ref, dbeta_ref, sse_acc, dbeta_acc, *, size,
-                   scaling, tile_p, total_p, n_tiles):
+def _motion_kernel(beta_ref, pos_ref, invs2_ref, u5_ref, y_ref,
+                   scale_ref, sse_ref, dbeta_ref, sse_acc, dbeta_acc, *,
+                   size, scaling, tile_p, total_p, n_tiles):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -271,12 +278,13 @@ def _motion_kernel(beta_ref, w4_ref, b_ref, u5_ref, y_ref, scale_ref,
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
     psi, phi, w, valid = _eval_tile(idx, beta_ref, size, scaling,
                                     total_p)
-    a = _footprint_tile(psi, w4_ref, b_ref)  # raw Gaussians [tp, Kp]
+    a = _footprint_tile(psi, pos_ref, invs2_ref)  # raw [tp, Kp]
 
     # u columns: [S, B1, B2_x, B2_y, B2_z, 0, 0, 0] (padded to 8)
     u = jax.lax.dot_general(
         a, u5_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [tp, 8]
     s = u[:, 0:1]
     b1 = u[:, 1:2]
@@ -324,6 +332,7 @@ def _motion_kernel(beta_ref, w4_ref, b_ref, u5_ref, y_ref, scale_ref,
     dbeta_acc[:] += jax.lax.dot_general(
         phi, dpsi, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(tile == n_tiles - 1)
@@ -344,7 +353,7 @@ def motion_block(
     y: jnp.ndarray,
     size,
     scaling: str = "normalized",
-    tile_p: int = 2048,
+    tile_p: int = 8192,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused data term + analytic beta gradient for a block of frames.
@@ -361,7 +370,7 @@ def motion_block(
     kp = _round_up(k, LANE)
     total_p = int(np.prod(size))
     p_pad = _round_up(total_p, tile_p)
-    w4, b = _gaussian_params(pos, sigma, kp)
+    pos_rows, invs2 = _gaussian_params(pos, sigma, kp)
 
     inv_s2 = 1.0 / (sigma**2)
     u5 = jnp.zeros((bsz, kp, 8), dtype=jnp.float32)
@@ -391,7 +400,7 @@ def motion_block(
         in_specs=[
             pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, kp), lambda bi, ti: (0, 0),
+            pl.BlockSpec((3, kp), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -413,12 +422,12 @@ def motion_block(
             jax.ShapeDtypeStruct((bsz, 10, 3), jnp.float32),
         ],
         interpret=interpret,
-    )(betas, w4, b, u5, y_pad, scale)
+    )(betas, pos_rows, invs2, u5, y_pad, scale)
     return sse[:, 0, 0] / total_p, dbeta
 
 
 def motion_frame(beta_t, pos, sigma, c_t, y, size, scaling="normalized",
-                 tile_p: int = 2048, interpret: bool = False):
+                 tile_p: int = 8192, interpret: bool = False):
     """Single-frame convenience wrapper around :func:`motion_block`."""
     mse, dbeta = motion_block(beta_t[None], pos, sigma, c_t[None],
                               y[None], size, scaling=scaling,

@@ -164,3 +164,53 @@ def test_inverse_warp_shift():
     out = np.asarray(inverse_warp_nearest(vals, psi, size)).reshape(10, 10)
     ref = np.arange(100, dtype=np.float32).reshape(10, 10)
     np.testing.assert_array_equal(out[1:, :], ref[:-1, :])
+
+
+def test_streaming_matches_device_resident(tmp_path):
+    """Host-streamed (memmap) fit == device-resident fit."""
+    import numpy as np
+
+    from dnmf_tpu.data.streaming import StreamingVideo, open_memmap_video
+    from dnmf_tpu.models import dnmf as M
+
+    ds = _dataset(drift=0.5)
+    video_np = np.asarray(ds.video, dtype=np.float32)
+    path = str(tmp_path / "video.bin")
+    mm = np.memmap(path, dtype=np.float32, mode="w+",
+                   shape=video_np.shape)
+    mm[:] = video_np
+    mm.flush()
+
+    eng_a = _engine(ds)
+    eng_b = _engine(ds)
+    source = open_memmap_video(path, video_np.shape, block=4)
+    assert source.num_blocks() == 3  # T=10, block=4 -> padded final block
+
+    eng_a.update_footprints(ds, iters=10)
+    eng_b.update_footprints(source, iters=10)
+    np.testing.assert_allclose(eng_a.traces, eng_b.traces, rtol=1e-5,
+                               atol=1e-7)
+
+    ma = eng_a.update_motion(ds, epochs=3)
+    mb = eng_b.update_motion(source, epochs=3)
+    np.testing.assert_allclose(
+        np.asarray(eng_a.state.beta), np.asarray(eng_b.state.beta),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(ma["recon_mse"], mb["recon_mse"],
+                               rtol=1e-4)
+
+
+def test_static_footprint_nmf_recovers_traces():
+    """The reference's dormant static-A MU mode, made functional."""
+    from dnmf_tpu.engine.trainer import StaticFootprintNMF
+
+    ds = _dataset(drift=0.0)  # static scene
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    eng = StaticFootprintNMF(model, ds.positions[:, :, 0])
+    a, c = eng.fit(ds.video, iters=60)
+    assert a.shape == (SIZE[0] * SIZE[1] * SIZE[2], K)
+    assert np.all(np.asarray(a) >= 0) and np.all(np.asarray(c) >= 0)
+    corr = trace_correlations(np.asarray(c), np.asarray(ds.traces))
+    assert np.all(corr > 0.8), corr
