@@ -65,6 +65,19 @@ class DeformableNMF:
             model, self.optimizer, positions=positions, key=init_key
         )
         self.metrics: List[dict] = []
+        self._mesh = None
+        if self.runtime.mesh_time:
+            from dnmf_tpu.parallel import make_mesh, shard_state
+
+            self._mesh = make_mesh(
+                num_time=self.runtime.mesh_time,
+                num_batch=self.runtime.mesh_batch or 1,
+            )
+            if model.num_frames % self.runtime.mesh_time:
+                raise ValueError(
+                    "num_frames must divide evenly over mesh_time"
+                )
+            self.state = shard_state(self.state, self._mesh)
         if self.runtime.use_pallas is None:
             self._use_pallas = (
                 jax.default_backend() == "tpu"
@@ -76,10 +89,15 @@ class DeformableNMF:
     # ------------------------------------------------------------------
     def _video_flat(self, video) -> jnp.ndarray:
         if hasattr(video, "frames_flat"):
-            return video.frames_flat()
-        video = jnp.asarray(video)
-        if video.ndim == 4:
-            return video.reshape(video.shape[0], -1)
+            video = video.frames_flat()
+        else:
+            video = jnp.asarray(video)
+            if video.ndim == 4:
+                video = video.reshape(video.shape[0], -1)
+        if self._mesh is not None:
+            from dnmf_tpu.parallel import shard_video
+
+            video = shard_video(video, self._mesh)
         return video
 
     def _epoch_batches(self, key):
@@ -133,6 +151,14 @@ class DeformableNMF:
                     self.state, video_flat, times, weights, self.model,
                     self.optimizer, gamma,
                 )
+            elif self._mesh is not None:
+                from dnmf_tpu.parallel import sharded_motion_epoch
+
+                self.state, m = sharded_motion_epoch(
+                    self.state, video_flat, self.model, self.optimizer,
+                    gamma, mesh=self._mesh,
+                    frame_block=self.runtime.frame_block,
+                )
             else:
                 self.state, m = model_lib.motion_epoch_parallel(
                     self.state, video_flat, self.model, self.optimizer,
@@ -152,6 +178,13 @@ class DeformableNMF:
                 self.state, video, self.model,
                 use_pallas=self._use_pallas,
             )
+        elif self._mesh is not None:
+            from dnmf_tpu.parallel import sharded_compute_grams
+
+            grams, c1 = sharded_compute_grams(
+                self.state, self._video_flat(video), self.model,
+                mesh=self._mesh, frame_block=self.runtime.frame_block,
+            )
         else:
             video_flat = self._video_flat(video)
             grams, c1 = model_lib.compute_grams(
@@ -159,10 +192,18 @@ class DeformableNMF:
                 frame_block=self.runtime.frame_block,
                 use_pallas=self._use_pallas,
             )
-        self.state = model_lib.footprint_update(
-            self.state, grams, c1, iters=iters,
-            gamma=self.opt_config.gamma_traces,
-        )
+        if self._mesh is not None:
+            from dnmf_tpu.parallel import sharded_footprint_update
+
+            self.state = sharded_footprint_update(
+                self.state, grams, c1, mesh=self._mesh, iters=iters,
+                gamma=self.opt_config.gamma_traces,
+            )
+        else:
+            self.state = model_lib.footprint_update(
+                self.state, grams, c1, iters=iters,
+                gamma=self.opt_config.gamma_traces,
+            )
         m = {"phase": "traces", "c_mean": float(jnp.mean(self.state.c))}
         self.metrics.append(m)
         return m

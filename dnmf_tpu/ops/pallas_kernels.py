@@ -247,6 +247,9 @@ def gram_block(
             jax.ShapeDtypeStruct((bsz, kp, kp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1, kp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(betas, pos_rows, invs2, y_pad)
     return g[:, :k, :k], c1[:, 0, :k]
@@ -421,6 +424,9 @@ def motion_block(
             jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 10, 3), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(betas, pos_rows, invs2, u5, y_pad, scale)
     return sse[:, 0, 0] / total_p, dbeta

@@ -135,3 +135,34 @@ def test_batched_multi_recording_round():
         np.testing.assert_allclose(np.asarray(got.c),
                                    np.asarray(st_ref.c),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_engine_with_mesh_matches_single_device():
+    """DeformableNMF with RuntimeConfig(mesh_time=8) == single device."""
+    from dnmf_tpu.config import (
+        ModelConfig as MC,
+        OptimizerConfig as OC,
+        RuntimeConfig as RC,
+    )
+    from dnmf_tpu.engine import DeformableNMF
+
+    size = (12, 12, 2)
+    k, t = 3, 16
+    mc = MC(size=size, num_neurons=k, num_frames=t, shape_std=2.0)
+    oc = OC(learning_rate=1e-3, motion_epochs=3, mu_iters=10,
+            gamma_motion=0.1, gamma_traces=0.05)
+    pos = jnp.asarray([[3.0, 3.0, 1.0], [8.0, 3.0, 1.0], [5.0, 8.0, 1.0]])
+    video = jax.random.uniform(jax.random.PRNGKey(5),
+                               (t, size[0] * size[1] * size[2]))
+
+    eng_1 = DeformableNMF(mc, oc, RC(frame_block=4), positions=pos)
+    eng_8 = DeformableNMF(mc, oc, RC(frame_block=4, mesh_time=8),
+                          positions=pos)
+    for eng in (eng_1, eng_8):
+        eng.update_motion(video, epochs=3)
+        eng.update_footprints(video, iters=10)
+    np.testing.assert_allclose(np.asarray(eng_8.state.beta),
+                               np.asarray(eng_1.state.beta),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(eng_8.traces, eng_1.traces,
+                               rtol=1e-4, atol=1e-6)
