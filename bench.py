@@ -51,13 +51,16 @@ def _tpu_run():
     p = SIZE[0] * SIZE[1] * SIZE[2]
     video = jax.random.uniform(jax.random.PRNGKey(1), (T, p))
 
+    use_pallas = jax.default_backend() == "tpu"
+
     def one_round(state):
         state, metrics = M.motion_epoch_parallel(
             state, video, model, optimizer, gamma=0.1,
-            frame_block=FRAME_BLOCK,
+            frame_block=FRAME_BLOCK, use_pallas=use_pallas,
         )
         grams, c1 = M.compute_grams(state, video, model,
-                                    frame_block=FRAME_BLOCK)
+                                    frame_block=FRAME_BLOCK,
+                                    use_pallas=use_pallas)
         state = M.footprint_update(state, grams, c1, iters=MU_ITERS,
                                    gamma=0.0)
         return state, metrics

@@ -52,7 +52,7 @@ def main():
                               shape_std=sim.shape_std)
         opt = C.OptimizerConfig(learning_rate=args.lr or 1e-3,
                                 motion_epochs=10, mu_iters=30,
-                                outer_rounds=args.rounds or 5,
+                                outer_rounds=args.rounds or 10,
                                 gamma_motion=0.1)
     else:
         sim = C.reference_demo_simulator()

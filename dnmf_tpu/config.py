@@ -205,3 +205,35 @@ def reference_demo_simulator() -> SimulatorConfig:
                            traces="exp", motion="gp",
                            gp_sigma=(5.0, 5.0, 0.01),
                            gp_length_scale=(10.0, 10.0, 10.0))
+
+
+def baseline_workload(name: str):
+    """BASELINE.md scaling configs as (model, runtime) presets.
+
+    ``demo``        — config 1: the reference demo scale (CPU-runnable).
+    ``roi``         — config 2: 256x256x10, K=50, 500 frames.
+    ``whole_brain`` — config 3: 512x512x20, K=200, 1k frames (streamed).
+    ``long``        — config 4: 10k frames, K=500, frame-sharded mesh.
+    ``multi``       — config 5: 32 recordings x K=200 (batched rounds).
+    """
+    presets = {
+        "demo": (ModelConfig(size=(50, 50, 2), num_neurons=10,
+                             num_frames=100),
+                 RuntimeConfig(frame_block=16)),
+        "roi": (ModelConfig(size=(256, 256, 10), num_neurons=50,
+                            num_frames=500),
+                RuntimeConfig(frame_block=8)),
+        "whole_brain": (ModelConfig(size=(512, 512, 20), num_neurons=200,
+                                    num_frames=1000),
+                        RuntimeConfig(frame_block=2)),
+        "long": (ModelConfig(size=(512, 512, 20), num_neurons=500,
+                             num_frames=10240),
+                 RuntimeConfig(frame_block=2, mesh_time=8)),
+        "multi": (ModelConfig(size=(256, 256, 10), num_neurons=200,
+                              num_frames=512),
+                  RuntimeConfig(frame_block=4, mesh_batch=16)),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown workload {name!r}; "
+                       f"choose from {sorted(presets)}")
+    return presets[name]

@@ -137,7 +137,7 @@ def reconstruct(
     def one(beta_t, c_t):
         a = frame_footprints(beta_t, pos, sigma, model, voxel_basis,
                              stored_a)
-        return a @ c_t
+        return jnp.dot(a, c_t, precision=jax.lax.Precision.HIGHEST)
 
     return jax.vmap(one)(betas, c_block)
 
@@ -259,7 +259,8 @@ def motion_epoch_parallel(
     def frame_loss(beta_t, y_t, c_t):
         a = frame_footprints(beta_t, state.pos, state.sigma, model, vb,
                              stored_a)
-        mse = jnp.mean((a @ c_t - y_t) ** 2)
+        recon = jnp.dot(a, c_t, precision=jax.lax.Precision.HIGHEST)
+        mse = jnp.mean((recon - y_t) ** 2)
         reg = jac_ops.corner_regularizer(
             beta_t, model.size,
             detach=model.deformation.detach_regularizer,
@@ -503,7 +504,9 @@ def _stream_block_grads(
         def frame_loss(beta_t, y_t, c_t):
             a = frame_footprints(beta_t, state.pos, state.sigma, model,
                                  vb, stored_a)
-            mse = jnp.mean((a @ c_t - y_t) ** 2)
+            recon = jnp.dot(a, c_t,
+                            precision=jax.lax.Precision.HIGHEST)
+            mse = jnp.mean((recon - y_t) ** 2)
             reg = reg_fn(beta_t)
             return mse + gamma * reg, (mse, reg)
 

@@ -32,7 +32,8 @@ EPS = 1e-32  # reference's denominator guard (/root/reference/Demix/dNMF.py:148)
 
 
 def mu_grams(a_t: jnp.ndarray, y_t: jnp.ndarray,
-             precision=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             precision=jax.lax.Precision.HIGHEST
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame Gram matrix and data projection.
 
     Args:
@@ -43,6 +44,9 @@ def mu_grams(a_t: jnp.ndarray, y_t: jnp.ndarray,
       ``(G, c1)``: ``G[k, l] = sum_p a[p,k] a[p,l]`` (``[K, K]``, the
       reference's ``A_ts`` einsum ``:141``) and ``c1[k] = sum_p a[p,k] y[p]``
       (the reference's ``C1`` einsum ``:142``).
+
+    Precision defaults to HIGHEST: on TPU the default f32 matmul runs in
+    bf16 passes, which puts ~5% error on Grams at whole-frame scales.
     """
     g = jnp.dot(a_t.T, a_t, precision=precision,
                 preferred_element_type=jnp.float32)

@@ -1,42 +1,41 @@
 """Fused Pallas TPU kernels for the demixing hot path.
 
-The profiled bottleneck (bench workload 256x256x10, K=50, T=256) is HBM
-traffic on the warped-footprint matrix ``A[P, K]`` (~131 MB/frame):
-XLA materializes it between the exp evaluation and each consuming matmul.
-These kernels evaluate ``A`` tile-by-tile **in VMEM** — voxel coordinates
-are derived from the flat pixel index inside the kernel, the quadratic
-warp and the Gaussian exponent are computed on the fly — and accumulate
-the downstream reductions in VMEM/SMEM, so per frame the only HBM
-traffic is the video frame itself plus O(K^2) outputs.
+Layout: **pixels ride the lane axis**.  Every per-pixel quantity is a
+``[1, tile_p]`` row and the footprint tile is ``A [K8, tile_p]``
+(``K8 = K`` rounded up to the 8-sublane), so all elementwise work uses
+full VPU lanes and K pads by at most 7 — an earlier draft with
+``[tile_p, K128]`` layout ran its per-pixel column math on ``[tp, 1]``
+shapes (1 of 128 lanes active) and padded K to 128 lanes, costing ~10x.
 
-Kernels process a **block of frames natively** with grid ``(B, tiles)``
-(frames in dim 0, pixel tiles in dim 1).  This is deliberate: relying on
-``vmap`` to batch a single-frame kernel moves the accumulation grid axis,
-breaking the ``tile == 0`` initialization of the revisited output blocks
-(a silent-garbage bug in compiled mode — interpret mode zero-fills
-buffers and hides it).
+Per frame the only HBM traffic is the video frame plus O(K^2) outputs:
+voxel coordinates are derived in-kernel from flat indices, the quadratic
+warp is evaluated as scalar-coefficient polynomials (beta lives in SMEM),
+and the Gaussian exponent is computed directly — ``(psi - p)^2`` rows —
+because a matmul-form exponent sums O(coord^2) canceling terms that
+Mosaic's bf16-pass default dot precision destroys.  The remaining dots
+run at HIGHEST precision (compiled output matches float64 references to
+~1e-4 at whole-frame scale; notably the *XLA* compute path's Gram matmul
+at default TPU precision is ~5% off at the same scale).
 
-* ``gram_block``   — MU sufficient statistics ``G = A^T A`` ``[B, K, K]``
-  and ``c1 = A^T y`` ``[B, K]``.
+Kernels process a block of frames natively with grid ``(B, tiles)``;
+accumulators live in scratch and the output block is written exactly once
+per frame (relying on vmap batching or accumulate-into-out_ref corrupts
+revisited blocks when the outer grid dimension advances).
+
+* ``gram_block``   — MU sufficient statistics ``G = A A^T`` ``[B, K, K]``
+  and ``c1 = A y`` ``[B, K]``.
 * ``motion_block`` — squared-error data term and its **analytic**
   gradient w.r.t. the deformation coefficients:
 
-      recon_p = w_p * sum_k A_pk c_k,     r = recon - y
+      recon_p = w_p * sum_k A_kp c_k,     r = recon - y
       dL/dpsi_d = 2 r [ w (B2_d - psi_d B1) + S dw/dpsi_d ]
-      B1 = A @ (2 c / sigma^2),  B2_d = A @ (2 c p_d / sigma^2),
-      S = A @ c
-      dL/dbeta = Phi^T (dL/dpsi * dpsi_scale)
+      B1 = (2c/sigma^2) A,  B2_d = (2 c p_d / sigma^2) A,  S = c A
 
-  (product rule over the border fade ``w``): the entire backward pass is
+  (product rule over the border fade ``w``): the whole backward pass is
   two extra small matmuls fused into the same pixel pass — no autodiff
-  residuals.
-
-Both kernels support the ``analytic`` footprint mode with the linear
-border fade (see :mod:`dnmf_tpu.ops.footprints`) and either basis
-scaling.  K pads to the lane width with ``-inf`` exponents so padded
-neurons contribute exact zeros; gradient ties replicate JAX autodiff
-subgradient conventions (0.5 at clip/min ties), which matter on thin-Z
-volumes where every voxel sits on a fade boundary.
+  residuals.  Gradient ties replicate JAX autodiff subgradient
+  conventions (0.5 at clip/min ties) — they matter on thin-Z volumes
+  where every voxel sits on a fade boundary.
 """
 
 from __future__ import annotations
@@ -50,110 +49,110 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+SUBLANE = 8
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _coords_from_flat(idx: jnp.ndarray, size) -> Tuple[jnp.ndarray, ...]:
-    """(m, n, z) voxel coordinates from flat ij-ordered indices."""
+def _coord_rows(base, size, tile_p):
+    """Voxel coordinates of a tile as ``[1, tile_p]`` f32 rows."""
     m, n, z = size
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
     zi = idx % z
     rest = idx // z
     ni = rest % n
     mi = rest // n
-    return (mi.astype(jnp.float32), ni.astype(jnp.float32),
+    return (idx, mi.astype(jnp.float32), ni.astype(jnp.float32),
             zi.astype(jnp.float32))
 
 
-def _phi_columns(x, y, z):
-    """The 10 quadratic basis functions (reference ordering)."""
-    one = jnp.ones_like(x)
-    return (one, x, y, z, x * x, y * y, z * z, x * y, x * z, y * z)
+def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
+    """Deformed pixel coordinates + basis rows.
 
-
-def _fade_cols(psi, size):
-    """Per-axis fade factor columns (3 x [tp, 1]; scalars only — no array
-    constants may be captured inside a Pallas kernel)."""
-    parts = []
-    for d in range(3):
-        hi_d = float(size[d]) - 1.0
-        dist = jnp.minimum(psi[:, d:d + 1], hi_d - psi[:, d:d + 1])
-        parts.append(jnp.clip(1.0 + dist, 0.0, 1.0))
-    return parts
-
-
-def _eval_tile(idx, beta_ref, size, scaling, total_p):
-    """Shared tile evaluation: returns (psi [tp,3], phi [tp,10],
-    fade w [tp,1], valid [tp,1])."""
-    mi, ni, zi = _coords_from_flat(idx, size)
+    Returns ``(psi: 3 x [1, tp], phi: tuple of 10 [1, tp] rows)``.  The
+    warp is evaluated as a scalar-coefficient polynomial (beta scalars
+    from SMEM) — no [tp, small] matmuls, full lane utilization.
+    """
     if scaling == "normalized":
         xs = 2.0 * mi / (float(size[0]) - 1.0) - 1.0
         ys = 2.0 * ni / (float(size[1]) - 1.0) - 1.0
         zs = 2.0 * zi / (float(size[2]) - 1.0) - 1.0
     else:
         xs, ys, zs = mi, ni, zi
-    cols = _phi_columns(xs, ys, zs)
-    phi = jnp.concatenate([c for c in cols], axis=1)  # [tp, 10]
-    beta = beta_ref[:]  # [10, 3]
-    # HIGHEST: in pixel scaling the basis mixes O(size^2) and O(1) terms;
-    # Mosaic's default dot precision is bf16 passes, which destroys the
-    # cancellation.
-    psi = jax.lax.dot_general(
-        phi, beta, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [tp, 3]
-    if scaling == "normalized":
-        psi = jnp.concatenate(
-            [(psi[:, d:d + 1] + 1.0) / 2.0 * (float(size[d]) - 1.0)
-             for d in range(3)],
-            axis=1,
-        )
-
-    w0, w1, w2 = _fade_cols(psi, size)
-    w = w0 * w1 * w2  # explicit product (reduce_prod unsupported in Mosaic)
-    valid = (idx < total_p).astype(jnp.float32)
-    return psi, phi, w * valid, valid
+    one = jnp.ones_like(xs)
+    phi = (one, xs, ys, zs, xs * xs, ys * ys, zs * zs, xs * ys,
+           xs * zs, ys * zs)
+    psi = []
+    for d in range(3):
+        acc = jnp.zeros_like(xs)
+        for b in range(10):
+            acc = acc + beta_ref[b, d] * phi[b]
+        if scaling == "normalized":
+            acc = (acc + 1.0) / 2.0 * (float(size[d]) - 1.0)
+        psi.append(acc)
+    return psi, phi
 
 
-def _footprint_tile(psi, pos_ref, invs2_ref):
-    """Raw Gaussian tile ``exp(-sum_d (psi_d - p_kd)^2 / sigma_k^2)``.
+def _fade_row(psi, size):
+    """Border fade ``[1, tp]``: product of per-axis linear ramps."""
+    w = None
+    for d in range(3):
+        hi_d = float(size[d]) - 1.0
+        dist = jnp.minimum(psi[d], hi_d - psi[d])
+        wd = jnp.clip(1.0 + dist, 0.0, 1.0)
+        w = wd if w is None else w * wd
+    return w
 
-    Direct (VPU) evaluation: the matmul form of the exponent sums
-    O(coord^2)-magnitude terms that cancel — catastrophic under the
-    MXU's bf16-pass default precision at pixel coordinate scales.
+
+def _footprint_tile(psi, pos_ref):
+    """Raw Gaussians ``A [K8, tp] = exp(-sum_d (psi_d - p_kd)^2 / s_k^2)``.
+
+    ``pos_ref``: ``[K8, 8]`` columns ``(px, py, pz, inv_s2, ...)`` — only
+    the first 4 used here; padded neurons sit at 1e4 so they evaluate to
+    exactly 0.
     """
-    pos_rows = pos_ref[:]  # [3, Kp] (padding far away)
-    d2 = (psi[:, 0:1] - pos_rows[0:1, :]) ** 2
-    d2 += (psi[:, 1:2] - pos_rows[1:2, :]) ** 2
-    d2 += (psi[:, 2:3] - pos_rows[2:3, :]) ** 2
-    return jnp.exp(-d2 * invs2_ref[:])
+    d2 = (pos_ref[:, 0:1] - psi[0]) ** 2
+    d2 += (pos_ref[:, 1:2] - psi[1]) ** 2
+    d2 += (pos_ref[:, 2:3] - psi[2]) ** 2
+    return jnp.exp(-d2 * pos_ref[:, 3:4])
 
 
-def _gaussian_params(pos, sigma, kp):
-    """Padded direct parameterization ``(pos [3,Kp], inv_s2 [1,Kp])``;
-    padded neurons sit far outside the volume, so they evaluate to 0."""
+def _neuron_params(pos, sigma, k8, c_block=None):
+    """``[K8, 8]`` per-neuron parameter columns (see _footprint_tile).
+
+    With ``c_block [B, K]`` given, returns ``(params [B, K8, 8],
+    w2 [B, K8, 8])`` where params cols 4:6 hold the motion-kernel trace
+    weights ``(c, 2c/s^2)`` and w2 cols 0:3 hold ``2 c p_d / s^2``.
+    """
     k = pos.shape[0]
-    pos_rows = jnp.full((3, kp), 1e4, dtype=jnp.float32)
-    pos_rows = pos_rows.at[:, :k].set(pos.T)
-    inv_s2 = jnp.ones((1, kp), dtype=jnp.float32)
-    inv_s2 = inv_s2.at[0, :k].set(1.0 / (sigma**2))
-    return pos_rows, inv_s2
+    inv_s2 = 1.0 / (sigma**2)
+    base = jnp.full((k8, 8), 0.0, dtype=jnp.float32)
+    base = base.at[:, :3].set(
+        jnp.pad(pos, ((0, k8 - k), (0, 0)), constant_values=1e4)
+    )
+    base = base.at[:k, 3].set(inv_s2)
+    base = base.at[k:, 3].set(1.0)
+    if c_block is None:
+        return base
+    bsz = c_block.shape[0]
+    out = jnp.broadcast_to(base, (bsz, k8, 8))
+    out = out.at[:, :k, 4].set(c_block)
+    out = out.at[:, :k, 5].set(2.0 * c_block * inv_s2[None, :])
+    w2 = jnp.zeros((bsz, k8, 8), dtype=jnp.float32)
+    for d in range(3):
+        w2 = w2.at[:, :k, d].set(
+            2.0 * c_block * (pos[:, d] * inv_s2)[None, :]
+        )
+    return out, w2
 
 
 # ----------------------------------------------------------------------
 # Gram kernel
 # ----------------------------------------------------------------------
-def _gram_kernel(beta_ref, pos_ref, invs2_ref, y_ref, g_ref, c1_ref,
-                 g_acc, c1_acc, *, size, scaling, tile_p, total_p,
-                 n_tiles):
-    # Accumulate in VMEM scratch (persists across grid steps) and write
-    # the output block exactly once per frame — accumulating directly
-    # into a revisited out_ref corrupts earlier frames' blocks when the
-    # outer (frame) grid dimension advances.
+def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
+                 *, size, scaling, tile_p, total_p, n_tiles):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -161,21 +160,21 @@ def _gram_kernel(beta_ref, pos_ref, invs2_ref, y_ref, g_ref, c1_ref,
         g_acc[:] = jnp.zeros_like(g_acc)
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
-    base = tile * tile_p
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
-    psi, _, w, _ = _eval_tile(idx, beta_ref, size, scaling, total_p)
-    a = _footprint_tile(psi, pos_ref, invs2_ref) * w  # [tp, Kp]
+    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    psi, _ = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
+    w = _fade_row(psi, size) * (idx < total_p).astype(jnp.float32)
+    a = _footprint_tile(psi, pos_ref) * w  # [K8, tp]
 
     g_acc[:] += jax.lax.dot_general(
-        a, a, (((0,), (0,)), ((), ())),
+        a, a, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     c1_acc[:] += jax.lax.dot_general(
-        y_ref[:], a, (((0,), (0,)), ((), ())),
+        a, y_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [1, Kp]
+    )
 
     @pl.when(tile == n_tiles - 1)
     def _():
@@ -207,15 +206,15 @@ def gram_block(
     """
     bsz = betas.shape[0]
     k = pos.shape[0]
-    kp = _round_up(k, LANE)
+    k8 = _round_up(k, SUBLANE)
     total_p = int(np.prod(size))
     p_pad = _round_up(total_p, tile_p)
-    pos_rows, invs2 = _gaussian_params(pos, sigma, kp)
+    params = _neuron_params(pos, sigma, k8)
 
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
-        bsz, -1, 1
-    )
     n_tiles = p_pad // tile_p
+    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
+        bsz, n_tiles, 1, tile_p
+    )
 
     g, c1 = pl.pallas_call(
         functools.partial(
@@ -223,36 +222,35 @@ def gram_block(
             tile_p=tile_p, total_p=total_p, n_tiles=n_tiles,
         ),
         grid=(bsz, n_tiles),
-        scratch_shapes=[
-            pltpu.VMEM((kp, kp), jnp.float32),
-            pltpu.VMEM((1, kp), jnp.float32),
-        ],
         in_specs=[
             pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((k8, 8), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tile_p, 1), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((None, None, 1, tile_p),
+                         lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, kp, kp), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, k8, k8), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, kp), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, k8, 1), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, kp, kp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 1, kp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, k8, k8), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, k8, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k8, k8), jnp.float32),
+            pltpu.VMEM((k8, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(betas, pos_rows, invs2, y_pad)
-    return g[:, :k, :k], c1[:, 0, :k]
+    )(betas, params, y_pad)
+    return g[:, :k, :k], c1[:, :k, 0]
 
 
 def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
@@ -267,9 +265,9 @@ def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
 # ----------------------------------------------------------------------
 # Motion kernel (data term + analytic gradient)
 # ----------------------------------------------------------------------
-def _motion_kernel(beta_ref, pos_ref, invs2_ref, u5_ref, y_ref,
-                   scale_ref, sse_ref, dbeta_ref, sse_acc, dbeta_acc, *,
-                   size, scaling, tile_p, total_p, n_tiles):
+def _motion_kernel(beta_ref, pos_ref, w2_ref, y_ref, sse_ref, dbeta_ref,
+                   sse_acc, dbeta_acc, *, size, scaling, tile_p,
+                   total_p, n_tiles):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -277,65 +275,60 @@ def _motion_kernel(beta_ref, pos_ref, invs2_ref, u5_ref, y_ref,
         sse_acc[0, 0] = 0.0
         dbeta_acc[:] = jnp.zeros_like(dbeta_acc)
 
-    base = tile * tile_p
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
-    psi, phi, w, valid = _eval_tile(idx, beta_ref, size, scaling,
-                                    total_p)
-    a = _footprint_tile(psi, pos_ref, invs2_ref)  # raw [tp, Kp]
+    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    psi, phi = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
+    valid = (idx < total_p).astype(jnp.float32)
+    w = _fade_row(psi, size) * valid
+    a = _footprint_tile(psi, pos_ref)  # raw Gaussians [K8, tp]
 
-    # u columns: [S, B1, B2_x, B2_y, B2_z, 0, 0, 0] (padded to 8)
-    u = jax.lax.dot_general(
-        a, u5_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [tp, 8]
-    s = u[:, 0:1]
-    b1 = u[:, 1:2]
-    b2 = u[:, 2:5]
+    # Row quantities via [1, K8] x [K8, tp] contractions on the sublane
+    # axis: S = c A, B1 = (2c/s^2) A, B2_d = (2 c p_d / s^2) A.
+    hi_prec = jax.lax.Precision.HIGHEST
+
+    def row(weights):  # weights [K8, 1] -> [1, tp]
+        return jax.lax.dot_general(
+            weights, a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi_prec,
+        )
+
+    s = row(pos_ref[:, 4:5])
+    b1 = row(pos_ref[:, 5:6])
+    b2 = [row(w2_ref[:, d:d + 1]) for d in range(3)]
 
     recon = w * s
-    y_tile = y_ref[:] * valid  # [tile_p, 1]
-    r = (recon - y_tile) * valid
+    r = (recon - y_ref[:] * valid) * valid
     sse_acc[0, 0] += jnp.sum(r * r)
 
-    # Border-fade derivative: w = prod_d w_d, w_d = clip(1 + min(psi_d,
-    # hi_d - psi_d), 0, 1); dw/dpsi_d = (w / w_d) * dw_d.  Ties replicate
-    # JAX autodiff subgradients: clip carries 1 strictly inside the ramp,
-    # 0.5 at tie points (dist == 0 lands on every lattice voxel in
-    # thin-Z volumes); min(psi, hi-psi) carries 0 at its own tie.
-    dist_cols, sign_cols = [], []
+    # Border-fade product rule with JAX tie-subgradient conventions:
+    # clip carries 1 strictly inside the ramp, 0.5 at the tie points
+    # (dist == 0 lands on every lattice voxel in thin-Z volumes);
+    # min(psi, hi-psi) carries 0 at its own tie.
+    dpsi_rows = []
     for d in range(3):
         hi_d = float(size[d]) - 1.0
-        pd = psi[:, d:d + 1]
-        dist_cols.append(jnp.minimum(pd, hi_d - pd))
-        sign_cols.append(
-            jnp.where(pd == hi_d - pd, 0.0,
-                      jnp.where(pd < hi_d - pd, 1.0, -1.0))
+        pd = psi[d]
+        dist = jnp.minimum(pd, hi_d - pd)
+        wd = jnp.clip(1.0 + dist, 0.0, 1.0)
+        ramp_grad = jnp.where(
+            (dist > -1.0) & (dist < 0.0), 1.0,
+            jnp.where((dist == 0.0) | (dist == -1.0), 0.5, 0.0),
         )
-    dist_in = jnp.concatenate(dist_cols, axis=1)
-    sign = jnp.concatenate(sign_cols, axis=1)
-    wd = jnp.clip(1.0 + dist_in, 0.0, 1.0)
-    ramp_grad = jnp.where(
-        (dist_in > -1.0) & (dist_in < 0.0), 1.0,
-        jnp.where((dist_in == 0.0) | (dist_in == -1.0), 0.5, 0.0),
-    )
-    dwd = ramp_grad * sign
-    w_over = jnp.where(wd > 0.0, w / jnp.maximum(wd, 1e-12), 0.0)
-
-    dpsi = 2.0 * r * (w * (b2 - psi * b1) + s * w_over * dwd)
-
-    if scaling == "normalized":
-        dpsi = jnp.concatenate(
-            [dpsi[:, d:d + 1] * ((float(size[d]) - 1.0) / 2.0)
-             for d in range(3)],
-            axis=1,
+        sign = jnp.where(pd == hi_d - pd, 0.0,
+                         jnp.where(pd < hi_d - pd, 1.0, -1.0))
+        w_over = jnp.where(wd > 0.0, w / jnp.maximum(wd, 1e-12), 0.0)
+        dpsi_d = 2.0 * r * (
+            w * (b2[d] - pd * b1) + s * w_over * ramp_grad * sign
         )
-    dpsi = dpsi * scale_ref[0, 0]
+        if scaling == "normalized":
+            dpsi_d = dpsi_d * ((float(size[d]) - 1.0) / 2.0)
+        dpsi_rows.append(dpsi_d * (1.0 / total_p))
+    dpsi = jnp.concatenate(dpsi_rows, axis=0)  # [3, tp]
+    phi_mat = jnp.concatenate(phi, axis=0)  # [10, tp]
 
+    # dbeta^T [3, 10] = dpsi [3, tp] . phi [10, tp]^T
     dbeta_acc[:] += jax.lax.dot_general(
-        phi, dpsi, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        dpsi, phi_mat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi_prec,
     )
 
     @pl.when(tile == n_tiles - 1)
@@ -370,66 +363,53 @@ def motion_block(
     """
     bsz = betas.shape[0]
     k = pos.shape[0]
-    kp = _round_up(k, LANE)
+    k8 = _round_up(k, SUBLANE)
     total_p = int(np.prod(size))
     p_pad = _round_up(total_p, tile_p)
-    pos_rows, invs2 = _gaussian_params(pos, sigma, kp)
+    params, w2 = _neuron_params(pos, sigma, k8, c_block=c_block)
 
-    inv_s2 = 1.0 / (sigma**2)
-    u5 = jnp.zeros((bsz, kp, 8), dtype=jnp.float32)
-    u5 = u5.at[:, :k, 0].set(c_block)
-    u5 = u5.at[:, :k, 1].set(2.0 * c_block * inv_s2[None, :])
-    for d in range(3):
-        u5 = u5.at[:, :k, 2 + d].set(
-            2.0 * c_block * (pos[:, d] * inv_s2)[None, :]
-        )
-
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
-        bsz, -1, 1
-    )
     n_tiles = p_pad // tile_p
-    scale = jnp.full((1, 1), 1.0 / total_p, dtype=jnp.float32)
+    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
+        bsz, n_tiles, 1, tile_p
+    )
 
-    sse, dbeta = pl.pallas_call(
+    sse, dbeta_t = pl.pallas_call(
         functools.partial(
             _motion_kernel, size=tuple(size), scaling=scaling,
             tile_p=tile_p, total_p=total_p, n_tiles=n_tiles,
         ),
         grid=(bsz, n_tiles),
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((10, 3), jnp.float32),
-        ],
         in_specs=[
             pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, kp, 8), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tile_p, 1), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, k8, 8), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, k8, 8), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, tile_p),
+                         lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((None, 1, 1), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 10, 3), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 3, 10), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((3, 10), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(betas, pos_rows, invs2, u5, y_pad, scale)
-    return sse[:, 0, 0] / total_p, dbeta
+    )(betas, params, w2, y_pad)
+    return sse[:, 0, 0] / total_p, jnp.transpose(dbeta_t, (0, 2, 1))
 
 
 def motion_frame(beta_t, pos, sigma, c_t, y, size, scaling="normalized",
