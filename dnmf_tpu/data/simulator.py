@@ -537,3 +537,21 @@ def compute_snr_positions(positions):
         for t in range(1, p.shape[2])
     ])
     return float(np.log(num) - np.log(drift))
+
+
+def simulate_trajectory(num_frames, num_objects, mean, cov, seed=0):
+    """Random-walk trajectories: cumulative multivariate-normal steps plus
+    per-object mean offsets (reference ``simulate_trajectory``,
+    ``Simulator.py:215-227``).
+
+    Returns ``[T, num_objects, 3]``.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    steps = rng.multivariate_normal(
+        np.zeros(3), np.asarray(cov, dtype=np.float64),
+        size=(num_frames, num_objects),
+    )
+    traj = np.cumsum(steps, axis=0)
+    return traj + np.asarray(mean, dtype=np.float64)[None, :, :]

@@ -263,3 +263,13 @@ def bin_median(video: jnp.ndarray, window: int = 10,
     if exclude_nans:
         return jnp.nanmedian(jnp.nanmean(binned, axis=0), axis=0)
     return jnp.median(jnp.mean(binned, axis=0), axis=0)
+
+
+def registration_error(cross_correlation_max, src_amp, target_amp):
+    """Translation-invariant normalized RMS error between registered
+    images (reference ``_compute_error``, ``:628-644``)."""
+    err = 1.0 - (
+        cross_correlation_max * jnp.conj(cross_correlation_max)
+        / (src_amp * target_amp)
+    )
+    return jnp.sqrt(jnp.abs(err))
