@@ -85,6 +85,37 @@ def init_state(
                      opt_state=opt_state)
 
 
+class _CulledShim:
+    """Expose the culled kernels under the dense kernels' names.
+
+    kblock=128 keeps block-pair Gram dots at full 128x128 MXU-tile
+    utilization (64-wide blocks quartered it); the motion kernel's block
+    dots are tiny either way, and exp savings differ little.
+    """
+
+    @staticmethod
+    def gram_block(*args, **kwargs):
+        from dnmf_tpu.ops import pallas_culled as pc
+
+        return pc.gram_block_culled(*args, kblock=128, **kwargs)
+
+    @staticmethod
+    def motion_block(*args, **kwargs):
+        from dnmf_tpu.ops import pallas_culled as pc
+
+        return pc.motion_block_culled(*args, kblock=128, **kwargs)
+
+
+def _pick_pallas(num_neurons: int):
+    """Dense fused kernels for small K; neuron-block-culled ones when
+    the neuron count spans multiple 64-blocks (whole-brain scales)."""
+    if num_neurons > 64:
+        return _CulledShim
+    from dnmf_tpu.ops import pallas_kernels as pk
+
+    return pk
+
+
 def model_voxel_basis(model: ModelConfig) -> jnp.ndarray:
     """``[P, 10]`` voxel basis in the model's beta coordinate space."""
     if model.deformation.basis_scaling == "normalized":
@@ -271,7 +302,7 @@ def motion_epoch_parallel(
     if use_pallas:
         if model.deformation.footprint_mode != "analytic":
             raise ValueError("pallas path requires analytic footprints")
-        from dnmf_tpu.ops import pallas_kernels as pk
+        pk = _pick_pallas(model.num_neurons)
 
         reg_fn = functools.partial(
             jac_ops.corner_regularizer, size=model.size,
@@ -363,7 +394,7 @@ def compute_grams(
     if use_pallas:
         if model.deformation.footprint_mode != "analytic":
             raise ValueError("pallas path requires analytic footprints")
-        from dnmf_tpu.ops import pallas_kernels as pk
+        pk = _pick_pallas(model.num_neurons)
 
         def block(_, xs):
             beta_blk, y_blk = xs
@@ -488,7 +519,7 @@ def _stream_block_grads(
     )
 
     if use_pallas:
-        from dnmf_tpu.ops import pallas_kernels as pk
+        pk = _pick_pallas(model.num_neurons)
 
         mses, dbetas = pk.motion_block(
             beta_blk, state.pos, state.sigma, c_blk, frames, model.size,
@@ -569,7 +600,7 @@ def _stream_block_grams(
     )
     beta_blk = jax.lax.dynamic_slice_in_dim(beta_pad, start, block)
     if use_pallas:
-        from dnmf_tpu.ops import pallas_kernels as pk
+        pk = _pick_pallas(model.num_neurons)
 
         return pk.gram_block(
             beta_blk, state.pos, state.sigma, frames, model.size,

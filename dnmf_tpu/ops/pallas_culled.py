@@ -1,0 +1,390 @@
+"""Neuron-block-culled variants of the fused kernels.
+
+At whole-brain scale (512x512x20, K>=200) ~95% of Gaussian evaluations
+are exact zeros: a footprint's support is ~6 sigma (~20 px) while the
+volume is 512 px across.  These kernels exploit that sparsity:
+
+* neurons are **sorted by their m coordinate** (wrapper-level
+  permutation; Gram outputs are unpermuted on return) and grouped into
+  ``kblock``-wide blocks;
+* each pixel tile computes the runtime range of its *deformed* m
+  coordinates (a scalar min/max over the ``psi_m`` row — correct under
+  any warp, unlike static tile geometry) and skips blocks whose
+  [min_m - 6*sigma_max, max_m + 6*sigma_max] interval does not intersect
+  it — skipping both the exp evaluation and the per-block-pair Gram
+  dots (``exp(-36) ~ 2e-16``, below f32 resolution).
+
+With one block (K <= kblock) the kernels reduce to the dense versions in
+:mod:`dnmf_tpu.ops.pallas_kernels`, which also documents the layout and
+numerical-precision decisions shared by both.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dnmf_tpu.ops.pallas_kernels import (
+    SUBLANE,
+    _coord_rows,
+    _fade_row,
+    _round_up,
+    _warp_rows,
+)
+
+REACH_SIGMAS = 6.0  # exp(-36) ≈ 2e-16: below f32 Gram resolution
+
+
+def _sorted_params(pos, sigma, kb, nkb, c_block=None):
+    """Sort neurons by m; build padded param columns + block m-ranges.
+
+    Returns ``(perm, params [K_pad, 8], blocks [nkb_pad, 2], [w2])`` with
+    ``K_pad = nkb * kb``; padded neurons sit at 1e4 with inv_s2 = 1 (they
+    evaluate to exactly 0) and never extend a block's range.
+    """
+    k = pos.shape[0]
+    k_pad = nkb * kb
+    perm = jnp.argsort(pos[:, 0])
+    pos_s = pos[perm]
+    sigma_s = sigma[perm]
+    inv_s2 = 1.0 / (sigma_s**2)
+
+    params = jnp.full((k_pad, 8), 0.0, dtype=jnp.float32)
+    params = params.at[:, :3].set(
+        jnp.pad(pos_s, ((0, k_pad - k), (0, 0)), constant_values=1e4)
+    )
+    params = params.at[:k, 3].set(inv_s2)
+    params = params.at[k:, 3].set(1.0)
+
+    m_pad = jnp.pad(pos_s[:, 0], (0, k_pad - k),
+                    constant_values=jnp.inf).reshape(nkb, kb)
+    m_pad_neg = jnp.pad(pos_s[:, 0], (0, k_pad - k),
+                        constant_values=-jnp.inf).reshape(nkb, kb)
+    s_pad = jnp.pad(sigma_s, (0, k_pad - k)).reshape(nkb, kb)
+    reach = REACH_SIGMAS * jnp.max(s_pad, axis=1)
+    blocks = jnp.stack(
+        [jnp.min(m_pad, axis=1) - reach,
+         jnp.max(m_pad_neg, axis=1) + reach],
+        axis=1,
+    )  # [nkb, 2]
+
+    if c_block is None:
+        return perm, params, blocks
+    bsz = c_block.shape[0]
+    c_s = c_block[:, perm]
+    out = jnp.broadcast_to(params, (bsz, k_pad, 8))
+    out = out.at[:, :k, 4].set(c_s)
+    out = out.at[:, :k, 5].set(2.0 * c_s * inv_s2[None, :])
+    w2 = jnp.zeros((bsz, k_pad, 8), dtype=jnp.float32)
+    for d in range(3):
+        w2 = w2.at[:, :k, d].set(
+            2.0 * c_s * (pos_s[:, d] * inv_s2)[None, :]
+        )
+    return perm, out, blocks, w2
+
+
+def _block_footprint(psi, pos_ref, lo, kb):
+    d2 = (pos_ref[lo:lo + kb, 0:1] - psi[0]) ** 2
+    d2 += (pos_ref[lo:lo + kb, 1:2] - psi[1]) ** 2
+    d2 += (pos_ref[lo:lo + kb, 2:3] - psi[2]) ** 2
+    return jnp.exp(-d2 * pos_ref[lo:lo + kb, 3:4])
+
+
+def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
+                        c1_ref, g_acc, c1_acc, a_scr, *, size, scaling,
+                        tile_p, total_p, n_tiles, kb, nkb):
+    tile = pl.program_id(1)
+
+    @pl.when(tile == 0)
+    def _():
+        g_acc[:] = jnp.zeros_like(g_acc)
+        c1_acc[:] = jnp.zeros_like(c1_acc)
+
+    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    psi, _ = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
+    w = _fade_row(psi, size) * (idx < total_p).astype(jnp.float32)
+    t_lo = jnp.min(psi[0])
+    t_hi = jnp.max(psi[0])
+
+    actives = []
+    for i in range(nkb):
+        active = (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+        actives.append(active)
+
+        @pl.when(active)
+        def _(i=i):
+            a_scr[i * kb:(i + 1) * kb, :] = (
+                _block_footprint(psi, pos_ref, i * kb, kb) * w
+            )
+
+    hi_prec = jax.lax.Precision.HIGHEST
+    for i in range(nkb):
+        @pl.when(actives[i])
+        def _(i=i):
+            ai = a_scr[i * kb:(i + 1) * kb, :]
+            c1_acc[i * kb:(i + 1) * kb, :] += jax.lax.dot_general(
+                ai, y_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi_prec,
+            )
+        for j in range(i, nkb):
+            @pl.when(actives[i] & actives[j])
+            def _(i=i, j=j):
+                ai = a_scr[i * kb:(i + 1) * kb, :]
+                aj = a_scr[j * kb:(j + 1) * kb, :]
+                gij = jax.lax.dot_general(
+                    ai, aj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=hi_prec,
+                )
+                g_acc[i * kb:(i + 1) * kb, j * kb:(j + 1) * kb] += gij
+
+    @pl.when(tile == n_tiles - 1)
+    def _():
+        c1_ref[:] = c1_acc[:]
+        # Mirror the strictly-upper blocks into the lower triangle.
+        g_full = g_acc[:]
+        lower_mask = jax.lax.broadcasted_iota(
+            jnp.int32, g_full.shape, 0
+        ) // kb > jax.lax.broadcasted_iota(
+            jnp.int32, g_full.shape, 1
+        ) // kb
+        g_ref[:] = jnp.where(lower_mask, g_full.T, g_full)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "scaling", "tile_p", "kblock", "interpret"),
+)
+def gram_block_culled(
+    betas: jnp.ndarray,
+    pos: jnp.ndarray,
+    sigma: jnp.ndarray,
+    y: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    tile_p: int = 8192,
+    kblock: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled MU statistics for a block of frames: ``(G, c1)``."""
+    bsz = betas.shape[0]
+    k = pos.shape[0]
+    kb = min(kblock, _round_up(k, SUBLANE))
+    nkb = -(-k // kb)
+    k_pad = nkb * kb
+    total_p = int(np.prod(size))
+    p_pad = _round_up(total_p, tile_p)
+    perm, params, blocks = _sorted_params(pos, sigma, kb, nkb)
+
+    n_tiles = p_pad // tile_p
+    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
+        bsz, n_tiles, 1, tile_p
+    )
+
+    g, c1 = pl.pallas_call(
+        functools.partial(
+            _gram_kernel_culled, size=tuple(size), scaling=scaling,
+            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, kb=kb,
+            nkb=nkb,
+        ),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, tile_p),
+                         lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, k_pad, k_pad), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, k_pad, 1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, k_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, k_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, k_pad), jnp.float32),
+            pltpu.VMEM((k_pad, 1), jnp.float32),
+            pltpu.VMEM((k_pad, tile_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(betas, blocks, params, y_pad)
+
+    # Undo the sort: sorted index i holds original neuron perm[i], so the
+    # original-order Gram is G_sorted[inv][:, inv] with inv = argsort(perm).
+    inv = jnp.argsort(perm)
+    g = g[:, :k, :k][:, inv, :][:, :, inv]
+    c1 = c1[:, :k, 0][:, inv]
+    return g, c1
+
+
+def _motion_kernel_culled(beta_ref, blocks_ref, pos_ref, w2_ref, y_ref,
+                          sse_ref, dbeta_ref, sse_acc, dbeta_acc,
+                          row_scr, *, size, scaling, tile_p, total_p,
+                          n_tiles, kb, nkb):
+    tile = pl.program_id(1)
+
+    @pl.when(tile == 0)
+    def _():
+        sse_acc[0, 0] = 0.0
+        dbeta_acc[:] = jnp.zeros_like(dbeta_acc)
+
+    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    psi, phi = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
+    valid = (idx < total_p).astype(jnp.float32)
+    w = _fade_row(psi, size) * valid
+    t_lo = jnp.min(psi[0])
+    t_hi = jnp.max(psi[0])
+
+    # row_scr rows: 0 = S, 1 = B1, 2:5 = B2_d (accumulated over blocks).
+    row_scr[:] = jnp.zeros_like(row_scr)
+    hi_prec = jax.lax.Precision.HIGHEST
+    for i in range(nkb):
+        active = (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+
+        @pl.when(active)
+        def _(i=i):
+            lo = i * kb
+            a = _block_footprint(psi, pos_ref, lo, kb)  # [kb, tp]
+            weights = jnp.concatenate(
+                [pos_ref[lo:lo + kb, 4:5], pos_ref[lo:lo + kb, 5:6],
+                 w2_ref[lo:lo + kb, 0:1], w2_ref[lo:lo + kb, 1:2],
+                 w2_ref[lo:lo + kb, 2:3],
+                 jnp.zeros((kb, 3), dtype=jnp.float32)],
+                axis=1,
+            )  # [kb, 8]
+            rows = jax.lax.dot_general(
+                weights, a, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi_prec,
+            )  # [8, tp]
+            row_scr[:] += rows
+
+    s = row_scr[0:1, :]
+    b1 = row_scr[1:2, :]
+    recon = w * s
+    r = (recon - y_ref[:] * valid) * valid
+    sse_acc[0, 0] += jnp.sum(r * r)
+
+    dpsi_rows = []
+    for d in range(3):
+        hi_d = float(size[d]) - 1.0
+        pd = psi[d]
+        dist = jnp.minimum(pd, hi_d - pd)
+        wd = jnp.clip(1.0 + dist, 0.0, 1.0)
+        ramp_grad = jnp.where(
+            (dist > -1.0) & (dist < 0.0), 1.0,
+            jnp.where((dist == 0.0) | (dist == -1.0), 0.5, 0.0),
+        )
+        sign = jnp.where(pd == hi_d - pd, 0.0,
+                         jnp.where(pd < hi_d - pd, 1.0, -1.0))
+        w_over = jnp.where(wd > 0.0, w / jnp.maximum(wd, 1e-12), 0.0)
+        dpsi_d = 2.0 * r * (
+            w * (row_scr[2 + d:3 + d, :] - pd * b1)
+            + s * w_over * ramp_grad * sign
+        )
+        if scaling == "normalized":
+            dpsi_d = dpsi_d * ((float(size[d]) - 1.0) / 2.0)
+        dpsi_rows.append(dpsi_d * (1.0 / total_p))
+    dpsi = jnp.concatenate(dpsi_rows, axis=0)
+    phi_mat = jnp.concatenate(phi, axis=0)
+
+    dbeta_acc[:] += jax.lax.dot_general(
+        dpsi, phi_mat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi_prec,
+    )
+
+    @pl.when(tile == n_tiles - 1)
+    def _():
+        sse_ref[0, 0] = sse_acc[0, 0]
+        dbeta_ref[:] = dbeta_acc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "scaling", "tile_p", "kblock", "interpret"),
+)
+def motion_block_culled(
+    betas: jnp.ndarray,
+    pos: jnp.ndarray,
+    sigma: jnp.ndarray,
+    c_block: jnp.ndarray,
+    y: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    tile_p: int = 8192,
+    kblock: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled data term + analytic beta gradient: ``(mse [B], dbeta)``."""
+    bsz = betas.shape[0]
+    k = pos.shape[0]
+    kb = min(kblock, _round_up(k, SUBLANE))
+    nkb = -(-k // kb)
+    k_pad = nkb * kb
+    total_p = int(np.prod(size))
+    p_pad = _round_up(total_p, tile_p)
+    perm, params, blocks, w2 = _sorted_params(pos, sigma, kb, nkb,
+                                              c_block=c_block)
+
+    n_tiles = p_pad // tile_p
+    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
+        bsz, n_tiles, 1, tile_p
+    )
+
+    sse, dbeta_t = pl.pallas_call(
+        functools.partial(
+            _motion_kernel_culled, size=tuple(size), scaling=scaling,
+            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, kb=kb,
+            nkb=nkb,
+        ),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, k_pad, 8), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, k_pad, 8), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, tile_p),
+                         lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 1, 1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 3, 10), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((3, 10), jnp.float32),
+            pltpu.VMEM((8, tile_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(betas, blocks, params, w2, y_pad)
+    return sse[:, 0, 0] / total_p, jnp.transpose(dbeta_t, (0, 2, 1))

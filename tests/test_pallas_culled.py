@@ -1,0 +1,88 @@
+"""Culled kernels vs dense kernels / XLA (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnmf_tpu.ops import basis as B
+from dnmf_tpu.ops import footprints as FP
+from dnmf_tpu.ops import mu as MU
+from dnmf_tpu.ops import pallas_culled as pc
+
+SIZE = (32, 10, 2)
+P = 32 * 10 * 2
+K = 12  # 2 blocks at kblock=8
+
+
+def _setup(rng, t=3):
+    pos = jnp.asarray(
+        rng.uniform([2, 2, 0.2], [30, 8, 1.8], (K, 3)).astype(np.float32)
+    )
+    sigma = jnp.asarray(rng.uniform(1.0, 2.0, (K,)).astype(np.float32))
+    betas = B.identity_beta(t) + 0.02 * jnp.asarray(
+        rng.normal(size=(t, 10, 3)).astype(np.float32)
+    )
+    y = jnp.asarray(rng.uniform(size=(t, P)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(size=(t, K)).astype(np.float32))
+    return pos, sigma, betas, y, c
+
+
+@pytest.mark.parametrize("scaling", ["pixel", "normalized"])
+def test_gram_culled_matches_xla(rng, scaling):
+    pos, sigma, betas, y, c = _setup(rng)
+    vb = (B.voxel_basis_normalized(SIZE) if scaling == "normalized"
+          else B.voxel_basis(SIZE))
+    g, c1 = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                 scaling=scaling, tile_p=128, kblock=8,
+                                 interpret=True)
+    for t in range(betas.shape[0]):
+        psi = B.warp_voxel_coords(vb, betas[t], SIZE, scaling)
+        a = FP.evaluate_footprints(psi, pos, sigma, size=SIZE)
+        g_ref, c1_ref = MU.mu_grams(a, y[t])
+        np.testing.assert_allclose(np.asarray(g[t]), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c1[t]),
+                                   np.asarray(c1_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("scaling", ["pixel", "normalized"])
+def test_motion_culled_matches_autodiff(rng, scaling):
+    pos, sigma, betas, y, c = _setup(rng)
+    vb = (B.voxel_basis_normalized(SIZE) if scaling == "normalized"
+          else B.voxel_basis(SIZE))
+    mses, dbetas = pc.motion_block_culled(
+        betas, pos, sigma, c, y, SIZE, scaling=scaling, tile_p=128,
+        kblock=8, interpret=True,
+    )
+
+    def loss(b, ct, yt):
+        psi = B.warp_voxel_coords(vb, b, SIZE, scaling)
+        a = FP.evaluate_footprints(psi, pos, sigma, size=SIZE)
+        return jnp.mean((a @ ct - yt) ** 2)
+
+    for t in range(betas.shape[0]):
+        l_ref, g_ref = jax.value_and_grad(loss)(betas[t], c[t], y[t])
+        np.testing.assert_allclose(float(mses[t]), float(l_ref),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dbetas[t]),
+                                   np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-6)
+
+
+def test_culled_single_block_degenerates(rng):
+    """kblock >= K: no culling, must equal the dense kernel."""
+    from dnmf_tpu.ops import pallas_kernels as pk
+
+    pos, sigma, betas, y, c = _setup(rng)
+    g_d, c1_d = pk.gram_block(betas, pos, sigma, y, SIZE,
+                              scaling="pixel", tile_p=128,
+                              interpret=True)
+    g_c, c1_c = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                     scaling="pixel", tile_p=128,
+                                     kblock=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1_c), np.asarray(c1_d),
+                               rtol=1e-5, atol=1e-6)
