@@ -88,9 +88,10 @@ def init_state(
 class _CulledShim:
     """Expose the culled kernels under the dense kernels' names.
 
-    kblock=128 keeps block-pair Gram dots at full 128x128 MXU-tile
-    utilization (64-wide blocks quartered it); the motion kernel's block
-    dots are tiny either way, and exp savings differ little.
+    Gram uses kblock=128 (block-pair dots at full 128x128 MXU-tile
+    utilization: 844 vs 1385 ms/64 whole-brain frames at 64-wide blocks);
+    motion uses kblock=64 (its block dots are tiny, so finer culling of
+    the exp work wins: 363 vs 427 ms).
     """
 
     @staticmethod
@@ -103,7 +104,7 @@ class _CulledShim:
     def motion_block(*args, **kwargs):
         from dnmf_tpu.ops import pallas_culled as pc
 
-        return pc.motion_block_culled(*args, kblock=128, **kwargs)
+        return pc.motion_block_culled(*args, kblock=64, **kwargs)
 
 
 def _pick_pallas(num_neurons: int):
