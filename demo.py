@@ -60,8 +60,17 @@ def main():
         model = C.reference_demo_model(parity=args.parity)
         opt = C.reference_demo_optimizer()
         if args.parity:
+            # Reference-exact numerics: serial mini-batch Adam at the
+            # reference's lr (tuned for the pixel-basis sensitivities).
             opt = C.OptimizerConfig(
                 **{**opt.__dict__, "motion_mode": "parity"}
+            )
+        else:
+            # TPU-native schedule: the normalized-coordinate basis is
+            # well-conditioned at ordinary learning rates.
+            opt = C.OptimizerConfig(
+                **{**opt.__dict__, "learning_rate": 1e-3,
+                   "outer_rounds": 10, "gamma_motion": 0.1}
             )
         if args.lr:
             opt = C.OptimizerConfig(**{**opt.__dict__,

@@ -87,6 +87,12 @@ class OptimizerConfig:
     #   TPU-native mode (per-frame beta fits are independent given C).
     motion_mode: str = "parallel"
     shuffle: bool = True
+    # Coarse-to-fine sigma annealing: per-round multipliers applied to the
+    # footprint widths during fitting (padded with 1.0).  Wider Gaussians
+    # carry longer-range alignment gradients — with frame-to-frame motion
+    # comparable to the footprint support, the data term's gradient at
+    # the identity deformation is otherwise nearly zero.
+    sigma_anneal: Tuple[float, ...] = ()
     seed: int = 0
 
 
@@ -112,7 +118,6 @@ class RegistrationConfig:
     border_nan: object = True  # True | False | "min" | "copy"
     gSig_filt: Optional[Tuple[int, ...]] = None
     min_mov: Optional[float] = None
-    nonneg_movie: bool = True
     # Apply shifts with the fast interpolating remap (reference
     # ``shifts_opencv=True``) instead of per-patch DFT + feathered blending.
     use_remap: bool = True
@@ -157,10 +162,6 @@ class RuntimeConfig:
     # Mesh axis sizes; None => single device.
     mesh_time: Optional[int] = None
     mesh_batch: Optional[int] = None
-    donate_state: bool = True
-    # Rematerialize footprint evaluation in the beta-fit backward pass
-    # (trades FLOPs for HBM).
-    remat_footprints: bool = True
     # Fused Pallas kernels for footprint evaluation + Gram/gradient
     # accumulation (None = auto: on for TPU backends with analytic
     # footprints).

@@ -65,6 +65,7 @@ class DeformableNMF:
             model, self.optimizer, positions=positions, key=init_key
         )
         self.metrics: List[dict] = []
+        self._base_sigma = self.state.sigma
         self._mesh = None
         if self.runtime.mesh_time:
             from dnmf_tpu.parallel import make_mesh, shard_state
@@ -94,6 +95,10 @@ class DeformableNMF:
             video = jnp.asarray(video)
             if video.ndim == 4:
                 video = video.reshape(video.shape[0], -1)
+            # NMF non-negativity: clamp raw arrays exactly like the
+            # dataset wrappers and StreamingVideo do (the reference clamps
+            # at dataset access, /root/reference/Demix/dNMF.py:215,246).
+            video = jnp.maximum(video, 0.0)
         if self._mesh is not None:
             from dnmf_tpu.parallel import shard_video
 
@@ -225,7 +230,12 @@ class DeformableNMF:
         video_flat = (video if self._is_streaming(video)
                       else self._video_flat(video))
         rounds = rounds or self.opt_config.outer_rounds
+        anneal = self.opt_config.sigma_anneal
         for r in range(rounds):
+            factor = anneal[r] if r < len(anneal) else 1.0
+            self.state = self.state._replace(
+                sigma=self._base_sigma * factor
+            )
             t0 = time.time()
             profiler_ctx = (
                 jax.profiler.trace(self.runtime.profile_dir)
@@ -326,11 +336,7 @@ class StaticFootprintNMF:
 
     def fit(self, video, iters: int = 50):
         """Alternate spatial/temporal MU updates; returns (A, C)."""
-        from dnmf_tpu.ops.mu import (
-            mu_grams,
-            mu_spatial_step,
-            mu_temporal_step,
-        )
+        from dnmf_tpu.ops.mu import mu_spatial_step
 
         video_flat = jnp.asarray(video)
         if video_flat.ndim == 4:
@@ -339,7 +345,8 @@ class StaticFootprintNMF:
 
         @jax.jit
         def step(a, c):
-            g, c1v = mu_grams(a, jnp.ones(a.shape[0]))  # G = A^T A
+            g = jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
             c1 = a.T @ y  # [K, T]
             c2 = g @ c
             c_new = c * c1 / (c2 + 1e-32)

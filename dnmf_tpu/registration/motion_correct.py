@@ -50,6 +50,10 @@ from dnmf_tpu.ops import fft_reg
 def _axis_starts(dim: int, window: int, stride: int) -> List[int]:
     """Patch start offsets along one axis: strided + one flush-end patch
     (reference ``sliding_window`` ranges, ``:1180-1188``)."""
+    if window >= dim:
+        # One patch covering the whole axis (a negative flush-end start
+        # would silently extract wrong-shaped patches via Python slicing).
+        return [0]
     starts = list(range(0, dim - window, stride))
     starts.append(dim - window)
     return starts
@@ -59,9 +63,10 @@ def patch_grid(dims, overlaps, strides):
     """Static patch geometry.
 
     Returns ``(starts [n_patches, nd] int array, grid_shape tuple,
-    window tuple)``.
+    window tuple)``.  Windows are clamped to the axis length.
     """
-    window = tuple(o + s for o, s in zip(overlaps, strides))
+    window = tuple(min(o + s, d)
+                   for o, s, d in zip(overlaps, strides, dims))
     axes = [
         _axis_starts(d, w, s) for d, w, s in zip(dims, window, strides)
     ]
@@ -384,6 +389,21 @@ class MotionCorrect:
                 cfg, max_shifts=tuple(cfg.max_shifts) + (1,) * (
                     nd - len(cfg.max_shifts)
                 )
+            )
+        # Pad patch geometry for 3-D inputs: default to one full-depth
+        # patch along z (the reference's 3-D demos use z-spanning patches).
+        if len(cfg.strides) < nd:
+            import dataclasses
+
+            z_dim = int(self.video[0].shape[3])
+            cfg = dataclasses.replace(
+                cfg,
+                strides=tuple(cfg.strides) + (z_dim,) * (
+                    nd - len(cfg.strides)
+                ),
+                overlaps=tuple(cfg.overlaps) + (0,) * (
+                    nd - len(cfg.overlaps)
+                ),
             )
         self.config = cfg
         self.min_mov = cfg.min_mov

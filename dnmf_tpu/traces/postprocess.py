@@ -250,6 +250,10 @@ def clean_traces(
         traces = traces / new_scales[:, None]
         offsets = offsets + (detrend_offsets + new_offsets) * scales
         scales = scales * new_scales
+        # Fold the [0.05, 0.95] remap into the returned affine so that
+        # original ~= cleaned * scales + offsets stays exact.
         traces = traces * 0.9 + 0.05
+        scales = scales / 0.9
+        offsets = offsets - 0.05 * scales
 
     return traces, scales, offsets

@@ -214,3 +214,34 @@ def test_static_footprint_nmf_recovers_traces():
     assert np.all(np.asarray(a) >= 0) and np.all(np.asarray(c) >= 0)
     corr = trace_correlations(np.asarray(c), np.asarray(ds.traces))
     assert np.all(corr > 0.8), corr
+
+
+def test_device_resident_video_clamped():
+    """Raw arrays with negative voxels are clamped like the dataset and
+    streaming paths (NMF non-negativity)."""
+    ds = _dataset()
+    video = np.asarray(ds.video).copy()
+    video[0, :5] = -1.0
+    eng = _engine(ds)
+    eng.update_footprints(jnp.asarray(video), iters=20)
+    assert np.all(eng.traces >= 0)
+
+
+def test_clean_traces_affine_contract(rng):
+    """original ~= cleaned * scales + offsets (including the 0.05 remap)."""
+    from dnmf_tpu.traces import clean_traces
+
+    x = np.arange(100)
+    traces = (1.0 + 0.5 * rng.random((3, 1))) * np.exp(-0.0 * x)[None]
+    traces = traces + rng.random((3, 100))
+    cleaned, scales, offsets = clean_traces(
+        traces, fps=4.0, sigma_threshold=None, detrend_mode=0,
+        interp_method="linear",
+    )
+    recon = cleaned * scales[:, None] + offsets[:, None]
+    ok = ~np.isnan(cleaned)
+    # Edge frames are NaN-trimmed then interpolated — they never carry the
+    # original values, so the affine contract applies to the interior.
+    ok[:, : int(round(4.0 / 2))] = False
+    ok[:, -1] = False
+    np.testing.assert_allclose(recon[ok], traces[ok], rtol=1e-6, atol=1e-9)

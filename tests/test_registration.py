@@ -143,3 +143,25 @@ def test_high_pass_filter_zero_mean_kernel(rng):
         high_pass_filter_space(jnp.asarray(flat), (3, 3))
     )
     np.testing.assert_allclose(out_flat, 0.0, atol=1e-4)
+
+
+def test_pwrigid_3d_default_2d_config(rng):
+    """3-D video with a 2-length strides config must not crash (geometry
+    pads to one full-depth z patch)."""
+    tmpl = _template(rng, (32, 32, 4))
+    video = _rolled_video(tmpl, [(0, 0, 0), (2, -1, 0), (-1, 2, 1)])
+    cfg = RegistrationConfig(max_shifts=(4, 4, 1), pw_rigid=True,
+                             strides=(16, 16), overlaps=(4, 4),
+                             max_deviation_rigid=2, border_nan=False)
+    mc = MotionCorrect(video, cfg).motion_correct(template=jnp.asarray(tmpl))
+    xs = np.asarray(mc.x_shifts_els)
+    assert xs.shape[0] == 3
+    np.testing.assert_allclose(xs.mean(1), [0, -2, 1], atol=0.5)
+
+
+def test_patch_grid_window_clamped_to_axis():
+    starts, grid_shape, window = patch_grid((12, 64), (8, 8), (8, 24))
+    # First axis: window 16 > 12 -> single full-axis patch of width 12.
+    assert window[0] == 12
+    assert grid_shape[0] == 1
+    assert all(s >= 0 for s in starts[:, 0])
