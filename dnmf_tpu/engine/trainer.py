@@ -163,6 +163,7 @@ class DeformableNMF:
                     self.state, video_flat, self.model, self.optimizer,
                     gamma, mesh=self._mesh,
                     frame_block=self.runtime.frame_block,
+                    use_pallas=self._use_pallas,
                 )
             else:
                 self.state, m = model_lib.motion_epoch_parallel(
@@ -189,6 +190,7 @@ class DeformableNMF:
             grams, c1 = sharded_compute_grams(
                 self.state, self._video_flat(video), self.model,
                 mesh=self._mesh, frame_block=self.runtime.frame_block,
+                use_pallas=self._use_pallas,
             )
         else:
             video_flat = self._video_flat(video)

@@ -63,23 +63,39 @@ def shard_video(video_flat: jnp.ndarray, mesh: Mesh):
     return jax.device_put(video_flat, NamedSharding(mesh, P(TIME_AXIS)))
 
 
-def _local_frame_grads(state, video_loc, model, gamma, frame_block):
+def _local_frame_grads(state, video_loc, model, gamma, frame_block,
+                       use_pallas=False, pallas_interpret=False):
     """Per-frame loss grads for the local frame shard (streamed)."""
     vb = model_lib.model_voxel_basis(model)
     stored_a = model_lib._maybe_stored_a(state, model, vb)
+
+    reg_fn = functools.partial(
+        jac_ops.corner_regularizer, size=model.size,
+        detach=model.deformation.detach_regularizer,
+        scaling=model.deformation.basis_scaling,
+    )
 
     def frame_loss(beta_t, y_t, c_t):
         a = model_lib.frame_footprints(beta_t, state.pos, state.sigma,
                                        model, vb, stored_a)
         mse = jnp.mean((a @ c_t - y_t) ** 2)
-        reg = jac_ops.corner_regularizer(
-            beta_t, model.size,
-            detach=model.deformation.detach_regularizer,
-            scaling=model.deformation.basis_scaling,
-        )
+        reg = reg_fn(beta_t)
         return mse + gamma * reg, (mse, reg)
 
-    grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
+    if use_pallas:
+        pk = model_lib._pick_pallas(model.num_neurons)
+
+        def grad_fn(beta_blk, y_blk, c_blk):
+            mses, dbetas = pk.motion_block(
+                beta_blk, state.pos, state.sigma, c_blk, y_blk,
+                model.size, scaling=model.deformation.basis_scaling,
+                interpret=pallas_interpret,
+            )
+            regs, dregs = jax.vmap(jax.value_and_grad(reg_fn))(beta_blk)
+            return ((mses + gamma * regs, (mses, regs)),
+                    dbetas + gamma * dregs)
+    else:
+        grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
     tl, p = video_loc.shape
     fb = min(frame_block, tl)
     pad = (-tl) % fb
@@ -106,7 +122,8 @@ def _local_frame_grads(state, video_loc, model, gamma, frame_block):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "optimizer", "gamma", "frame_block", "mesh"),
+    static_argnames=("model", "optimizer", "gamma", "frame_block", "mesh",
+                     "use_pallas", "pallas_interpret"),
 )
 def sharded_motion_epoch(
     state: model_lib.DNMFState,
@@ -116,6 +133,8 @@ def sharded_motion_epoch(
     gamma: float,
     mesh: Mesh,
     frame_block: int = 16,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[model_lib.DNMFState, dict]:
     """Frame-sharded equivalent of ``motion_epoch_parallel``.
 
@@ -125,7 +144,8 @@ def sharded_motion_epoch(
 
     def local_fn(state_loc, video_loc):
         grads, mses, regs = _local_frame_grads(
-            state_loc, video_loc, model, gamma, frame_block
+            state_loc, video_loc, model, gamma, frame_block,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         updates, opt_state = optimizer.update(
             grads, state_loc.opt_state, state_loc.beta
@@ -141,12 +161,14 @@ def sharded_motion_epoch(
         local_fn, mesh=mesh,
         in_specs=(specs, P(TIME_AXIS)),
         out_specs=(specs, {"recon_mse": P(), "reg": P()}),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
     )
     return f(state, video_flat)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "frame_block", "mesh")
+    jax.jit, static_argnames=("model", "frame_block", "mesh",
+                              "use_pallas", "pallas_interpret")
 )
 def sharded_compute_grams(
     state: model_lib.DNMFState,
@@ -154,6 +176,8 @@ def sharded_compute_grams(
     model: ModelConfig,
     mesh: Mesh,
     frame_block: int = 16,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame-sharded per-frame Grams: ``([T,K,K], [T,K])`` sharded on T."""
     specs = _state_specs(state)
@@ -170,15 +194,29 @@ def sharded_compute_grams(
         y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
         nb = (tl + pad) // fb
 
-        def one(beta_t, y_t):
-            a = model_lib.frame_footprints(
-                beta_t, state_loc.pos, state_loc.sigma, model, vb, stored_a
-            )
-            return mu_ops.mu_grams(a, y_t)
+        if use_pallas:
+            pk = model_lib._pick_pallas(model.num_neurons)
 
-        def block(_, xs):
-            g, c1 = jax.vmap(one)(*xs)
-            return None, (g, c1)
+            def block(_, xs):
+                beta_blk, y_blk = xs
+                g, c1 = pk.gram_block(
+                    beta_blk, state_loc.pos, state_loc.sigma, y_blk,
+                    model.size,
+                    scaling=model.deformation.basis_scaling,
+                    interpret=pallas_interpret,
+                )
+                return None, (g, c1)
+        else:
+            def one(beta_t, y_t):
+                a = model_lib.frame_footprints(
+                    beta_t, state_loc.pos, state_loc.sigma, model, vb,
+                    stored_a,
+                )
+                return mu_ops.mu_grams(a, y_t)
+
+            def block(_, xs):
+                g, c1 = jax.vmap(one)(*xs)
+                return None, (g, c1)
 
         _, (grams, c1) = jax.lax.scan(
             block, None,
@@ -191,6 +229,7 @@ def sharded_compute_grams(
         local_fn, mesh=mesh,
         in_specs=(specs, P(TIME_AXIS)),
         out_specs=(P(TIME_AXIS), P(TIME_AXIS)),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
     )
     return f(state, video_flat)
 

@@ -166,3 +166,33 @@ def test_engine_with_mesh_matches_single_device():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(eng_8.traces, eng_1.traces,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_with_pallas_interpret_matches():
+    """Pallas kernels inside shard_map (interpret mode on the CPU mesh)."""
+    model, optimizer, state, video = _setup()
+    mesh = make_mesh(num_time=4)
+    from dnmf_tpu.parallel.sharded import (
+        sharded_compute_grams as scg,
+        sharded_motion_epoch as sme,
+    )
+
+    ref_state, ref_m = M.motion_epoch_parallel(
+        state, video, model, optimizer, gamma=0.1, frame_block=4
+    )
+    sh_state, sh_m = sme(
+        shard_state(state, mesh), shard_video(video, mesh), model,
+        optimizer, gamma=0.1, mesh=mesh, frame_block=4,
+        use_pallas=True, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(sh_state.beta),
+                               np.asarray(ref_state.beta),
+                               rtol=0, atol=1e-5)
+
+    ref_g, ref_c1 = M.compute_grams(state, video, model, frame_block=4)
+    sh_g, sh_c1 = scg(
+        shard_state(state, mesh), shard_video(video, mesh), model,
+        mesh=mesh, frame_block=4, use_pallas=True, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(sh_g), np.asarray(ref_g),
+                               rtol=1e-4, atol=1e-5)
