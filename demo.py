@@ -45,7 +45,9 @@ def main():
         sim = C.SimulatorConfig(num_neurons=5, num_frames=20,
                                 size=(24, 24, 2), shape_std=2.0,
                                 density=0.3, bg_snr_db=-80.0,
-                                gp_sigma=(0.8, 0.8, 0.01), seed=args.seed,
+                                motion="gpt", gp_sigma=(1.5, 1.5, 0.01),
+                                gp_length_scale=(6.0, 6.0, 6.0),
+                                seed=args.seed,
                                 min_separation=5.0, margin=4.0)
         model = C.ModelConfig(size=sim.size, num_neurons=sim.num_neurons,
                               num_frames=sim.num_frames,

@@ -126,6 +126,47 @@ def gp_motion(
     return pos
 
 
+def gp_time_motion(
+    key: jax.Array,
+    num_neurons: int,
+    num_frames: int,
+    sigma=(2.0, 2.0, 0.1),
+    length_scale: float = 10.0,
+    size=(10, 10, 1),
+    min_separation: float = 0.0,
+    margin: float = 0.0,
+) -> jnp.ndarray:
+    """Temporally-smooth GP motion (capability upgrade over the
+    reference's ``'gp'`` model, which draws i.i.d. per-frame offsets —
+    see the module docstring).  Each neuron/axis trajectory is a draw
+    from ``N(0, sigma_d * RBF(length_scale))`` over *time*.
+
+    Returns positions ``[K, 3, T]``.
+    """
+    k_anchor, k_eps = jax.random.split(key)
+    anchors = _sample_anchors(k_anchor, num_neurons, size,
+                              min_separation=min_separation, margin=margin)
+    t = jnp.arange(num_frames, dtype=jnp.float32)
+    evals_list = []
+    evecs_list = []
+    for d in range(3):
+        cov = _rbf_kernel(t, sigma[d], length_scale)
+        evals, evecs = jnp.linalg.eigh(cov)
+        evals_list.append(jnp.sqrt(jnp.maximum(evals, 0.0)))
+        evecs_list.append(evecs)
+    eps = jax.random.normal(k_eps, (3, num_neurons, num_frames))
+    offsets = jnp.stack(
+        [
+            (evecs_list[d] * evals_list[d][None, :]) @ eps[d].T
+            for d in range(3)
+        ],
+        axis=0,
+    )  # [3, T, K]
+    return anchors.T[:, None, :].transpose(2, 0, 1) + jnp.transpose(
+        offsets, (2, 0, 1)
+    )
+
+
 def _identity_affine_beta(means) -> jnp.ndarray:
     """``[10, 3]`` identity affine with constant offsets ``means``."""
     b = jnp.zeros((10, 3), dtype=jnp.float32)
@@ -298,6 +339,14 @@ def generate_video(
         positions = gp_motion(
             k_motion, config.num_neurons, config.num_frames,
             sigma=config.gp_sigma, length_scale=config.gp_length_scale,
+            size=config.size, min_separation=config.min_separation,
+            margin=config.margin,
+        )
+    elif motion == "gpt":
+        positions = gp_time_motion(
+            k_motion, config.num_neurons, config.num_frames,
+            sigma=config.gp_sigma,
+            length_scale=config.gp_length_scale[0],
             size=config.size, min_separation=config.min_separation,
             margin=config.margin,
         )

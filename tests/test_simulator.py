@@ -171,3 +171,22 @@ def test_snr_calculators_finite():
     pos = S.gp_motion(jax.random.PRNGKey(0), 5, 10, sigma=(1, 1, 0.01),
                       length_scale=(5, 5, 5), size=(20, 20, 2))
     assert np.isfinite(S.compute_snr_positions(np.asarray(pos)))
+
+
+def test_gp_time_motion_is_smooth():
+    """'gpt' trajectories are temporally smooth (unlike the reference's
+    white-in-time 'gp' model)."""
+    pos_t = simulator.gp_time_motion(
+        jax.random.PRNGKey(0), 6, 80, sigma=(2.0, 2.0, 0.05),
+        length_scale=10.0, size=(30, 30, 2),
+    )
+    assert pos_t.shape == (6, 3, 80)
+    p = np.asarray(pos_t)
+    step = np.abs(np.diff(p[:, 0, :], axis=1)).mean()
+    amplitude = (p[:, 0, :] - p[:, 0, :].mean(1, keepdims=True)).std()
+    assert step < 0.3 * amplitude  # steps much smaller than excursions
+
+    cfg = SimulatorConfig(num_neurons=3, num_frames=10, size=(16, 16, 2),
+                          motion="gpt", gp_sigma=(1.0, 1.0, 0.01))
+    video, positions, traces = simulator.generate_video(cfg)
+    assert video.shape == (10, 16, 16, 2)
