@@ -54,8 +54,8 @@ def main():
                               shape_std=sim.shape_std)
         opt = C.OptimizerConfig(learning_rate=args.lr or 1e-3,
                                 motion_epochs=10, mu_iters=30,
-                                outer_rounds=args.rounds or 10,
-                                gamma_motion=0.1)
+                                outer_rounds=args.rounds or 15,
+                                gamma_motion=0.01)
     else:
         sim = C.reference_demo_simulator()
         sim = C.SimulatorConfig(**{**sim.__dict__, "seed": args.seed})

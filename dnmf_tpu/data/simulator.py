@@ -68,8 +68,14 @@ def _sample_anchors(
     """
     import numpy as np
 
-    lo = jnp.full((3,), margin, dtype=jnp.float32)
-    hi = jnp.asarray(size, dtype=jnp.float32) - margin
+    # Clamp the margin per axis: a margin wider than half the axis (e.g.
+    # z in thin volumes) would invert the bounds and place anchors
+    # outside the volume entirely.
+    sz = jnp.asarray(size, dtype=jnp.float32)
+    eff = jnp.minimum(jnp.full((3,), margin, dtype=jnp.float32),
+                      (sz - 1.0) / 2.0)
+    lo = eff
+    hi = sz - eff
     if min_separation <= 0.0:
         u = jax.random.uniform(key, (num_neurons, 3))
         return lo + u * (hi - lo)

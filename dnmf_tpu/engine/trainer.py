@@ -67,6 +67,18 @@ class DeformableNMF:
         self.metrics: List[dict] = []
         self._base_sigma = self.state.sigma
         self._mesh = None
+        if self.runtime.mesh_batch and not self.runtime.mesh_time:
+            raise ValueError(
+                "mesh_batch partitions recordings, which a single "
+                "DeformableNMF does not have — use "
+                "dnmf_tpu.parallel.batched for multi-recording runs "
+                "(set mesh_time for frame sharding)"
+            )
+        if self.runtime.mesh_time and optimizer.motion_mode == "parity":
+            raise ValueError(
+                "parity motion mode is batch-serial and bypasses the "
+                "frame mesh; use motion_mode='parallel' with mesh_time"
+            )
         if self.runtime.mesh_time:
             from dnmf_tpu.parallel import make_mesh, shard_state
 
@@ -343,7 +355,8 @@ class StaticFootprintNMF:
         video_flat = jnp.asarray(video)
         if video_flat.ndim == 4:
             video_flat = video_flat.reshape(video_flat.shape[0], -1)
-        y = video_flat.T  # [P, T]
+        # MU non-negativity precondition (same clamp as DeformableNMF).
+        y = jnp.maximum(video_flat, 0.0).T  # [P, T]
 
         @jax.jit
         def step(a, c):

@@ -284,32 +284,49 @@ def motion_epoch_parallel(
     analytic gradient come from the fused Pallas kernel — the footprint
     matrix never touches HBM.
     """
+    t = video_flat.shape[0]
+    grads, mses, regs = frame_grads_local(
+        state, video_flat, model, gamma, frame_block,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.beta)
+    beta = optax.apply_updates(state.beta, updates)
+    metrics = {"recon_mse": jnp.mean(mses), "reg": jnp.mean(regs)}
+    return state._replace(beta=beta, opt_state=opt_state), metrics
+
+
+def frame_grads_local(
+    state: DNMFState,
+    video_loc: jnp.ndarray,
+    model: ModelConfig,
+    gamma: float,
+    frame_block: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
+    """Per-frame loss gradients for a (local) set of frames.
+
+    The single compute body shared by the single-device epoch, the
+    shard_map per-shard function, and the host-streamed path — one place
+    for the pallas dispatch, precision, padding, and scan logic.
+
+    Returns ``(grads [Tl, 10, 3], mses [Tl], regs [Tl])``.
+    """
     vb = model_voxel_basis(model)
     stored_a = _maybe_stored_a(state, model, vb)
-    t, p = video_flat.shape
+    tl, p = video_loc.shape
 
-    def frame_loss(beta_t, y_t, c_t):
-        a = frame_footprints(beta_t, state.pos, state.sigma, model, vb,
-                             stored_a)
-        recon = jnp.dot(a, c_t, precision=jax.lax.Precision.HIGHEST)
-        mse = jnp.mean((recon - y_t) ** 2)
-        reg = jac_ops.corner_regularizer(
-            beta_t, model.size,
-            detach=model.deformation.detach_regularizer,
-            scaling=model.deformation.basis_scaling,
-        )
-        return mse + gamma * reg, (mse, reg)
+    reg_fn = functools.partial(
+        jac_ops.corner_regularizer, size=model.size,
+        detach=model.deformation.detach_regularizer,
+        scaling=model.deformation.basis_scaling,
+    )
 
     if use_pallas:
         if model.deformation.footprint_mode != "analytic":
             raise ValueError("pallas path requires analytic footprints")
         pk = _pick_pallas(model.num_neurons)
-
-        reg_fn = functools.partial(
-            jac_ops.corner_regularizer, size=model.size,
-            detach=model.deformation.detach_regularizer,
-            scaling=model.deformation.basis_scaling,
-        )
 
         def grad_fn(beta_blk, y_blk, c_blk):
             mses, dbetas = pk.motion_block(
@@ -318,40 +335,101 @@ def motion_epoch_parallel(
                 interpret=pallas_interpret,
             )
             regs, dregs = jax.vmap(jax.value_and_grad(reg_fn))(beta_blk)
-            losses = mses + gamma * regs
-            return (losses, (mses, regs)), dbetas + gamma * dregs
+            return (mses, regs), dbetas + gamma * dregs
     else:
-        grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
+        def frame_loss(beta_t, y_t, c_t):
+            a = frame_footprints(beta_t, state.pos, state.sigma, model,
+                                 vb, stored_a)
+            recon = jnp.dot(a, c_t,
+                            precision=jax.lax.Precision.HIGHEST)
+            mse = jnp.mean((recon - y_t) ** 2)
+            reg = reg_fn(beta_t)
+            return mse + gamma * reg, (mse, reg)
 
-    pad = (-t) % frame_block
+        vg = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
+
+        def grad_fn(beta_blk, y_blk, c_blk):
+            (_, (mses, regs)), g = vg(beta_blk, y_blk, c_blk)
+            return (mses, regs), g
+
+    fb = min(frame_block, tl)
+    pad = (-tl) % fb
     beta_p = jnp.concatenate(
         [state.beta, basis_ops.identity_beta(pad)], axis=0
     ) if pad else state.beta
-    y_p = jnp.pad(video_flat, ((0, pad), (0, 0))) if pad else video_flat
+    y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
     c_p = jnp.pad(state.c, ((0, 0), (0, pad))) if pad else state.c
-    nb = (t + pad) // frame_block
+    nb = (tl + pad) // fb
 
     def block(_, xs):
         beta_blk, y_blk, c_blk = xs
-        (_, (mse, reg)), g = grad_fn(beta_blk, y_blk, c_blk)
+        (mse, reg), g = grad_fn(beta_blk, y_blk, c_blk)
         return None, (g, mse, reg)
 
     _, (grads, mses, regs) = jax.lax.scan(
         block, None,
-        (
-            beta_p.reshape(nb, frame_block, 10, 3),
-            y_p.reshape(nb, frame_block, p),
-            c_p.T.reshape(nb, frame_block, -1),
-        ),
+        (beta_p.reshape(nb, fb, 10, 3), y_p.reshape(nb, fb, p),
+         c_p.T.reshape(nb, fb, -1)),
     )
-    grads = grads.reshape(-1, 10, 3)[:t]
-    updates, opt_state = optimizer.update(grads, state.opt_state, state.beta)
-    beta = optax.apply_updates(state.beta, updates)
-    metrics = {
-        "recon_mse": jnp.mean(mses.reshape(-1)[:t]),
-        "reg": jnp.mean(regs.reshape(-1)[:t]),
-    }
-    return state._replace(beta=beta, opt_state=opt_state), metrics
+    return (grads.reshape(-1, 10, 3)[:tl], mses.reshape(-1)[:tl],
+            regs.reshape(-1)[:tl])
+
+
+def grams_local(
+    state: DNMFState,
+    video_loc: jnp.ndarray,
+    model: ModelConfig,
+    frame_block: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
+    """Per-frame MU statistics for a (local) set of frames — the shared
+    body behind ``compute_grams`` and the sharded/streamed variants.
+
+    Returns ``(grams [Tl, K, K], c1 [Tl, K])``.
+    """
+    vb = model_voxel_basis(model)
+    stored_a = _maybe_stored_a(state, model, vb)
+    tl, p = video_loc.shape
+
+    fb = min(frame_block, tl)
+    pad = (-tl) % fb
+    beta_p = jnp.concatenate(
+        [state.beta, basis_ops.identity_beta(pad)], axis=0
+    ) if pad else state.beta
+    y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
+    nb = (tl + pad) // fb
+
+    if use_pallas:
+        if model.deformation.footprint_mode != "analytic":
+            raise ValueError("pallas path requires analytic footprints")
+        pk = _pick_pallas(model.num_neurons)
+
+        def block(_, xs):
+            beta_blk, y_blk = xs
+            g, c1 = pk.gram_block(
+                beta_blk, state.pos, state.sigma, y_blk, model.size,
+                scaling=model.deformation.basis_scaling,
+                interpret=pallas_interpret,
+            )
+            return None, (g, c1)
+    else:
+        def one(beta_t, y_t):
+            a = frame_footprints(beta_t, state.pos, state.sigma, model,
+                                 vb, stored_a)
+            return mu_ops.mu_grams(a, y_t)
+
+        def block(_, xs):
+            beta_blk, y_blk = xs
+            g, c1 = jax.vmap(one)(beta_blk, y_blk)
+            return None, (g, c1)
+
+    _, (grams, c1) = jax.lax.scan(
+        block, None,
+        (beta_p.reshape(nb, fb, 10, 3), y_p.reshape(nb, fb, p)),
+    )
+    k = state.c.shape[0]
+    return grams.reshape(-1, k, k)[:tl], c1.reshape(-1, k)[:tl]
 
 
 def _maybe_stored_a(state: DNMFState, model: ModelConfig,
@@ -381,48 +459,10 @@ def compute_grams(
     ``use_pallas`` the fused kernel accumulates each frame's Gram in VMEM
     (analytic footprint mode only).
     """
-    vb = model_voxel_basis(model)
-    stored_a = _maybe_stored_a(state, model, vb)
-    t, p = video_flat.shape
-
-    pad = (-t) % frame_block
-    beta_p = jnp.concatenate(
-        [state.beta, basis_ops.identity_beta(pad)], axis=0
-    ) if pad else state.beta
-    y_p = jnp.pad(video_flat, ((0, pad), (0, 0))) if pad else video_flat
-    nb = (t + pad) // frame_block
-
-    if use_pallas:
-        if model.deformation.footprint_mode != "analytic":
-            raise ValueError("pallas path requires analytic footprints")
-        pk = _pick_pallas(model.num_neurons)
-
-        def block(_, xs):
-            beta_blk, y_blk = xs
-            g, c1 = pk.gram_block(
-                beta_blk, state.pos, state.sigma, y_blk, model.size,
-                scaling=model.deformation.basis_scaling,
-                interpret=pallas_interpret,
-            )
-            return None, (g, c1)
-    else:
-        def one(beta_t, y_t):
-            a = frame_footprints(beta_t, state.pos, state.sigma, model,
-                                 vb, stored_a)
-            return mu_ops.mu_grams(a, y_t)
-
-        def block(_, xs):
-            beta_blk, y_blk = xs
-            g, c1 = jax.vmap(one)(beta_blk, y_blk)
-            return None, (g, c1)
-
-    _, (grams, c1) = jax.lax.scan(
-        block, None,
-        (beta_p.reshape(nb, frame_block, 10, 3),
-         y_p.reshape(nb, frame_block, p)),
+    return grams_local(
+        state, video_flat, model, frame_block,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
     )
-    k = state.c.shape[0]
-    return grams.reshape(-1, k, k)[:t], c1.reshape(-1, k)[:t]
 
 
 @functools.partial(
@@ -500,54 +540,25 @@ def _stream_block_grads(
     """Per-frame loss grads for one host-streamed frame block.
 
     One compiled program serves every block: the final partial block is
-    zero-padded and masked via ``valid``.
+    zero-padded and masked via ``valid``.  Pads beta/C before slicing —
+    dynamic_slice clamps out-of-range starts, which would otherwise hand
+    the final block earlier frames' coefficients.
     """
-    # Pad before slicing: dynamic_slice clamps out-of-range starts, which
-    # would silently hand the final (padded) block earlier frames' beta.
     beta_pad = jnp.concatenate(
         [state.beta, basis_ops.identity_beta(block)], axis=0
     )
     c_pad = jnp.pad(state.c, ((0, 0), (0, block)))
-    beta_blk = jax.lax.dynamic_slice_in_dim(beta_pad, start, block)
-    c_blk = jax.lax.dynamic_slice_in_dim(c_pad, start, block,
-                                         axis=1).T  # [B, K]
-    mask = (jnp.arange(block) < valid).astype(jnp.float32)
-
-    reg_fn = functools.partial(
-        jac_ops.corner_regularizer, size=model.size,
-        detach=model.deformation.detach_regularizer,
-        scaling=model.deformation.basis_scaling,
+    state_loc = state._replace(
+        beta=jax.lax.dynamic_slice_in_dim(beta_pad, start, block),
+        c=jax.lax.dynamic_slice_in_dim(c_pad, start, block, axis=1),
     )
-
-    if use_pallas:
-        pk = _pick_pallas(model.num_neurons)
-
-        mses, dbetas = pk.motion_block(
-            beta_blk, state.pos, state.sigma, c_blk, frames, model.size,
-            scaling=model.deformation.basis_scaling,
-            interpret=pallas_interpret,
-        )
-        regs, dregs = jax.vmap(jax.value_and_grad(reg_fn))(beta_blk)
-        grads = dbetas + gamma * dregs
-    else:
-        vb = model_voxel_basis(model)
-        stored_a = _maybe_stored_a(state, model, vb)
-
-        def frame_loss(beta_t, y_t, c_t):
-            a = frame_footprints(beta_t, state.pos, state.sigma, model,
-                                 vb, stored_a)
-            recon = jnp.dot(a, c_t,
-                            precision=jax.lax.Precision.HIGHEST)
-            mse = jnp.mean((recon - y_t) ** 2)
-            reg = reg_fn(beta_t)
-            return mse + gamma * reg, (mse, reg)
-
-        (_, (mses, regs)), grads = jax.vmap(
-            jax.value_and_grad(frame_loss, has_aux=True)
-        )(beta_blk, frames, c_blk)
-
-    grads = grads * mask[:, None, None]
-    return grads, jnp.sum(mses * mask), jnp.sum(regs * mask)
+    grads, mses, regs = frame_grads_local(
+        state_loc, frames, model, gamma, block,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+    )
+    mask = (jnp.arange(block) < valid).astype(jnp.float32)
+    return (grads * mask[:, None, None], jnp.sum(mses * mask),
+            jnp.sum(regs * mask))
 
 
 def motion_epoch_streaming(
@@ -599,24 +610,13 @@ def _stream_block_grams(
     beta_pad = jnp.concatenate(
         [state.beta, basis_ops.identity_beta(block)], axis=0
     )
-    beta_blk = jax.lax.dynamic_slice_in_dim(beta_pad, start, block)
-    if use_pallas:
-        pk = _pick_pallas(model.num_neurons)
-
-        return pk.gram_block(
-            beta_blk, state.pos, state.sigma, frames, model.size,
-            scaling=model.deformation.basis_scaling,
-            interpret=pallas_interpret,
-        )
-    vb = model_voxel_basis(model)
-    stored_a = _maybe_stored_a(state, model, vb)
-
-    def one(beta_t, y_t):
-        a = frame_footprints(beta_t, state.pos, state.sigma, model, vb,
-                             stored_a)
-        return mu_ops.mu_grams(a, y_t)
-
-    return jax.vmap(one)(beta_blk, frames)
+    state_loc = state._replace(
+        beta=jax.lax.dynamic_slice_in_dim(beta_pad, start, block)
+    )
+    return grams_local(
+        state_loc, frames, model, block,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+    )
 
 
 def compute_grams_streaming(

@@ -113,13 +113,16 @@ def normalize_points(points: jnp.ndarray, size) -> jnp.ndarray:
     learning rate is tiny (the reference's lr=1e-5).  In ``[-1, 1]`` all
     10 basis terms are O(1) and conditioning is uniform.
     """
-    hi = jnp.asarray(size, dtype=points.dtype) - 1.0
+    # Singleton axes (size 1) would divide by zero; their only coordinate
+    # is 0, which maps to -1 under max(size-1, 1) — and denormalize maps
+    # it back to 0 exactly.
+    hi = jnp.maximum(jnp.asarray(size, dtype=points.dtype) - 1.0, 1.0)
     return 2.0 * points / hi - 1.0
 
 
 def denormalize_points(points: jnp.ndarray, size) -> jnp.ndarray:
     """Inverse of :func:`normalize_points`."""
-    hi = jnp.asarray(size, dtype=points.dtype) - 1.0
+    hi = jnp.maximum(jnp.asarray(size, dtype=points.dtype) - 1.0, 1.0)
     return (points + 1.0) / 2.0 * hi
 
 

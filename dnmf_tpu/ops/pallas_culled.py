@@ -299,7 +299,7 @@ def _motion_kernel_culled(beta_ref, blocks_ref, pos_ref, w2_ref, y_ref,
             + s * w_over * ramp_grad * sign
         )
         if scaling == "normalized":
-            dpsi_d = dpsi_d * ((float(size[d]) - 1.0) / 2.0)
+            dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
         dpsi_rows.append(dpsi_d * (1.0 / total_p))
     dpsi = jnp.concatenate(dpsi_rows, axis=0)
     phi_mat = jnp.concatenate(phi, axis=0)

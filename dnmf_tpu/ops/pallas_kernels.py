@@ -76,9 +76,11 @@ def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
     from SMEM) — no [tp, small] matmuls, full lane utilization.
     """
     if scaling == "normalized":
-        xs = 2.0 * mi / (float(size[0]) - 1.0) - 1.0
-        ys = 2.0 * ni / (float(size[1]) - 1.0) - 1.0
-        zs = 2.0 * zi / (float(size[2]) - 1.0) - 1.0
+        # max(size-1, 1): singleton axes would divide by zero (their only
+        # coordinate, 0, maps to -1 and denormalizes back to 0).
+        xs = 2.0 * mi / max(float(size[0]) - 1.0, 1.0) - 1.0
+        ys = 2.0 * ni / max(float(size[1]) - 1.0, 1.0) - 1.0
+        zs = 2.0 * zi / max(float(size[2]) - 1.0, 1.0) - 1.0
     else:
         xs, ys, zs = mi, ni, zi
     one = jnp.ones_like(xs)
@@ -90,7 +92,7 @@ def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
         for b in range(10):
             acc = acc + beta_ref[b, d] * phi[b]
         if scaling == "normalized":
-            acc = (acc + 1.0) / 2.0 * (float(size[d]) - 1.0)
+            acc = (acc + 1.0) / 2.0 * max(float(size[d]) - 1.0, 1.0)
         psi.append(acc)
     return psi, phi
 
@@ -320,7 +322,7 @@ def _motion_kernel(beta_ref, pos_ref, w2_ref, y_ref, sse_ref, dbeta_ref,
             w * (b2[d] - pd * b1) + s * w_over * ramp_grad * sign
         )
         if scaling == "normalized":
-            dpsi_d = dpsi_d * ((float(size[d]) - 1.0) / 2.0)
+            dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
         dpsi_rows.append(dpsi_d * (1.0 / total_p))
     dpsi = jnp.concatenate(dpsi_rows, axis=0)  # [3, tp]
     phi_mat = jnp.concatenate(phi, axis=0)  # [10, tp]

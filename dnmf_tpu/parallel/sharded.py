@@ -63,63 +63,6 @@ def shard_video(video_flat: jnp.ndarray, mesh: Mesh):
     return jax.device_put(video_flat, NamedSharding(mesh, P(TIME_AXIS)))
 
 
-def _local_frame_grads(state, video_loc, model, gamma, frame_block,
-                       use_pallas=False, pallas_interpret=False):
-    """Per-frame loss grads for the local frame shard (streamed)."""
-    vb = model_lib.model_voxel_basis(model)
-    stored_a = model_lib._maybe_stored_a(state, model, vb)
-
-    reg_fn = functools.partial(
-        jac_ops.corner_regularizer, size=model.size,
-        detach=model.deformation.detach_regularizer,
-        scaling=model.deformation.basis_scaling,
-    )
-
-    def frame_loss(beta_t, y_t, c_t):
-        a = model_lib.frame_footprints(beta_t, state.pos, state.sigma,
-                                       model, vb, stored_a)
-        mse = jnp.mean((a @ c_t - y_t) ** 2)
-        reg = reg_fn(beta_t)
-        return mse + gamma * reg, (mse, reg)
-
-    if use_pallas:
-        pk = model_lib._pick_pallas(model.num_neurons)
-
-        def grad_fn(beta_blk, y_blk, c_blk):
-            mses, dbetas = pk.motion_block(
-                beta_blk, state.pos, state.sigma, c_blk, y_blk,
-                model.size, scaling=model.deformation.basis_scaling,
-                interpret=pallas_interpret,
-            )
-            regs, dregs = jax.vmap(jax.value_and_grad(reg_fn))(beta_blk)
-            return ((mses + gamma * regs, (mses, regs)),
-                    dbetas + gamma * dregs)
-    else:
-        grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
-    tl, p = video_loc.shape
-    fb = min(frame_block, tl)
-    pad = (-tl) % fb
-    beta_p = jnp.concatenate(
-        [state.beta, basis_ops.identity_beta(pad)], 0
-    ) if pad else state.beta
-    y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
-    c_p = jnp.pad(state.c, ((0, 0), (0, pad))) if pad else state.c
-    nb = (tl + pad) // fb
-
-    def block(_, xs):
-        beta_blk, y_blk, c_blk = xs
-        (_, (mse, reg)), g = grad_fn(beta_blk, y_blk, c_blk)
-        return None, (g, mse, reg)
-
-    _, (grads, mses, regs) = jax.lax.scan(
-        block, None,
-        (beta_p.reshape(nb, fb, 10, 3), y_p.reshape(nb, fb, p),
-         c_p.T.reshape(nb, fb, -1)),
-    )
-    return (grads.reshape(-1, 10, 3)[:tl],
-            mses.reshape(-1)[:tl], regs.reshape(-1)[:tl])
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("model", "optimizer", "gamma", "frame_block", "mesh",
@@ -143,7 +86,7 @@ def sharded_motion_epoch(
     specs = _state_specs(state)
 
     def local_fn(state_loc, video_loc):
-        grads, mses, regs = _local_frame_grads(
+        grads, mses, regs = model_lib.frame_grads_local(
             state_loc, video_loc, model, gamma, frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
@@ -183,47 +126,10 @@ def sharded_compute_grams(
     specs = _state_specs(state)
 
     def local_fn(state_loc, video_loc):
-        vb = model_lib.model_voxel_basis(model)
-        stored_a = model_lib._maybe_stored_a(state_loc, model, vb)
-        tl, p = video_loc.shape
-        fb = min(frame_block, tl)
-        pad = (-tl) % fb
-        beta_p = jnp.concatenate(
-            [state_loc.beta, basis_ops.identity_beta(pad)], 0
-        ) if pad else state_loc.beta
-        y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
-        nb = (tl + pad) // fb
-
-        if use_pallas:
-            pk = model_lib._pick_pallas(model.num_neurons)
-
-            def block(_, xs):
-                beta_blk, y_blk = xs
-                g, c1 = pk.gram_block(
-                    beta_blk, state_loc.pos, state_loc.sigma, y_blk,
-                    model.size,
-                    scaling=model.deformation.basis_scaling,
-                    interpret=pallas_interpret,
-                )
-                return None, (g, c1)
-        else:
-            def one(beta_t, y_t):
-                a = model_lib.frame_footprints(
-                    beta_t, state_loc.pos, state_loc.sigma, model, vb,
-                    stored_a,
-                )
-                return mu_ops.mu_grams(a, y_t)
-
-            def block(_, xs):
-                g, c1 = jax.vmap(one)(*xs)
-                return None, (g, c1)
-
-        _, (grams, c1) = jax.lax.scan(
-            block, None,
-            (beta_p.reshape(nb, fb, 10, 3), y_p.reshape(nb, fb, p)),
+        return model_lib.grams_local(
+            state_loc, video_loc, model, frame_block,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
-        k = state_loc.c.shape[0]
-        return grams.reshape(-1, k, k)[:tl], c1.reshape(-1, k)[:tl]
 
     f = jax.shard_map(
         local_fn, mesh=mesh,

@@ -45,3 +45,13 @@ def test_voxel_basis_matches_grid():
     np.testing.assert_allclose(
         np.asarray(vb), np.asarray(basis.quadratic_basis_points(g))
     )
+
+
+def test_normalized_roundtrip_singleton_axis():
+    """Singleton axes (planar recordings, Z=1) must not divide by zero."""
+    pts = jnp.asarray([[3.0, 4.0, 0.0]])
+    n = basis.normalize_points(pts, (10, 10, 1))
+    assert np.all(np.isfinite(np.asarray(n)))
+    back = basis.denormalize_points(n, (10, 10, 1))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts),
+                               atol=1e-6)
