@@ -123,9 +123,16 @@ def gp_motion(
         # RBF kernels are numerically rank-deficient; a Cholesky in float32
         # NaNs.  Use a symmetric eigendecomposition with clamped
         # eigenvalues — the same Gaussian up to an orthogonal rotation of
-        # the white noise.
-        evals, evecs = jnp.linalg.eigh(cov)
-        factor = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
+        # the white noise.  Factor on host: the matrix is tiny and TPU
+        # eigh compiles for minutes through remote-compile setups.
+        import numpy as np
+
+        evals, evecs = np.linalg.eigh(np.asarray(cov, dtype=np.float64))
+        factor = jnp.asarray(
+            (evecs * np.sqrt(np.maximum(evals, 0.0))[None, :]).astype(
+                np.float32
+            )
+        )
         return anchors[:, d][:, None] + factor @ eps[d]
 
     pos = jnp.stack([per_axis(d) for d in range(3)], axis=1)  # [K, 3, T]
@@ -152,14 +159,20 @@ def gp_time_motion(
     k_anchor, k_eps = jax.random.split(key)
     anchors = _sample_anchors(k_anchor, num_neurons, size,
                               min_separation=min_separation, margin=margin)
+    import numpy as np
+
     t = jnp.arange(num_frames, dtype=jnp.float32)
     evals_list = []
     evecs_list = []
     for d in range(3):
-        cov = _rbf_kernel(t, sigma[d], length_scale)
-        evals, evecs = jnp.linalg.eigh(cov)
-        evals_list.append(jnp.sqrt(jnp.maximum(evals, 0.0)))
-        evecs_list.append(evecs)
+        # Host eigh: tiny matrix, avoids minutes-long TPU eigh compiles.
+        cov = np.asarray(_rbf_kernel(t, sigma[d], length_scale),
+                         dtype=np.float64)
+        evals, evecs = np.linalg.eigh(cov)
+        evals_list.append(
+            jnp.asarray(np.sqrt(np.maximum(evals, 0.0)).astype(np.float32))
+        )
+        evecs_list.append(jnp.asarray(evecs.astype(np.float32)))
     eps = jax.random.normal(k_eps, (3, num_neurons, num_frames))
     offsets = jnp.stack(
         [
@@ -168,9 +181,7 @@ def gp_time_motion(
         ],
         axis=0,
     )  # [3, T, K]
-    return anchors.T[:, None, :].transpose(2, 0, 1) + jnp.transpose(
-        offsets, (2, 0, 1)
-    )
+    return anchors[:, :, None] + jnp.transpose(offsets, (2, 0, 1))
 
 
 def _identity_affine_beta(means) -> jnp.ndarray:
@@ -262,7 +273,7 @@ def exponential_traces(
     """
     kernel = jnp.exp(jnp.arange(0.0, -3.0, -0.3))
     n = num_frames + kernel.shape[0] - 1
-    nnz = int(density * n)  # scipy.sparse.rand's exact nnz rule
+    nnz = int(round(density * n))  # scipy.sparse.rand's nnz rule
 
     def one(k):
         perm = jax.random.permutation(k, n)
@@ -417,9 +428,12 @@ def roi_signals(
         flat_video[:, None, :], flat_idx.reshape(t_frames, -1)[:, None, :],
         axis=2,
     ).reshape(coords.shape[:-1])
+    # The reference zero-pads out-of-volume voxels and includes them in
+    # the mean (subcube pads with 0; nanmean counts zeros —
+    # /root/reference/WUtils/Utils.py:48-50, Simulator.py:238), so divide
+    # by the full window size.
     s = jnp.sum(jnp.where(valid, vals, 0.0), axis=-1)
-    cnt = jnp.maximum(jnp.sum(valid, axis=-1), 1)
-    return (s / cnt).T  # [K, T]
+    return (s / offs.shape[0]).T  # [K, T]
 
 
 # ----------------------------------------------------------------------
@@ -427,7 +441,7 @@ def roi_signals(
 # (host-side NumPy; parity with WUtils/Simulator.py:197-360)
 # ----------------------------------------------------------------------
 def simulate_cell(size4, mean, cov, color, noise_mean, noise_std,
-                  trunc_percentile=0.0):
+                  trunc_percentile=0.0, seed=None):
     """Render one multi-channel cell volume with peak-normalized
     multivariate-Gaussian intensity (reference ``simulate_cell``,
     ``/root/reference/WUtils/Simulator.py:197-212``).
@@ -454,7 +468,7 @@ def simulate_cell(size4, mean, cov, color, noise_mean, noise_std,
         p[p < np.percentile(p, trunc_percentile)] = 0.0
     prob = p.reshape(m, n, z)
     out = np.zeros((m, n, z, c))
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)  # None -> fresh entropy per call
     for ch in range(c):
         out[..., ch] = (color[ch] * prob + noise_mean[ch]
                         + noise_std[ch] * rng.standard_normal((m, n, z)))

@@ -137,18 +137,24 @@ def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
 
 def high_pass_filter_space(img: jnp.ndarray, gSig_filt) -> jnp.ndarray:
     """Mean-subtracted Gaussian kernel filtering for 1p data
-    (reference ``high_pass_filter_space``, ``:1262-1270``)."""
-    ksize = tuple((3 * i) // 2 * 2 + 1 for i in gSig_filt)
-    ker1 = _gaussian_kernel_1d(ksize[0], gSig_filt[0])
+    (reference ``high_pass_filter_space``, ``:1262-1270``).
+
+    The kernel is square, built from ``gSig_filt[0]`` only — exactly the
+    reference's ``ker.dot(ker.T)``; 2-D images only (the reference's 1p
+    path is 2-D)."""
+    if img.ndim != 2:
+        raise ValueError("gSig_filt high-pass filtering is 2-D only "
+                         f"(got {img.ndim}-D frame)")
+    ksize = (3 * gSig_filt[0]) // 2 * 2 + 1
+    ker1 = _gaussian_kernel_1d(ksize, gSig_filt[0])
     ker2d = np.outer(ker1, ker1)
     peak_col = ker2d[:, 0].max()
     nz = ker2d >= peak_col
     ker2d = ker2d.copy()
     ker2d[nz] -= ker2d[nz].mean()
     ker2d[~nz] = 0.0
-    pad = (ksize[0] // 2, ksize[1] // 2)
-    img_p = jnp.pad(img, ((pad[0], pad[0]), (pad[1], pad[1])),
-                    mode="reflect")
+    pad = ksize // 2
+    img_p = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
     out = jax.lax.conv_general_dilated(
         img_p[None, None].astype(jnp.float32),
         jnp.asarray(ker2d)[None, None],
@@ -213,7 +219,7 @@ def _upsample_field(field: jnp.ndarray, grid_shape, new_shape):
     static_argnames=(
         "strides", "overlaps", "max_shifts", "max_deviation_rigid",
         "upsample_factor_grid", "upsample_factor_fft", "use_remap",
-        "border_nan",
+        "border_nan", "gSig_filt",
     ),
 )
 def tile_and_correct(
@@ -228,8 +234,14 @@ def tile_and_correct(
     use_remap: bool = True,
     border_nan=True,
     add_to_movie: float = 0.0,
+    gSig_filt=None,
 ):
     """One piecewise-rigid correction iteration for one frame (2-D or 3-D).
+
+    With ``gSig_filt`` (1p data), registration runs on the high-pass
+    filtered frame while shifts are applied to the raw frame — the
+    reference's behavior (``:1335-1338,1400-1402``; like the reference,
+    the DFT path rejects the combination).
 
     Returns ``(corrected, patch_shifts [n_patches, nd])`` where
     ``patch_shifts`` are the applied corrections (reference
@@ -239,15 +251,25 @@ def tile_and_correct(
     nd = len(dims)
     img = img + add_to_movie
     template = template + add_to_movie
+    if gSig_filt is not None:
+        if not use_remap:
+            raise ValueError(
+                "gSig_filt with the DFT blending path is unsupported "
+                "(the reference raises here too, :1453-1455)"
+            )
+        reg_img = high_pass_filter_space(img - add_to_movie, gSig_filt)
+        reg_img = reg_img + add_to_movie
+    else:
+        reg_img = img
 
     rigid_shts, _, _ = fft_reg.phase_cross_correlation(
-        img, template, upsample_factor=upsample_factor_fft,
+        reg_img, template, upsample_factor=upsample_factor_fft,
         max_shifts=max_shifts,
     )
 
     starts, grid_shape, window = patch_grid(dims, overlaps, strides)
     tmpl_patches = _extract_patches(template, starts, window)
-    img_patches = _extract_patches(img, starts, window)
+    img_patches = _extract_patches(reg_img, starts, window)
 
     lb = jnp.ceil(rigid_shts - max_deviation_rigid)
     ub = jnp.floor(rigid_shts + max_deviation_rigid)
@@ -580,19 +602,18 @@ def _batch_rigid(video, cfg: RegistrationConfig, template=None,
                     [high_pass_filter_space(f, cfg.gSig_filt)
                      for f in frames]
                 )
-                # register on filtered, apply to raw
+                # register on filtered, apply to raw (vmapped)
                 shifts = rigid_correct_frames(
                     reg_in, new_templ, cfg.max_shifts,
                     upsample_factor=cfg.upsample_factor_fft,
                     border_nan=cfg.border_nan,
                     add_to_movie=add_to_movie,
                 )[1]
-                corrected = jnp.stack([
-                    fft_reg.apply_shifts_fourier(
+                corrected = jax.vmap(
+                    lambda f, s: fft_reg.apply_shifts_fourier(
                         f, s, 0.0, border_nan=cfg.border_nan
                     )
-                    for f, s in zip(frames, shifts)
-                ])
+                )(frames, shifts)
             else:
                 corrected, shifts = rigid_correct_frames(
                     frames, new_templ, cfg.max_shifts,
@@ -640,7 +661,7 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
             upsample_factor_grid=cfg.upsample_factor_grid,
             upsample_factor_fft=cfg.upsample_factor_fft,
             use_remap=cfg.use_remap, border_nan=cfg.border_nan,
-            add_to_movie=add_to_movie,
+            add_to_movie=add_to_movie, gSig_filt=cfg.gSig_filt,
         )
 
     new_templ = template
@@ -662,6 +683,10 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
             all_corrected.append(corrected)
             all_shifts.append(shifts)
         new_templ = jnp.nanmedian(jnp.stack(chunk_templates), axis=0)
+        if cfg.gSig_filt is not None:
+            # Keep the iterated template in the filtered domain
+            # (reference :1971-1972).
+            new_templ = high_pass_filter_space(new_templ, cfg.gSig_filt)
 
     shifts = np.concatenate([np.asarray(s) for s in all_shifts])
     xs = [shifts[t, :, 0] for t in range(shifts.shape[0])]

@@ -222,6 +222,16 @@ def clean_traces(
     if smooth_method and smooth_window is not None:
         from scipy import signal
 
+        # Butterworth/moving filters propagate NaN across the whole row
+        # (step 1 always NaNs the edge frames), so interpolate any
+        # remaining gaps first.
+        for i in range(k):
+            bad = np.isnan(traces[i])
+            if bad.any() and not bad.all():
+                good = ~bad
+                traces[i, bad] = np.interp(x[bad], x[good],
+                                           traces[i, good])
+
         sw = np.atleast_1d(smooth_window).astype(float)
         if smooth_method == "low":
             b, a = signal.butter(int(sw[0]), sw[1], btype="low")

@@ -57,7 +57,7 @@ def subcube(cube, loc, radius):
 def placement(size, loc, patch):
     """Place a patch into a zero volume centered at ``loc`` with boundary
     clipping (``Utils.placement``, ``/root/reference/WUtils/Utils.py:54-75``)."""
-    return _paste(size, loc, patch, add=False)
+    return _paste(size, loc, patch)
 
 
 def superpose(volume, loc, patch):
@@ -65,10 +65,10 @@ def superpose(volume, loc, patch):
 
     Note: like the reference, the patch is added into a fresh zero volume
     (the input volume supplies only the shape)."""
-    return _paste(np.asarray(volume).shape[:3], loc, patch, add=False)
+    return _paste(np.asarray(volume).shape[:3], loc, patch)
 
 
-def _paste(size, loc, patch, add):
+def _paste(size, loc, patch):
     patch = np.asarray(patch)
     squeeze = patch.ndim == 3
     if squeeze:

@@ -165,3 +165,36 @@ def test_patch_grid_window_clamped_to_axis():
     assert window[0] == 12
     assert grid_shape[0] == 1
     assert all(s >= 0 for s in starts[:, 0])
+
+
+def test_pwrigid_with_gsig_filter(rng):
+    """1p high-pass filtering in the pw-rigid path: registration runs on
+    filtered frames, shifts apply to raw frames."""
+    tmpl = _template(rng, (64, 64))
+    # Add a low-frequency background gradient that the filter removes.
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    bg = 0.5 * (xx / 64.0)
+    true = [(0, 0), (2, 1), (-1, 2)]
+    video = np.stack(
+        [np.roll(tmpl, s, axis=(0, 1)) + bg for s in true]
+    ).astype(np.float32)
+    cfg = RegistrationConfig(
+        max_shifts=(4, 4), pw_rigid=True, strides=(24, 24),
+        overlaps=(8, 8), max_deviation_rigid=2, border_nan=False,
+        gSig_filt=(3, 3),
+    )
+    mc = MotionCorrect(video, cfg).motion_correct(
+        template=jnp.asarray(tmpl + bg)
+    )
+    xs = np.asarray(mc.x_shifts_els)
+    np.testing.assert_allclose(xs.mean(1), [0, -2, 1], atol=0.6)
+
+
+def test_high_pass_filter_preserves_shape(rng):
+    from dnmf_tpu.registration import high_pass_filter_space
+
+    img = rng.normal(size=(32, 40)).astype(np.float32)
+    out = np.asarray(high_pass_filter_space(jnp.asarray(img), (2, 4)))
+    assert out.shape == (32, 40)
+    with pytest.raises(ValueError):
+        high_pass_filter_space(jnp.zeros((8, 8, 4)), (2, 2))

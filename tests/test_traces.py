@@ -94,3 +94,14 @@ def test_clean_traces_smoothing(rng):
         return np.abs(np.diff(a)).sum()
 
     assert tv(cleaned[0][ok[0]]) < tv(rough[0][ok[0]])
+
+
+def test_clean_traces_butterworth_without_interp(rng):
+    """Filtering must not propagate the edge-frame NaNs across rows."""
+    traces = _synthetic_traces(rng, bleach=0.0)
+    cleaned, _, _ = clean_traces(
+        traces, fps=4.0, detrend_mode=0,
+        smooth_method="low", smooth_window=(4, 0.2),
+    )
+    assert np.isfinite(cleaned).all()
+    assert cleaned.min() >= 0.05 - 1e-9

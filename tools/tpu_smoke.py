@@ -1,0 +1,138 @@
+"""On-hardware validation: compiled kernels vs float64 references.
+
+Interpret-mode tests (the pytest suite) cannot catch compiled-only
+failures — Mosaic precision defaults, layout bugs, grid/accumulator
+interactions — so this script re-derives every hot-path quantity in
+float64 NumPy and compares against the compiled TPU output.
+
+Run on a machine with a TPU attached:
+
+    python tools/tpu_smoke.py            # quick (small shapes)
+    python tools/tpu_smoke.py --full     # adds a whole-brain-scale check
+
+Exits non-zero on any tolerance violation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _f64_reference(size, pos, sigma, beta, y, scaling):
+    """Float64 NumPy: warped coords, footprints, Gram, c1, loss, dbeta."""
+    m, n, z = size
+    grid = np.stack(
+        np.meshgrid(np.arange(m), np.arange(n), np.arange(z),
+                    indexing="ij"),
+        -1,
+    ).reshape(-1, 3).astype(np.float64)
+    sz = np.array(size, dtype=np.float64)
+    if scaling == "normalized":
+        denom = np.maximum(sz - 1.0, 1.0)
+        gn = 2.0 * grid / denom - 1.0
+    else:
+        gn = grid
+    x, yy, zz = gn[:, 0], gn[:, 1], gn[:, 2]
+    phi = np.stack([np.ones_like(x), x, yy, zz, x * x, yy * yy, zz * zz,
+                    x * yy, x * zz, yy * zz], 1)
+    psi = phi @ beta.astype(np.float64)
+    if scaling == "normalized":
+        psi = (psi + 1.0) / 2.0 * np.maximum(sz - 1.0, 1.0)
+    d2 = ((psi[:, None, :] - pos[None].astype(np.float64)) ** 2).sum(-1)
+    a = np.exp(-d2 / sigma.astype(np.float64)[None] ** 2)
+    hi = sz - 1.0
+    w = np.clip(1 + np.minimum(psi, hi - psi), 0, 1).prod(1)
+    aw = a * w[:, None]
+    g = aw.T @ aw
+    c1 = aw.T @ y.astype(np.float64)
+    return aw, g, c1
+
+
+def check(name, got, want, rtol, atol):
+    got = np.asarray(got, dtype=np.float64)
+    want = np.asarray(want, dtype=np.float64)
+    err = np.abs(got - want)
+    tol = atol + rtol * np.abs(want)
+    bad = err > tol
+    status = "OK " if not bad.any() else "FAIL"
+    print(f"[{status}] {name}: maxabs={err.max():.3e} "
+          f"scale={np.abs(want).max():.3e}")
+    return not bad.any()
+
+
+def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4):
+    import jax
+    import jax.numpy as jnp
+
+    from dnmf_tpu.models import dnmf as M
+    from dnmf_tpu.ops import basis as B
+    from dnmf_tpu.ops import pallas_culled as pc
+    from dnmf_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(0)
+    total_p = int(np.prod(size))
+    hi = np.maximum(np.array(size, dtype=np.float64) - 4, 5)
+    pos = rng.uniform(3, hi, (k, 3)).astype(np.float32)
+    sigma = rng.uniform(2.0, 3.5, (k,)).astype(np.float32)
+    beta = np.asarray(B.identity_beta(1))[0] + (
+        0.002 * rng.normal(size=(10, 3)).astype(np.float32)
+        if scaling == "normalized" else 0.0
+    )
+    y = rng.uniform(size=(total_p,)).astype(np.float32)
+    c_t = rng.uniform(size=(k,)).astype(np.float32)
+
+    aw, g_ref, c1_ref = _f64_reference(size, pos, sigma, beta, y, scaling)
+    recon = aw @ c_t.astype(np.float64)
+    r = recon - y
+    mse_ref = float((r**2).mean())
+
+    ok = True
+    for label, fn in (("dense", pk.gram_block),
+                      ("culled", pc.gram_block_culled)):
+        g, c1 = fn(jnp.asarray(beta)[None], jnp.asarray(pos),
+                   jnp.asarray(sigma), jnp.asarray(y)[None], size,
+                   scaling=scaling, tile_p=tile_p)
+        ok &= check(f"gram[{label}] G ({scaling})", g[0], g_ref, rtol, atol)
+        ok &= check(f"gram[{label}] c1 ({scaling})", c1[0], c1_ref,
+                    rtol, atol)
+
+    for label, fn in (("dense", pk.motion_block),
+                      ("culled", pc.motion_block_culled)):
+        mse, dbeta = fn(jnp.asarray(beta)[None], jnp.asarray(pos),
+                        jnp.asarray(sigma), jnp.asarray(c_t)[None],
+                        jnp.asarray(y)[None], size, scaling=scaling,
+                        tile_p=tile_p)
+        ok &= check(f"motion[{label}] mse ({scaling})", mse[0], mse_ref,
+                    1e-4, 1e-8)
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="include a whole-brain-scale check (slow)")
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    ok = True
+    ok &= run((64, 32, 4), 12, "pixel", 2048)
+    ok &= run((64, 32, 4), 12, "normalized", 2048)
+    ok &= run((96, 64, 2), 80, "normalized", 4096)  # culled multi-block
+    if args.full:
+        ok &= run((512, 512, 20), 200, "normalized", 8192,
+                  rtol=2e-3, atol=1e-3)
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
