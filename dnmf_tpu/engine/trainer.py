@@ -276,6 +276,40 @@ class DeformableNMF:
                 self.save(f"{self.runtime.checkpoint_dir}/round_{r}")
         return FitResult(state=self.state, metrics=self.metrics)
 
+    def fit_fused(self, video, rounds: Optional[int] = None) -> FitResult:
+        """The whole alternation as one compiled device program.
+
+        Functionally equivalent to :meth:`fit` in parallel motion mode
+        (single-device, non-streaming); eliminates all host round-trips
+        between phases.  Metrics are per-round.
+        """
+        if self._mesh is not None or self._is_streaming(video):
+            raise ValueError(
+                "fit_fused supports the single-device, device-resident "
+                "path; use fit() for meshes and streamed videos"
+            )
+        if self.opt_config.motion_mode == "parity":
+            raise ValueError("fit_fused requires motion_mode='parallel'")
+        video_flat = self._video_flat(video)
+        rounds = rounds or self.opt_config.outer_rounds
+        self.state, metrics = model_lib.fused_rounds(
+            self.state, video_flat, self.model, self.optimizer,
+            rounds=rounds, epochs=self.opt_config.motion_epochs,
+            mu_iters=self.opt_config.mu_iters,
+            gamma=self.opt_config.gamma_motion,
+            mu_gamma=self.opt_config.gamma_traces,
+            frame_block=self.runtime.frame_block,
+            use_pallas=self._use_pallas,
+        )
+        for r in range(rounds):
+            self.metrics.append({
+                "phase": "round", "round": r,
+                "motion_recon_mse": float(metrics["recon_mse"][r]),
+                "motion_reg": float(metrics["reg"][r]),
+            })
+        self._check_finite("fused fit")
+        return FitResult(state=self.state, metrics=self.metrics)
+
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         from dnmf_tpu.utils.checkpoint import save_state

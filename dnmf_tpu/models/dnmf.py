@@ -637,3 +637,59 @@ def compute_grams_streaming(
     t = state.beta.shape[0]
     return (jnp.concatenate(gs, axis=0)[:t],
             jnp.concatenate(c1s, axis=0)[:t])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "optimizer", "rounds", "epochs", "mu_iters",
+                     "gamma", "mu_gamma", "frame_block", "use_pallas",
+                     "pallas_interpret"),
+)
+def fused_rounds(
+    state: DNMFState,
+    video_flat: jnp.ndarray,
+    model: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    rounds: int,
+    epochs: int,
+    mu_iters: int,
+    gamma: float,
+    mu_gamma: float = 0.0,
+    frame_block: int = 16,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+) -> Tuple[DNMFState, dict]:
+    """The full alternation schedule as ONE compiled program.
+
+    ``rounds x (epochs x Adam-on-beta + Grams + mu_iters x MU-on-C)``
+    under nested ``lax.scan`` — a single device dispatch for the whole
+    fit (the reference round-trips host<->device every batch).  Returns
+    per-round metric traces ``[rounds]``.
+    """
+
+    def one_epoch(st, _):
+        grads, mses, regs = frame_grads_local(
+            st, video_flat, model, gamma, frame_block,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        )
+        updates, opt_state = optimizer.update(grads, st.opt_state,
+                                              st.beta)
+        beta = optax.apply_updates(st.beta, updates)
+        return (st._replace(beta=beta, opt_state=opt_state),
+                (jnp.mean(mses), jnp.mean(regs)))
+
+    def one_round(st, _):
+        st, (mses, regs) = jax.lax.scan(one_epoch, st, None,
+                                        length=epochs)
+        grams, c1 = grams_local(
+            st, video_flat, model, frame_block,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        )
+        c = mu_ops.run_mu_temporal(
+            st.c, grams, c1, iters=mu_iters,
+            gamma=mu_gamma if mu_gamma else None,
+        )
+        st = st._replace(c=c)
+        return st, {"recon_mse": mses[-1], "reg": regs[-1]}
+
+    return jax.lax.scan(one_round, state, None, length=rounds)

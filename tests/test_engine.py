@@ -245,3 +245,18 @@ def test_clean_traces_affine_contract(rng):
     ok[:, : int(round(4.0 / 2))] = False
     ok[:, -1] = False
     np.testing.assert_allclose(recon[ok], traces[ok], rtol=1e-6, atol=1e-9)
+
+
+def test_fit_fused_matches_fit():
+    """One-dispatch fused alternation == the per-phase loop."""
+    ds = _dataset(drift=0.5)
+    eng_a = _engine(ds)
+    eng_b = _engine(ds)
+    eng_a.fit(ds, rounds=3)
+    eng_b.fit_fused(ds, rounds=3)
+    np.testing.assert_allclose(
+        np.asarray(eng_b.state.beta), np.asarray(eng_a.state.beta),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(eng_b.traces, eng_a.traces, rtol=1e-4,
+                               atol=1e-6)
