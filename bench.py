@@ -54,16 +54,13 @@ def _tpu_run():
     use_pallas = jax.default_backend() == "tpu"
 
     def one_round(state):
-        state, metrics = M.motion_epoch_parallel(
-            state, video, model, optimizer, gamma=0.1,
-            frame_block=FRAME_BLOCK, use_pallas=use_pallas,
+        # The whole round is ONE compiled device program (fused kernels +
+        # nested lax.scan) — no host round-trips inside.
+        return M.fused_rounds(
+            state, video, model, optimizer, rounds=1, epochs=1,
+            mu_iters=MU_ITERS, gamma=0.1, frame_block=FRAME_BLOCK,
+            use_pallas=use_pallas,
         )
-        grams, c1 = M.compute_grams(state, video, model,
-                                    frame_block=FRAME_BLOCK,
-                                    use_pallas=use_pallas)
-        state = M.footprint_update(state, grams, c1, iters=MU_ITERS,
-                                   gamma=0.0)
-        return state, metrics
 
     # Warm-up / compile.  NOTE: on the tunneled TPU backend
     # block_until_ready returns before execution completes — a scalar host
@@ -80,7 +77,7 @@ def _tpu_run():
     return {
         "tpu_round_seconds": per_round,
         "tpu_frames_per_sec": T / per_round,
-        "recon_mse": float(metrics["recon_mse"]),
+        "recon_mse": float(metrics["recon_mse"][-1]),
         "backend": jax.default_backend(),
     }
 

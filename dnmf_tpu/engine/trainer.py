@@ -99,8 +99,18 @@ class DeformableNMF:
         else:
             self._use_pallas = bool(self.runtime.use_pallas)
 
+    class _Prepared:
+        """Marker wrapper: video already flattened/clamped/sharded."""
+
+        __slots__ = ("array",)
+
+        def __init__(self, array):
+            self.array = array
+
     # ------------------------------------------------------------------
     def _video_flat(self, video) -> jnp.ndarray:
+        if isinstance(video, DeformableNMF._Prepared):
+            return video.array
         if hasattr(video, "frames_flat"):
             video = video.frames_flat()
         else:
@@ -241,8 +251,9 @@ class DeformableNMF:
         """Full alternation schedule; returns final state + metric log."""
         import contextlib
 
+        # Prepare (flatten/clamp/shard) once for the whole schedule.
         video_flat = (video if self._is_streaming(video)
-                      else self._video_flat(video))
+                      else DeformableNMF._Prepared(self._video_flat(video)))
         rounds = rounds or self.opt_config.outer_rounds
         anneal = self.opt_config.sigma_anneal
         for r in range(rounds):
