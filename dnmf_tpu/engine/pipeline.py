@@ -73,6 +73,7 @@ def register_and_demix(
     model: Optional[ModelConfig] = None,
     optimizer: Optional[OptimizerConfig] = None,
     runtime: Optional[RuntimeConfig] = None,
+    seed_deformation: bool = True,
 ) -> PipelineResult:
     """Full pipeline on a time-major video ``[T, M, N, Z]``.
 
@@ -80,7 +81,10 @@ def register_and_demix(
     2. Neuron positions: provided ``points [K, 3]`` or detected on the
        registration template; per-frame positions from
        ``apply_shifts_points``.
-    3. Deformable NMF demixing seeded at the frame-0 positions.
+    3. Deformable NMF demixing seeded at the frame-0 positions, with the
+       per-frame deformation initialized from the registration shifts
+       (``seed_deformation``) so the fit starts near the rigid solution
+       instead of the identity.
     """
     video = jnp.asarray(video, dtype=jnp.float32)
     t, m, n, z = video.shape
@@ -115,9 +119,32 @@ def register_and_demix(
     )
     opt_cfg = optimizer or OptimizerConfig(learning_rate=1e-3,
                                            outer_rounds=3)
+
+    beta0 = None
+    if seed_deformation:
+        from dnmf_tpu.ops.basis import translation_beta
+
+        if reg_cfg.pw_rigid:
+            xs = np.asarray(mc.x_shifts_els)
+            ys = np.asarray(mc.y_shifts_els)
+            zs = np.asarray(mc.z_shifts_els)
+            # Mean correction per frame, relative to frame 0 (matching
+            # apply_shifts_points' frame-0 anchoring).
+            corr = np.stack([xs.mean(1), ys.mean(1), zs.mean(1)], axis=1)
+        else:
+            corr = np.asarray(mc.shifts_rig)
+            if corr.shape[1] < 3:
+                corr = np.pad(corr, ((0, 0), (0, 3 - corr.shape[1])))
+        corr = corr - corr[0:1]
+        beta0 = translation_beta(
+            jnp.asarray(corr, dtype=jnp.float32), (m, n, z),
+            scaling=model_cfg.deformation.basis_scaling,
+        )
+
     engine = DeformableNMF(
         model_cfg, opt_cfg, runtime,
         positions=jnp.asarray(positions[:, :, 0], dtype=jnp.float32),
+        beta0=beta0,
     )
     fit = engine.fit(video.reshape(t, -1))
     return PipelineResult(fit=fit, motion=mc, positions=positions)

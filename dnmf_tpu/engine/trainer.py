@@ -52,6 +52,7 @@ class DeformableNMF:
         runtime: Optional[RuntimeConfig] = None,
         positions: Optional[jnp.ndarray] = None,
         key: Optional[jax.Array] = None,
+        beta0: Optional[jnp.ndarray] = None,
     ):
         self.model = model
         self.opt_config = optimizer
@@ -62,7 +63,8 @@ class DeformableNMF:
         )
         self._key, init_key = jax.random.split(self._key)
         self.state = model_lib.init_state(
-            model, self.optimizer, positions=positions, key=init_key
+            model, self.optimizer, positions=positions, key=init_key,
+            beta0=beta0,
         )
         self.metrics: List[dict] = []
         self._base_sigma = self.state.sigma

@@ -65,15 +65,17 @@ def init_state(
     optimizer: optax.GradientTransformation,
     positions: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
+    beta0: Optional[jnp.ndarray] = None,
 ) -> DNMFState:
     """Initialize factors (reference ``DeformableNMF.__init__`` ``:126-137``
-    + ``ExponentialFP.__init__`` ``:19-43``): identity deformation,
-    uniform-random traces, given or random positions, constant sigma."""
+    + ``ExponentialFP.__init__`` ``:19-43``): identity deformation (or a
+    provided ``beta0 [T, 10, 3]``, e.g. registration-seeded), uniform
+    random traces, given or random positions, constant sigma."""
     if key is None:
         key = jax.random.PRNGKey(0)
     k_c, k_p = jax.random.split(key)
     k_count, t = model.num_neurons, model.num_frames
-    beta = basis_ops.identity_beta(t)
+    beta = beta0 if beta0 is not None else basis_ops.identity_beta(t)
     c = jax.random.uniform(k_c, (k_count, t))
     if positions is None:
         positions = 1.0 + jax.random.uniform(k_p, (k_count, 3)) * jnp.asarray(

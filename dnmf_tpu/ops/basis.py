@@ -152,3 +152,24 @@ def warp_voxel_coords(
     if scaling == "normalized":
         psi = denormalize_points(psi, size)
     return psi
+
+
+def translation_beta(
+    shifts: jnp.ndarray, size, scaling: str = "normalized"
+) -> jnp.ndarray:
+    """Per-frame deformation coefficients for pure translations.
+
+    ``shifts [T, 3]`` are the *corrections* to apply (registration
+    convention: content moved by ``d`` gets correction ``-d``); the model
+    samples footprints at ``psi_t(x) = x + shift_t``, so the blob at
+    ``p - shift`` maps onto the footprint at ``p``.  Used to seed the
+    deformation fit from registration output.
+    """
+    t = shifts.shape[0]
+    beta = identity_beta(t)
+    if scaling == "normalized":
+        hi = jnp.maximum(jnp.asarray(size, dtype=shifts.dtype) - 1.0, 1.0)
+        offs = 2.0 * shifts / hi
+    else:
+        offs = shifts
+    return beta.at[:, 0, :].set(offs)

@@ -55,3 +55,25 @@ def test_normalized_roundtrip_singleton_axis():
     back = basis.denormalize_points(n, (10, 10, 1))
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts),
                                atol=1e-6)
+
+
+def test_translation_beta_shifts_coordinates():
+    from dnmf_tpu.ops.basis import (
+        translation_beta,
+        voxel_basis_normalized,
+        warp_voxel_coords,
+    )
+
+    size = (12, 10, 2)
+    shifts = jnp.asarray([[1.5, -2.0, 0.5], [0.0, 0.0, 0.0]])
+    beta = translation_beta(shifts, size, scaling="normalized")
+    vb = voxel_basis_normalized(size)
+    psi = warp_voxel_coords(vb, beta[0], size, "normalized")
+    grid = basis.voxel_grid(size)
+    np.testing.assert_allclose(
+        np.asarray(psi), np.asarray(grid) + np.array([1.5, -2.0, 0.5]),
+        atol=1e-5,
+    )
+    psi1 = warp_voxel_coords(vb, beta[1], size, "normalized")
+    np.testing.assert_allclose(np.asarray(psi1), np.asarray(grid),
+                               atol=1e-5)

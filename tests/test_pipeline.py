@@ -68,3 +68,38 @@ def test_register_and_demix_end_to_end():
     )[:K, K:]
     best = full.max(axis=0)
     assert (best > 0.6).all(), best
+
+
+def test_seeded_deformation_starts_near_solution():
+    """Registration-seeded beta: with traces fitted (no motion epochs at
+    all), the seeded deformation reconstructs much better than the
+    identity."""
+    from dnmf_tpu.engine import DeformableNMF
+    from dnmf_tpu.models import dnmf as M
+    from dnmf_tpu.ops.basis import translation_beta
+    from dnmf_tpu.registration import MotionCorrect
+
+    video, positions, traces = _fixture()
+    reg = RegistrationConfig(max_shifts=(4, 4, 1), pw_rigid=False,
+                             is3d=True, splits=2, border_nan=False)
+    mc = MotionCorrect(video, reg).motion_correct()
+    corr = np.asarray(mc.shifts_rig)
+    corr = corr - corr[0:1]
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt = OptimizerConfig(learning_rate=1e-3, mu_iters=40)
+    beta0 = translation_beta(jnp.asarray(corr, jnp.float32), SIZE,
+                             scaling=model.deformation.basis_scaling)
+
+    def recon_err(beta_init):
+        eng = DeformableNMF(model, opt, positions=positions[:, :, 0],
+                            beta0=beta_init)
+        eng.update_footprints(video.reshape(T, -1), iters=40)
+        vb = M.model_voxel_basis(model)
+        recon = M.reconstruct(eng.state.beta, eng.state.c.T,
+                              eng.state.pos, eng.state.sigma, model, vb)
+        return float(jnp.mean((recon - video.reshape(T, -1)) ** 2))
+
+    err_seeded = recon_err(beta0)
+    err_identity = recon_err(None)
+    assert err_seeded < 0.7 * err_identity, (err_seeded, err_identity)
