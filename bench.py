@@ -71,7 +71,7 @@ def _tpu_run():
     t0 = time.time()
     for _ in range(ROUNDS):
         state, metrics = one_round(state)
-    _ = float(jnp.sum(state.c)) + float(metrics["recon_mse"])
+    _ = float(jnp.sum(state.c)) + float(metrics["recon_mse"][-1])
     elapsed = time.time() - t0
     per_round = elapsed / ROUNDS
     return {

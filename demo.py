@@ -41,6 +41,9 @@ def main():
     from dnmf_tpu.engine import DeformableNMF
     from dnmf_tpu.utils.metrics import r_squared, trace_correlations
 
+    if args.small and args.parity:
+        ap.error("--parity applies to the reference demo workload; "
+                 "drop --small")
     if args.small:
         sim = C.SimulatorConfig(num_neurons=5, num_frames=20,
                                 size=(24, 24, 2), shape_std=2.0,
@@ -57,29 +60,25 @@ def main():
                                 outer_rounds=args.rounds or 15,
                                 gamma_motion=0.01)
     else:
-        sim = C.reference_demo_simulator()
-        sim = C.SimulatorConfig(**{**sim.__dict__, "seed": args.seed})
+        import dataclasses
+
+        sim = dataclasses.replace(C.reference_demo_simulator(),
+                                  seed=args.seed)
         model = C.reference_demo_model(parity=args.parity)
         opt = C.reference_demo_optimizer()
         if args.parity:
             # Reference-exact numerics: serial mini-batch Adam at the
             # reference's lr (tuned for the pixel-basis sensitivities).
-            opt = C.OptimizerConfig(
-                **{**opt.__dict__, "motion_mode": "parity"}
-            )
+            opt = dataclasses.replace(opt, motion_mode="parity")
         else:
             # TPU-native schedule: the normalized-coordinate basis is
             # well-conditioned at ordinary learning rates.
-            opt = C.OptimizerConfig(
-                **{**opt.__dict__, "learning_rate": 1e-3,
-                   "outer_rounds": 10, "gamma_motion": 0.1}
-            )
+            opt = dataclasses.replace(opt, learning_rate=1e-3,
+                                      outer_rounds=10, gamma_motion=0.1)
         if args.lr:
-            opt = C.OptimizerConfig(**{**opt.__dict__,
-                                       "learning_rate": args.lr})
+            opt = dataclasses.replace(opt, learning_rate=args.lr)
         if args.rounds:
-            opt = C.OptimizerConfig(**{**opt.__dict__,
-                                       "outer_rounds": args.rounds})
+            opt = dataclasses.replace(opt, outer_rounds=args.rounds)
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     print(f"simulating K={sim.num_neurons} T={sim.num_frames} "
@@ -119,8 +118,12 @@ def main():
             result.traces, titlestr="C (estimated)",
             save=True, file=os.path.join(args.outdir, "temporal"),
         )
+        est_positions = np.stack(
+            [eng.positions_at(t) for t in range(model.num_frames)],
+            axis=2,
+        )
         viz.visualize_trajectory(
-            np.asarray(ds.positions), np.asarray(ds.positions),
+            np.asarray(ds.positions), est_positions,
             save=True, file=os.path.join(args.outdir, "trajectory"),
         )
 

@@ -186,7 +186,8 @@ def visualize_video(video=None, tracks=None, labels=None, scale=1.0,
                 an.set_x(tracks[i, 1, t])
                 an.set_y(tracks[i, 0, t])
         time_text.set_text(f"Frame = {t}")
-        return tuple(artists)
+        # blit only redraws returned artists — include the text overlays.
+        return tuple(artists) + tuple(annots) + (time_text,)
 
     anim = animation.FuncAnimation(fig, animate, frames=num_frames,
                                    interval=500, blit=True)

@@ -43,9 +43,7 @@ class _HandPlacedDataset:
         video = simulator.render_video(
             self.positions, self.traces, SIZE, shape_std=2.0
         )
-        video = video / jnp.sum(video**2)
-        video = video / jnp.max(video)
-        self.video = jnp.maximum(video, 0.0)
+        self.video = jnp.maximum(video / jnp.max(video), 0.0)
 
     def frames_flat(self):
         return self.video.reshape(self.video.shape[0], -1)

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,7 +34,7 @@ def test_matmul_formulation_matches_direct(rng):
     )
     a_matmul = footprints.evaluate_footprints(
         psi, pos, sigma, size=size, formulation="matmul",
-        precision=jnp.float32 and None,
+        precision=jax.lax.Precision.HIGHEST,
     )
     np.testing.assert_allclose(
         np.asarray(a_direct), np.asarray(a_matmul), rtol=2e-3, atol=1e-5

@@ -33,17 +33,13 @@ def _setup(rng, p=40, k=4, t=6):
 
 
 def _grams(a_t, y):
-    grams = np.stack(
-        [np.asarray(mu.mu_grams(jnp.asarray(a_t[:, :, t]),
-                                jnp.asarray(y[:, t]))[0])
-         for t in range(a_t.shape[2])]
-    )
-    c1 = np.stack(
-        [np.asarray(mu.mu_grams(jnp.asarray(a_t[:, :, t]),
-                                jnp.asarray(y[:, t]))[1])
-         for t in range(a_t.shape[2])]
-    )
-    return jnp.asarray(grams), jnp.asarray(c1)
+    pairs = [
+        mu.mu_grams(jnp.asarray(a_t[:, :, t]), jnp.asarray(y[:, t]))
+        for t in range(a_t.shape[2])
+    ]
+    grams = jnp.stack([g for g, _ in pairs])
+    c1 = jnp.stack([c for _, c in pairs])
+    return grams, c1
 
 
 def test_single_step_matches_reference_equations(rng):

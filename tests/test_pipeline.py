@@ -61,7 +61,6 @@ def test_register_and_demix_end_to_end():
         optimizer=opt,
     )
     assert result.positions.shape == (K, 3, T)
-    corr = trace_correlations(result.traces, np.asarray(traces))
     # Detected peak ordering need not match GT ordering: match greedily.
     full = np.corrcoef(
         np.vstack([result.traces, np.asarray(traces)])

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _f64_reference(size, pos, sigma, beta, y, scaling):
-    """Float64 NumPy: warped coords, footprints, Gram, c1, loss, dbeta."""
+    """Float64 NumPy: warped footprints, Gram matrix, data projection."""
     m, n, z = size
     grid = np.stack(
         np.meshgrid(np.arange(m), np.arange(n), np.arange(z),
@@ -60,10 +60,13 @@ def check(name, got, want, rtol, atol):
     want = np.asarray(want, dtype=np.float64)
     err = np.abs(got - want)
     tol = atol + rtol * np.abs(want)
-    bad = err > tol
+    # NaN-producing kernels are exactly the failure class this tool
+    # exists to catch: NaN comparisons are False, so test explicitly.
+    bad = (err > tol) | ~np.isfinite(got)
     status = "OK " if not bad.any() else "FAIL"
-    print(f"[{status}] {name}: maxabs={err.max():.3e} "
-          f"scale={np.abs(want).max():.3e}")
+    print(f"[{status}] {name}: maxabs={np.nanmax(err):.3e} "
+          f"scale={np.abs(want).max():.3e} "
+          f"nonfinite={int((~np.isfinite(got)).sum())}")
     return not bad.any()
 
 
@@ -103,6 +106,23 @@ def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4):
         ok &= check(f"gram[{label}] c1 ({scaling})", c1[0], c1_ref,
                     rtol, atol)
 
+    # Gradient reference via float64 central differences on a few
+    # coefficients (full-dbeta analytic f64 derivation would duplicate
+    # the kernel's fade-derivative logic; finite differences are the
+    # independent oracle).
+    def loss64(b):
+        aw2, _, _ = _f64_reference(size, pos, sigma, b, y, scaling)
+        rr = aw2 @ c_t.astype(np.float64) - y
+        return float((rr**2).mean())
+
+    eps = 1e-4
+    probes = [(0, 0), (1, 1), (4, 2), (7, 0)]
+    fd = {}
+    for (bi, bj) in probes:
+        bp = beta.copy(); bp[bi, bj] += eps
+        bm = beta.copy(); bm[bi, bj] -= eps
+        fd[(bi, bj)] = (loss64(bp) - loss64(bm)) / (2 * eps)
+
     for label, fn in (("dense", pk.motion_block),
                       ("culled", pc.motion_block_culled)):
         mse, dbeta = fn(jnp.asarray(beta)[None], jnp.asarray(pos),
@@ -111,6 +131,11 @@ def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4):
                         tile_p=tile_p)
         ok &= check(f"motion[{label}] mse ({scaling})", mse[0], mse_ref,
                     1e-4, 1e-8)
+        d = np.asarray(dbeta[0])
+        got = np.array([d[bi, bj] for (bi, bj) in probes])
+        want = np.array([fd[kk] for kk in probes])
+        ok &= check(f"motion[{label}] dbeta-fd ({scaling})", got, want,
+                    5e-3, 1e-6)
     return ok
 
 
