@@ -1,26 +1,38 @@
 """Fused Pallas TPU kernels for the demixing hot path.
 
 Layout: **pixels ride the lane axis**.  Every per-pixel quantity is a
-``[1, tile_p]`` row and the footprint tile is ``A [K8, tile_p]``
+``[F, tile_p]`` row block and the footprint tile is ``A [K8, tile_p]``
 (``K8 = K`` rounded up to the 8-sublane), so all elementwise work uses
 full VPU lanes and K pads by at most 7 — an earlier draft with
 ``[tile_p, K128]`` layout ran its per-pixel column math on ``[tp, 1]``
 shapes (1 of 128 lanes active) and padded K to 128 lanes, costing ~10x.
 
+**Multi-frame steps**: each grid step processes ``F`` frames (default 8,
+one per sublane).  The per-pixel row math — warp polynomial, border
+fade, residual, gradient rows — is the VPU-bound floor of these kernels
+at moderate K, and at ``[1, tile_p]`` it ran on 1 of 8 sublanes; with
+frames stacked on the sublane axis the same cycles cover 8 frames.  The
+per-frame quantities (Gaussian tile, MXU dots) still run frame-at-a-time
+inside the step at full shape.  Arithmetic order per frame is unchanged,
+so results are identical to the single-frame form.
+
 Per frame the only HBM traffic is the video frame plus O(K^2) outputs:
 voxel coordinates are derived in-kernel from flat indices, the quadratic
-warp is evaluated as scalar-coefficient polynomials (beta lives in SMEM),
-and the Gaussian exponent is computed directly — ``(psi - p)^2`` rows —
-because a matmul-form exponent sums O(coord^2) canceling terms that
-Mosaic's bf16-pass default dot precision destroys.  The remaining dots
-run at HIGHEST precision (compiled output matches float64 references to
-~1e-4 at whole-frame scale; notably the *XLA* compute path's Gram matmul
-at default TPU precision is ~5% off at the same scale).
+warp is evaluated as coefficient-column polynomials (beta rides a
+``[F, 30]`` VMEM block; per-frame coefficients are ``[F, 1]`` columns
+broadcast against shared basis rows), and the Gaussian exponent is
+computed directly — ``(psi - p)^2`` rows — because a matmul-form
+exponent sums O(coord^2) canceling terms that Mosaic's bf16-pass default
+dot precision destroys.  The remaining dots run at HIGHEST precision
+(compiled output matches float64 references to ~1e-4 at whole-frame
+scale; notably the *XLA* compute path's Gram matmul at default TPU
+precision is ~5% off at the same scale).
 
-Kernels process a block of frames natively with grid ``(B, tiles)``;
-accumulators live in scratch and the output block is written exactly once
-per frame (relying on vmap batching or accumulate-into-out_ref corrupts
-revisited blocks when the outer grid dimension advances).
+Kernels process a block of frames natively with grid ``(B / F, tiles)``;
+accumulators live in scratch and the output block is written exactly
+once per frame group (relying on vmap batching or
+accumulate-into-out_ref corrupts revisited blocks when the outer grid
+dimension advances).
 
 * ``gram_block``   — MU sufficient statistics ``G = A A^T`` ``[B, K, K]``
   and ``c1 = A y`` ``[B, K]``.
@@ -68,13 +80,8 @@ def _coord_rows(base, size, tile_p):
             zi.astype(jnp.float32))
 
 
-def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
-    """Deformed pixel coordinates + basis rows.
-
-    Returns ``(psi: 3 x [1, tp], phi: tuple of 10 [1, tp] rows)``.  The
-    warp is evaluated as a scalar-coefficient polynomial (beta scalars
-    from SMEM) — no [tp, small] matmuls, full lane utilization.
-    """
+def _basis_rows(mi, ni, zi, size, scaling):
+    """The 10 quadratic basis rows ``[1, tile_p]`` (shared by frames)."""
     if scaling == "normalized":
         # max(size-1, 1): singleton axes would divide by zero (their only
         # coordinate, 0, maps to -1 and denormalizes back to 0).
@@ -84,11 +91,21 @@ def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
     else:
         xs, ys, zs = mi, ni, zi
     one = jnp.ones_like(xs)
-    phi = (one, xs, ys, zs, xs * xs, ys * ys, zs * zs, xs * ys,
-           xs * zs, ys * zs)
+    return (one, xs, ys, zs, xs * xs, ys * ys, zs * zs, xs * ys,
+            xs * zs, ys * zs)
+
+
+def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
+    """Deformed pixel coordinates + basis rows (scalar-coefficient form).
+
+    ``beta_ref``: SMEM ``[10, 3]``.  Returns ``(psi: 3 x [1, tp],
+    phi: tuple of 10 [1, tp] rows)``.  Used by the culled kernels, which
+    process one frame per grid step.
+    """
+    phi = _basis_rows(mi, ni, zi, size, scaling)
     psi = []
     for d in range(3):
-        acc = jnp.zeros_like(xs)
+        acc = jnp.zeros_like(phi[0])
         for b in range(10):
             acc = acc + beta_ref[b, d] * phi[b]
         if scaling == "normalized":
@@ -97,8 +114,30 @@ def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
     return psi, phi
 
 
+def _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f):
+    """Multi-frame warp: ``psi`` as 3 x ``[F, tp]`` (frames on sublanes).
+
+    ``beta_ref``: VMEM ``[F, 30]`` (row-major ``[10, 3]`` per frame).
+    Per-frame coefficients are ``[F, 1]`` lane-slices broadcast against
+    the shared basis rows — the same FMA sequence as the scalar form,
+    covering F frames per op.
+    """
+    phi = _basis_rows(mi, ni, zi, size, scaling)
+    tp = phi[0].shape[1]
+    psi = []
+    for d in range(3):
+        acc = jnp.zeros((f, tp), dtype=jnp.float32)
+        for b in range(10):
+            coef = beta_ref[:, b * 3 + d:b * 3 + d + 1]  # [F, 1]
+            acc = acc + coef * jnp.broadcast_to(phi[b], (f, tp))
+        if scaling == "normalized":
+            acc = (acc + 1.0) / 2.0 * max(float(size[d]) - 1.0, 1.0)
+        psi.append(acc)
+    return psi, phi
+
+
 def _fade_row(psi, size):
-    """Border fade ``[1, tp]``: product of per-axis linear ramps."""
+    """Border fade ``[F, tp]``: product of per-axis linear ramps."""
     w = None
     for d in range(3):
         hi_d = float(size[d]) - 1.0
@@ -111,9 +150,9 @@ def _fade_row(psi, size):
 def _footprint_tile(psi, pos_ref):
     """Raw Gaussians ``A [K8, tp] = exp(-sum_d (psi_d - p_kd)^2 / s_k^2)``.
 
-    ``pos_ref``: ``[K8, 8]`` columns ``(px, py, pz, inv_s2, ...)`` — only
-    the first 4 used here; padded neurons sit at 1e4 so they evaluate to
-    exactly 0.
+    ``psi``: 3 x ``[1, tp]`` (a single frame's rows); ``pos_ref``:
+    ``[K8, 8]`` columns ``(px, py, pz, inv_s2, ...)`` — only the first 4
+    used here; padded neurons sit at 1e4 so they evaluate to exactly 0.
     """
     d2 = (pos_ref[:, 0:1] - psi[0]) ** 2
     d2 += (pos_ref[:, 1:2] - psi[1]) ** 2
@@ -150,11 +189,27 @@ def _neuron_params(pos, sigma, k8, c_block=None):
     return out, w2
 
 
+def _pad_frames(bsz, f):
+    """(effective F, padded B): small blocks shrink F instead of padding
+    1 frame up to 8."""
+    f_eff = min(f, bsz)
+    return f_eff, _round_up(bsz, f_eff)
+
+
+def _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p):
+    """``[B, P] -> [B/F, tiles, F, tile_p]`` so each grid step loads a
+    naturally tiled ``[F, tile_p]`` video block."""
+    bsz = y.shape[0]
+    p_pad = n_tiles * tile_p
+    y = jnp.pad(y, ((0, b_pad - bsz), (0, p_pad - total_p)))
+    return y.reshape(b_pad // f_eff, f_eff, n_tiles, tile_p).swapaxes(1, 2)
+
+
 # ----------------------------------------------------------------------
 # Gram kernel
 # ----------------------------------------------------------------------
 def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
-                 *, size, scaling, tile_p, total_p, n_tiles):
+                 *, size, scaling, tile_p, total_p, n_tiles, f):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -163,20 +218,23 @@ def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
     idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
-    psi, _ = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
-    w = _fade_row(psi, size) * (idx < total_p).astype(jnp.float32)
-    a = _footprint_tile(psi, pos_ref) * w  # [K8, tp]
+    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
+    valid = (idx < total_p).astype(jnp.float32)
+    w = _fade_row(psi, size) * valid  # [F, tp] (valid broadcasts)
 
-    g_acc[:] += jax.lax.dot_general(
-        a, a, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    c1_acc[:] += jax.lax.dot_general(
-        a, y_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    for fi in range(f):
+        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+        a = _footprint_tile(psi_f, pos_ref) * w[fi:fi + 1, :]  # [K8, tp]
+        g_acc[fi] += jax.lax.dot_general(
+            a, a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        c1_acc[fi] += jax.lax.dot_general(
+            a, y_ref[fi:fi + 1, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     @pl.when(tile == n_tiles - 1)
     def _():
@@ -186,7 +244,8 @@ def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "scaling", "tile_p", "interpret"),
+    static_argnames=("size", "scaling", "tile_p", "frames_per_step",
+                     "interpret"),
 )
 def gram_block(
     betas: jnp.ndarray,
@@ -196,6 +255,7 @@ def gram_block(
     size,
     scaling: str = "normalized",
     tile_p: int = 8192,
+    frames_per_step: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused MU statistics for a block of frames.
@@ -211,48 +271,50 @@ def gram_block(
     k8 = _round_up(k, SUBLANE)
     total_p = int(np.prod(size))
     p_pad = _round_up(total_p, tile_p)
+    n_tiles = p_pad // tile_p
     params = _neuron_params(pos, sigma, k8)
 
-    n_tiles = p_pad // tile_p
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
-        bsz, n_tiles, 1, tile_p
-    )
+    f_eff, b_pad = _pad_frames(bsz, frames_per_step)
+    beta_rows = jnp.pad(
+        betas.reshape(bsz, 30), ((0, b_pad - bsz), (0, 0))
+    ).reshape(b_pad // f_eff, f_eff, 30)
+    y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p)
 
     g, c1 = pl.pallas_call(
         functools.partial(
             _gram_kernel, size=tuple(size), scaling=scaling,
-            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles,
+            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, f=f_eff,
         ),
-        grid=(bsz, n_tiles),
+        grid=(b_pad // f_eff, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, f_eff, 30), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((k8, 8), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 1, tile_p),
+            pl.BlockSpec((None, None, f_eff, tile_p),
                          lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, k8, k8), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k8, k8), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, k8, 1), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k8, 1), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, k8, k8), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, k8, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k8, k8), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k8, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k8, k8), jnp.float32),
-            pltpu.VMEM((k8, 1), jnp.float32),
+            pltpu.VMEM((f_eff, k8, k8), jnp.float32),
+            pltpu.VMEM((f_eff, k8, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(betas, params, y_pad)
-    return g[:, :k, :k], c1[:, :k, 0]
+    )(beta_rows, params, y_blk)
+    return g[:bsz, :k, :k], c1[:bsz, :k, 0]
 
 
 def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
@@ -268,44 +330,57 @@ def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
 # Motion kernel (data term + analytic gradient)
 # ----------------------------------------------------------------------
 def _motion_kernel(beta_ref, pos_ref, w2_ref, y_ref, sse_ref, dbeta_ref,
-                   sse_acc, dbeta_acc, *, size, scaling, tile_p,
-                   total_p, n_tiles):
+                   sse_acc, dbeta_acc, s_scr, b1_scr, b2x_scr, b2y_scr,
+                   b2z_scr, *, size, scaling, tile_p, total_p, n_tiles,
+                   f):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
     def _():
-        sse_acc[0, 0] = 0.0
+        sse_acc[:] = jnp.zeros_like(sse_acc)
         dbeta_acc[:] = jnp.zeros_like(dbeta_acc)
 
     idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
-    psi, phi = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
+    psi, phi = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
     valid = (idx < total_p).astype(jnp.float32)
-    w = _fade_row(psi, size) * valid
-    a = _footprint_tile(psi, pos_ref)  # raw Gaussians [K8, tp]
+    w = _fade_row(psi, size) * valid  # [F, tp]
 
-    # Row quantities via [1, K8] x [K8, tp] contractions on the sublane
-    # axis: S = c A, B1 = (2c/s^2) A, B2_d = (2 c p_d / s^2) A.
+    # Per-frame row quantities via one [K8, 8] x [K8, tp] contraction on
+    # the sublane axis: rows 0 = S = c A, 1 = B1 = (2c/s^2) A,
+    # 2:5 = B2_d = (2 c p_d / s^2) A.  Stacked into [F, tp] scratch so
+    # the gradient row math below vectorizes across frames.
     hi_prec = jax.lax.Precision.HIGHEST
-
-    def row(weights):  # weights [K8, 1] -> [1, tp]
-        return jax.lax.dot_general(
+    for fi in range(f):
+        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+        a = _footprint_tile(psi_f, pos_ref[fi])  # [K8, tp]
+        weights = jnp.concatenate(
+            [pos_ref[fi, :, 4:6], w2_ref[fi, :, 0:3],
+             jnp.zeros((a.shape[0], 3), dtype=jnp.float32)],
+            axis=1,
+        )  # [K8, 8]
+        rows = jax.lax.dot_general(
             weights, a, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=hi_prec,
-        )
+        )  # [8, tp]
+        s_scr[fi:fi + 1, :] = rows[0:1, :]
+        b1_scr[fi:fi + 1, :] = rows[1:2, :]
+        b2x_scr[fi:fi + 1, :] = rows[2:3, :]
+        b2y_scr[fi:fi + 1, :] = rows[3:4, :]
+        b2z_scr[fi:fi + 1, :] = rows[4:5, :]
 
-    s = row(pos_ref[:, 4:5])
-    b1 = row(pos_ref[:, 5:6])
-    b2 = [row(w2_ref[:, d:d + 1]) for d in range(3)]
+    s = s_scr[:]
+    b1 = b1_scr[:]
+    b2 = (b2x_scr[:], b2y_scr[:], b2z_scr[:])
 
     recon = w * s
-    r = (recon - y_ref[:] * valid) * valid
-    sse_acc[0, 0] += jnp.sum(r * r)
+    r = (recon - y_ref[:] * valid) * valid  # [F, tp]
+    sse_acc[:] += jnp.sum(r * r, axis=1, keepdims=True)
 
     # Border-fade product rule with JAX tie-subgradient conventions:
     # clip carries 1 strictly inside the ramp, 0.5 at the tie points
     # (dist == 0 lands on every lattice voxel in thin-Z volumes);
     # min(psi, hi-psi) carries 0 at its own tie.
-    dpsi_rows = []
+    dpsi = []
     for d in range(3):
         hi_d = float(size[d]) - 1.0
         pd = psi[d]
@@ -323,25 +398,29 @@ def _motion_kernel(beta_ref, pos_ref, w2_ref, y_ref, sse_ref, dbeta_ref,
         )
         if scaling == "normalized":
             dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
-        dpsi_rows.append(dpsi_d * (1.0 / total_p))
-    dpsi = jnp.concatenate(dpsi_rows, axis=0)  # [3, tp]
-    phi_mat = jnp.concatenate(phi, axis=0)  # [10, tp]
+        dpsi.append(dpsi_d * (1.0 / total_p))  # [F, tp]
 
-    # dbeta^T [3, 10] = dpsi [3, tp] . phi [10, tp]^T
-    dbeta_acc[:] += jax.lax.dot_general(
-        dpsi, phi_mat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hi_prec,
-    )
+    phi_mat = jnp.concatenate(phi, axis=0)  # [10, tp]
+    for fi in range(f):
+        dpsi_f = jnp.concatenate(
+            [dp[fi:fi + 1, :] for dp in dpsi], axis=0
+        )  # [3, tp]
+        # dbeta^T [3, 10] = dpsi [3, tp] . phi [10, tp]^T
+        dbeta_acc[fi] += jax.lax.dot_general(
+            dpsi_f, phi_mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi_prec,
+        )
 
     @pl.when(tile == n_tiles - 1)
     def _():
-        sse_ref[0, 0] = sse_acc[0, 0]
+        sse_ref[:] = sse_acc[:]
         dbeta_ref[:] = dbeta_acc[:]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "scaling", "tile_p", "interpret"),
+    static_argnames=("size", "scaling", "tile_p", "frames_per_step",
+                     "interpret"),
 )
 def motion_block(
     betas: jnp.ndarray,
@@ -352,6 +431,7 @@ def motion_block(
     size,
     scaling: str = "normalized",
     tile_p: int = 8192,
+    frames_per_step: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused data term + analytic beta gradient for a block of frames.
@@ -368,50 +448,61 @@ def motion_block(
     k8 = _round_up(k, SUBLANE)
     total_p = int(np.prod(size))
     p_pad = _round_up(total_p, tile_p)
+    n_tiles = p_pad // tile_p
     params, w2 = _neuron_params(pos, sigma, k8, c_block=c_block)
 
-    n_tiles = p_pad // tile_p
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
-        bsz, n_tiles, 1, tile_p
-    )
+    f_eff, b_pad = _pad_frames(bsz, frames_per_step)
+    pad_b = ((0, b_pad - bsz),)
+    beta_rows = jnp.pad(
+        betas.reshape(bsz, 30), pad_b + ((0, 0),)
+    ).reshape(b_pad // f_eff, f_eff, 30)
+    params = jnp.pad(params, pad_b + ((0, 0), (0, 0)))
+    w2 = jnp.pad(w2, pad_b + ((0, 0), (0, 0)))
+    y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p)
 
     sse, dbeta_t = pl.pallas_call(
         functools.partial(
             _motion_kernel, size=tuple(size), scaling=scaling,
-            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles,
+            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, f=f_eff,
         ),
-        grid=(bsz, n_tiles),
+        grid=(b_pad // f_eff, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, k8, 8), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, f_eff, 30), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, k8, 8), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k8, 8), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 1, tile_p),
+            pl.BlockSpec((f_eff, k8, 8), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, f_eff, tile_p),
                          lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, 1, 1), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, 1), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_eff, 3, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 3, 10), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 3, 10), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((3, 10), jnp.float32),
+            pltpu.VMEM((f_eff, 1), jnp.float32),
+            pltpu.VMEM((f_eff, 3, 10), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(betas, params, w2, y_pad)
-    return sse[:, 0, 0] / total_p, jnp.transpose(dbeta_t, (0, 2, 1))
+    )(beta_rows, params, w2, y_blk)
+    return (sse[:bsz, 0] / total_p,
+            jnp.transpose(dbeta_t, (0, 2, 1))[:bsz])
 
 
 def motion_frame(beta_t, pos, sigma, c_t, y, size, scaling="normalized",
