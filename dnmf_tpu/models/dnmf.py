@@ -90,17 +90,22 @@ def init_state(
 class _CulledShim:
     """Expose the culled kernels under the dense kernels' names.
 
-    Gram uses kblock=128 (block-pair dots at full 128x128 MXU-tile
-    utilization: 844 vs 1385 ms/64 whole-brain frames at 64-wide blocks);
-    motion uses kblock=64 (its block dots are tiny, so finer culling of
-    the exp work wins: 363 vs 427 ms).
+    Both use kblock=64 with split-float (3-pass bf16) Gram pair dots:
+    with HIGHEST (6-pass) dots the pair-dot cost forced 128-wide blocks
+    (full MXU-tile utilization) at the price of coarse culling; halving
+    the dot cost flips the trade — finer culling of the exp work wins
+    (whole-brain 512x512x20 K=200 Grams: 9.3 ms/frame at kblock=64+split
+    vs 14.9 at kblock=128+HIGHEST, same chip/session; kblock=32 loses
+    the MXU tile, 18.5).  Split error is ~3e-6 relative vs float64 —
+    far below MU sensitivity (validated in tools/tpu_smoke.py).
     """
 
     @staticmethod
     def gram_block(*args, **kwargs):
         from dnmf_tpu.ops import pallas_culled as pc
 
-        return pc.gram_block_culled(*args, kblock=128, **kwargs)
+        return pc.gram_block_culled(*args, kblock=64, dot_mode="split",
+                                    **kwargs)
 
     @staticmethod
     def motion_block(*args, **kwargs):

@@ -17,6 +17,15 @@ volume is 512 px across.  These kernels exploit that sparsity:
 With one block (K <= kblock) the kernels reduce to the dense versions in
 :mod:`dnmf_tpu.ops.pallas_kernels`, which also documents the layout and
 numerical-precision decisions shared by both.
+
+Gram pair dots support ``dot_mode="split"`` (3 single-pass bf16
+products instead of the 6-pass HIGHEST emulation, ~3e-6 relative error
+vs float64): halving the dot cost makes finer culling blocks
+(kblock=64) the fastest whole-brain configuration.  These kernels stay
+one-frame-per-grid-step: unlike the dense kernels, at whole-brain K the
+per-pixel row math is a small fraction of the exp + dot work, and a
+measured 8-frame variant ran *slower* (larger VMEM working set breaks
+the pipeline overlap) — 14.2 vs 9.3 ms/frame Grams.
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dnmf_tpu.ops import pallas_kernels as pk
 from dnmf_tpu.ops.pallas_kernels import (
     SUBLANE,
     _coord_rows,
@@ -97,8 +107,9 @@ def _block_footprint(psi, pos_ref, lo, kb):
 
 
 def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
-                        c1_ref, g_acc, c1_acc, a_scr, *, size, scaling,
-                        tile_p, total_p, n_tiles, kb, nkb):
+                        c1_ref, g_acc, c1_acc, a_scr, *scr, size,
+                        scaling, tile_p, total_p, n_tiles, kb, nkb,
+                        dot_mode):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -112,6 +123,9 @@ def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
     t_lo = jnp.min(psi[0])
     t_hi = jnp.max(psi[0])
 
+    split = dot_mode == "split"
+    ahi_scr, alo_scr = scr if split else (None, None)
+
     actives = []
     for i in range(nkb):
         active = (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
@@ -119,30 +133,47 @@ def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
 
         @pl.when(active)
         def _(i=i):
-            a_scr[i * kb:(i + 1) * kb, :] = (
-                _block_footprint(psi, pos_ref, i * kb, kb) * w
-            )
+            sl = slice(i * kb, (i + 1) * kb)
+            a = _block_footprint(psi, pos_ref, i * kb, kb) * w
+            a_scr[sl, :] = a
+            if split:
+                hi, lo = pk._split_bf16(a)
+                ahi_scr[sl, :] = hi
+                alo_scr[sl, :] = lo
 
     hi_prec = jax.lax.Precision.HIGHEST
+    dims = (((1,), (1,)), ((), ()))
+    bf_dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     for i in range(nkb):
         @pl.when(actives[i])
         def _(i=i):
             ai = a_scr[i * kb:(i + 1) * kb, :]
             c1_acc[i * kb:(i + 1) * kb, :] += jax.lax.dot_general(
-                ai, y_ref[:], (((1,), (1,)), ((), ())),
+                ai, y_ref[:], dims,
                 preferred_element_type=jnp.float32, precision=hi_prec,
             )
         for j in range(i, nkb):
             @pl.when(actives[i] & actives[j])
             def _(i=i, j=j):
-                ai = a_scr[i * kb:(i + 1) * kb, :]
-                aj = a_scr[j * kb:(j + 1) * kb, :]
-                gij = jax.lax.dot_general(
-                    ai, aj, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=hi_prec,
-                )
-                g_acc[i * kb:(i + 1) * kb, j * kb:(j + 1) * kb] += gij
+                si = slice(i * kb, (i + 1) * kb)
+                sj = slice(j * kb, (j + 1) * kb)
+                if split:
+                    # 3 single-pass bf16 products vs 6-pass HIGHEST; the
+                    # dropped lo@lo term is O(2^-18) relative.
+                    gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
+                           + bf_dot(ahi_scr[si, :], alo_scr[sj, :])
+                           + bf_dot(alo_scr[si, :], ahi_scr[sj, :]))
+                else:
+                    gij = jax.lax.dot_general(
+                        a_scr[si, :], a_scr[sj, :], dims,
+                        preferred_element_type=jnp.float32,
+                        precision=hi_prec,
+                    )
+                g_acc[si, sj] += gij
 
     @pl.when(tile == n_tiles - 1)
     def _():
@@ -159,7 +190,8 @@ def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "scaling", "tile_p", "kblock", "interpret"),
+    static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
+                     "interpret"),
 )
 def gram_block_culled(
     betas: jnp.ndarray,
@@ -170,9 +202,18 @@ def gram_block_culled(
     scaling: str = "normalized",
     tile_p: int = 8192,
     kblock: int = 64,
+    dot_mode: str = "highest",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Culled MU statistics for a block of frames: ``(G, c1)``."""
+    """Culled MU statistics for a block of frames: ``(G, c1)``.
+
+    ``dot_mode="split"`` runs the block-pair Gram dots as 3 single-pass
+    bf16 products instead of the 6-pass HIGHEST emulation (~2x cheaper
+    dots; see ``pallas_kernels._gram_dot``).  With split dots, finer
+    culling blocks win: whole-brain 512x512x20 K=200 Grams run 9.3
+    ms/frame at kblock=64 + split vs 14.9 at kblock=128 + HIGHEST
+    (same chip/session); error vs float64 is ~3e-6 relative.
+    """
     bsz = betas.shape[0]
     k = pos.shape[0]
     kb = min(kblock, _round_up(k, SUBLANE))
@@ -191,7 +232,7 @@ def gram_block_culled(
         functools.partial(
             _gram_kernel_culled, size=tuple(size), scaling=scaling,
             tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, kb=kb,
-            nkb=nkb,
+            nkb=nkb, dot_mode=dot_mode,
         ),
         grid=(bsz, n_tiles),
         in_specs=[
@@ -219,7 +260,10 @@ def gram_block_culled(
             pltpu.VMEM((k_pad, k_pad), jnp.float32),
             pltpu.VMEM((k_pad, 1), jnp.float32),
             pltpu.VMEM((k_pad, tile_p), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+        ] if dot_mode == "split" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

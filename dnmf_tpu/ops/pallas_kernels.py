@@ -189,6 +189,40 @@ def _neuron_params(pos, sigma, k8, c_block=None):
     return out, w2
 
 
+def _split_bf16(a):
+    """2-term bf16 decomposition: ``a ~ hi + lo`` with ``|lo| <~ 2^-9 |a|``."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _gram_dot(a, b, dot_mode):
+    """``a @ b^T`` contracting the lane (pixel) axis.
+
+    ``dot_mode``:
+      * ``"highest"`` — f32-accurate via the MXU's 6-pass bf16 emulation.
+      * ``"split"``   — 2-term bf16 decomposition, 3 single passes:
+        ``hi@hi + hi@lo + lo@hi`` (the dropped ``lo@lo`` term is
+        ``O(2^-18)`` relative).  ~2x faster where the Gram dot dominates
+        (whole-brain K); error ~1e-5 relative vs float64 — far below the
+        Gram's MU-update sensitivity.
+    """
+    dims = (((1,), (1,)), ((), ()))
+    if dot_mode == "split":
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _pad_frames(bsz, f):
     """(effective F, padded B): small blocks shrink F instead of padding
     1 frame up to 8."""
@@ -209,7 +243,8 @@ def _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p):
 # Gram kernel
 # ----------------------------------------------------------------------
 def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
-                 *, size, scaling, tile_p, total_p, n_tiles, f):
+                 *, size, scaling, tile_p, total_p, n_tiles, f,
+                 dot_mode):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -225,11 +260,9 @@ def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
     for fi in range(f):
         psi_f = tuple(p[fi:fi + 1, :] for p in psi)
         a = _footprint_tile(psi_f, pos_ref) * w[fi:fi + 1, :]  # [K8, tp]
-        g_acc[fi] += jax.lax.dot_general(
-            a, a, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        g_acc[fi] += _gram_dot(a, a, dot_mode)
+        # c1 is a skinny [K8, tp] @ [tp, 1] — O(1/K) of the Gram dot,
+        # always at HIGHEST.
         c1_acc[fi] += jax.lax.dot_general(
             a, y_ref[fi:fi + 1, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -245,7 +278,7 @@ def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
 @functools.partial(
     jax.jit,
     static_argnames=("size", "scaling", "tile_p", "frames_per_step",
-                     "interpret"),
+                     "dot_mode", "interpret"),
 )
 def gram_block(
     betas: jnp.ndarray,
@@ -256,6 +289,7 @@ def gram_block(
     scaling: str = "normalized",
     tile_p: int = 8192,
     frames_per_step: int = 8,
+    dot_mode: str = "highest",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused MU statistics for a block of frames.
@@ -284,6 +318,7 @@ def gram_block(
         functools.partial(
             _gram_kernel, size=tuple(size), scaling=scaling,
             tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, f=f_eff,
+            dot_mode=dot_mode,
         ),
         grid=(b_pad // f_eff, n_tiles),
         in_specs=[

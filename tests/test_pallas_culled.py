@@ -86,3 +86,36 @@ def test_culled_single_block_degenerates(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c1_c), np.asarray(c1_d),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gram_split_dot_mode_close_to_highest(rng):
+    """dot_mode="split" (3-pass bf16 decomposition, the production
+    whole-brain configuration) stays within ~1e-4 relative of the 6-pass
+    HIGHEST Gram."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dnmf_tpu.ops import basis as B
+    from dnmf_tpu.ops import pallas_culled as pc
+
+    size = (24, 16, 4)
+    k, t = 20, 3
+    total_p = int(np.prod(size))
+    pos = jnp.asarray(
+        rng.uniform(2, np.array(size) - 2, (k, 3)).astype(np.float32)
+    )
+    sigma = jnp.asarray(rng.uniform(1.5, 3.0, (k,)).astype(np.float32))
+    beta = jnp.asarray(
+        np.asarray(B.identity_beta(t))
+        + 0.01 * rng.normal(size=(t, 10, 3)).astype(np.float32)
+    )
+    y = jnp.asarray(rng.uniform(size=(t, total_p)).astype(np.float32))
+    args = (beta, pos, sigma, y, size)
+    kw = dict(scaling="normalized", tile_p=512, kblock=8, interpret=True)
+    g_hi, c1_hi = pc.gram_block_culled(*args, dot_mode="highest", **kw)
+    g_sp, c1_sp = pc.gram_block_culled(*args, dot_mode="split", **kw)
+    scale = float(jnp.max(jnp.abs(g_hi)))
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_hi),
+                               rtol=5e-4, atol=5e-4 * scale)
+    np.testing.assert_allclose(np.asarray(c1_sp), np.asarray(c1_hi),
+                               rtol=1e-5, atol=1e-6)

@@ -107,11 +107,17 @@ def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4,
     mse_ref = float((r**2).mean())
 
     ok = True
-    for label, fn in (("dense", pk.gram_block),
-                      ("culled", pc.gram_block_culled)):
+    # "culled+split" is the production whole-brain configuration
+    # (models layer passes dot_mode="split" for K > 64): the 3-pass
+    # bf16-split Gram dot must stay within the same tolerance envelope.
+    for label, fn, kw in (
+        ("dense", pk.gram_block, {}),
+        ("culled", pc.gram_block_culled, {}),
+        ("culled+split", pc.gram_block_culled, {"dot_mode": "split"}),
+    ):
         g, c1 = fn(jnp.asarray(beta)[None], jnp.asarray(pos),
                    jnp.asarray(sigma), jnp.asarray(y)[None], size,
-                   scaling=scaling, tile_p=tile_p)
+                   scaling=scaling, tile_p=tile_p, **kw)
         ok &= check(f"gram[{label}] G ({scaling})", g[0], g_ref, rtol, atol)
         ok &= check(f"gram[{label}] c1 ({scaling})", c1[0], c1_ref,
                     rtol, atol)
