@@ -42,10 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 from dnmf_tpu.ops import pallas_kernels as pk
 from dnmf_tpu.ops.pallas_kernels import (
     SUBLANE,
+    _beta_warp_matrix,
     _coord_rows,
     _fade_row,
     _round_up,
-    _warp_rows,
+    _warp_rows_mf,
 )
 
 REACH_SIGMAS = 6.0  # exp(-36) ≈ 2e-16: below f32 Gram resolution
@@ -118,7 +119,7 @@ def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
     idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
-    psi, _ = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
+    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, 1)
     w = _fade_row(psi, size) * (idx < total_p).astype(jnp.float32)
     t_lo = jnp.min(psi[0])
     t_hi = jnp.max(psi[0])
@@ -236,8 +237,8 @@ def gram_block_culled(
         ),
         grid=(bsz, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
@@ -268,7 +269,7 @@ def gram_block_culled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(betas, blocks, params, y_pad)
+    )(_beta_warp_matrix(betas, 1), blocks, params, y_pad)
 
     # Undo the sort: sorted index i holds original neuron perm[i], so the
     # original-order Gram is G_sorted[inv][:, inv] with inv = argsort(perm).
@@ -290,7 +291,7 @@ def _motion_kernel_culled(beta_ref, blocks_ref, pos_ref, w2_ref, y_ref,
         dbeta_acc[:] = jnp.zeros_like(dbeta_acc)
 
     idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
-    psi, phi = _warp_rows(beta_ref, mi, ni, zi, size, scaling)
+    psi, phi = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, 1)
     valid = (idx < total_p).astype(jnp.float32)
     w = _fade_row(psi, size) * valid
     t_lo = jnp.min(psi[0])
@@ -399,8 +400,8 @@ def motion_block_culled(
         ),
         grid=(bsz, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, 10, 3), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, k_pad, 8), lambda bi, ti: (bi, 0, 0),
@@ -430,5 +431,5 @@ def motion_block_culled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(betas, blocks, params, w2, y_pad)
+    )(_beta_warp_matrix(betas, 1), blocks, params, w2, y_pad)
     return sse[:, 0, 0] / total_p, jnp.transpose(dbeta_t, (0, 2, 1))

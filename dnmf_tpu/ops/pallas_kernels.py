@@ -95,41 +95,38 @@ def _basis_rows(mi, ni, zi, size, scaling):
             xs * zs, ys * zs)
 
 
-def _warp_rows(beta_ref, mi, ni, zi, size, scaling):
-    """Deformed pixel coordinates + basis rows (scalar-coefficient form).
+def _beta_warp_matrix(betas, f):
+    """``[B, 10, 3] -> [B/F, 3F, 10]`` warp-coefficient matrix.
 
-    ``beta_ref``: SMEM ``[10, 3]``.  Returns ``(psi: 3 x [1, tp],
-    phi: tuple of 10 [1, tp] rows)``.  Used by the culled kernels, which
-    process one frame per grid step.
+    Row ``d*F + fi`` holds frame ``fi``'s coefficients for axis ``d``,
+    so ``psi_all = beta_mat @ phi`` yields per-axis ``[F, tp]`` blocks
+    as contiguous sublane slices.
     """
-    phi = _basis_rows(mi, ni, zi, size, scaling)
-    psi = []
-    for d in range(3):
-        acc = jnp.zeros_like(phi[0])
-        for b in range(10):
-            acc = acc + beta_ref[b, d] * phi[b]
-        if scaling == "normalized":
-            acc = (acc + 1.0) / 2.0 * max(float(size[d]) - 1.0, 1.0)
-        psi.append(acc)
-    return psi, phi
+    b_pad = betas.shape[0]
+    return betas.reshape(b_pad // f, f, 10, 3).transpose(
+        0, 3, 1, 2
+    ).reshape(b_pad // f, 3 * f, 10)
 
 
 def _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f):
     """Multi-frame warp: ``psi`` as 3 x ``[F, tp]`` (frames on sublanes).
 
-    ``beta_ref``: VMEM ``[F, 30]`` (row-major ``[10, 3]`` per frame).
-    Per-frame coefficients are ``[F, 1]`` lane-slices broadcast against
-    the shared basis rows — the same FMA sequence as the scalar form,
-    covering F frames per op.
+    ``beta_ref``: VMEM ``[3F, 10]`` (see :func:`_beta_warp_matrix`).
+    The whole quadratic polynomial is ONE small MXU matmul
+    ``[3F, 10] @ [10, tp]`` at HIGHEST precision (coordinates need f32:
+    bf16 passes would put O(1 px) error on them) — an elementwise
+    coefficient-broadcast form costs ~60 full-tile VPU ops instead.
     """
     phi = _basis_rows(mi, ni, zi, size, scaling)
-    tp = phi[0].shape[1]
+    phi_mat = jnp.concatenate(phi, axis=0)  # [10, tp]
+    psi_all = jax.lax.dot_general(
+        beta_ref[:], phi_mat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [3F, tp]
     psi = []
     for d in range(3):
-        acc = jnp.zeros((f, tp), dtype=jnp.float32)
-        for b in range(10):
-            coef = beta_ref[:, b * 3 + d:b * 3 + d + 1]  # [F, 1]
-            acc = acc + coef * jnp.broadcast_to(phi[b], (f, tp))
+        acc = psi_all[d * f:(d + 1) * f, :]
         if scaling == "normalized":
             acc = (acc + 1.0) / 2.0 * max(float(size[d]) - 1.0, 1.0)
         psi.append(acc)
@@ -309,9 +306,9 @@ def gram_block(
     params = _neuron_params(pos, sigma, k8)
 
     f_eff, b_pad = _pad_frames(bsz, frames_per_step)
-    beta_rows = jnp.pad(
-        betas.reshape(bsz, 30), ((0, b_pad - bsz), (0, 0))
-    ).reshape(b_pad // f_eff, f_eff, 30)
+    beta_rows = _beta_warp_matrix(
+        jnp.pad(betas, ((0, b_pad - bsz), (0, 0), (0, 0))), f_eff
+    )
     y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p)
 
     g, c1 = pl.pallas_call(
@@ -322,7 +319,7 @@ def gram_block(
         ),
         grid=(b_pad // f_eff, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, f_eff, 30), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, 3 * f_eff, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k8, 8), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -488,9 +485,9 @@ def motion_block(
 
     f_eff, b_pad = _pad_frames(bsz, frames_per_step)
     pad_b = ((0, b_pad - bsz),)
-    beta_rows = jnp.pad(
-        betas.reshape(bsz, 30), pad_b + ((0, 0),)
-    ).reshape(b_pad // f_eff, f_eff, 30)
+    beta_rows = _beta_warp_matrix(
+        jnp.pad(betas, pad_b + ((0, 0), (0, 0))), f_eff
+    )
     params = jnp.pad(params, pad_b + ((0, 0), (0, 0)))
     w2 = jnp.pad(w2, pad_b + ((0, 0), (0, 0)))
     y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p)
@@ -502,7 +499,7 @@ def motion_block(
         ),
         grid=(b_pad // f_eff, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, f_eff, 30), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, 3 * f_eff, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f_eff, k8, 8), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
