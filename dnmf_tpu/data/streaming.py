@@ -40,6 +40,17 @@ class StreamingVideo:
     def num_blocks(self) -> int:
         return -(-self.num_frames // self.block)
 
+    def read(self, start: int, stop: int) -> np.ndarray:
+        """Host read of frames ``[start, stop)`` as clamped f32 ``[n, P]``.
+
+        Used by the mesh-sharded streaming drivers to assemble one
+        per-shard block row from each shard's contiguous frame range.
+        """
+        chunk = np.asarray(
+            self.array[start:stop], dtype=np.float32
+        ).reshape(stop - start, -1)
+        return np.maximum(chunk, 0.0)
+
     def blocks(self) -> Iterator[Tuple[jnp.ndarray, int, int]]:
         """Yield ``(frames [block, P] device array, start, valid)``."""
         for start in range(0, self.num_frames, self.block):

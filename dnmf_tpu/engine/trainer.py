@@ -163,10 +163,21 @@ class DeformableNMF:
         if self._is_streaming(video):
             last = {}
             for _ in range(epochs):
-                self.state, m = model_lib.motion_epoch_streaming(
-                    self.state, video, self.model, self.optimizer, gamma,
-                    use_pallas=self._use_pallas,
-                )
+                if self._mesh is not None:
+                    from dnmf_tpu.parallel import (
+                        sharded_motion_epoch_streaming,
+                    )
+
+                    self.state, m = sharded_motion_epoch_streaming(
+                        self.state, video, self.model, self.optimizer,
+                        gamma, mesh=self._mesh,
+                        use_pallas=self._use_pallas,
+                    )
+                else:
+                    self.state, m = model_lib.motion_epoch_streaming(
+                        self.state, video, self.model, self.optimizer,
+                        gamma, use_pallas=self._use_pallas,
+                    )
                 last = {k: float(v) for k, v in m.items()}
                 self.metrics.append({"phase": "motion", **last})
             return last
@@ -204,10 +215,20 @@ class DeformableNMF:
         ``update_footprints`` without the host round-trip)."""
         iters = iters or self.opt_config.mu_iters
         if self._is_streaming(video):
-            grams, c1 = model_lib.compute_grams_streaming(
-                self.state, video, self.model,
-                use_pallas=self._use_pallas,
-            )
+            if self._mesh is not None:
+                from dnmf_tpu.parallel import (
+                    sharded_compute_grams_streaming,
+                )
+
+                grams, c1 = sharded_compute_grams_streaming(
+                    self.state, video, self.model, mesh=self._mesh,
+                    use_pallas=self._use_pallas,
+                )
+            else:
+                grams, c1 = model_lib.compute_grams_streaming(
+                    self.state, video, self.model,
+                    use_pallas=self._use_pallas,
+                )
         elif self._mesh is not None:
             from dnmf_tpu.parallel import sharded_compute_grams
 

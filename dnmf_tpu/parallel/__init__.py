@@ -7,6 +7,10 @@ from dnmf_tpu.parallel.batched import (
     unstack_states,
 )
 from dnmf_tpu.parallel.mesh import make_mesh, video_sharding
+from dnmf_tpu.parallel.streaming import (
+    sharded_compute_grams_streaming,
+    sharded_motion_epoch_streaming,
+)
 from dnmf_tpu.parallel.sharded import (
     sharded_compute_grams,
     sharded_footprint_update,
@@ -24,6 +28,8 @@ __all__ = [
     "sharded_compute_grams",
     "sharded_footprint_update",
     "sharded_motion_epoch",
+    "sharded_motion_epoch_streaming",
+    "sharded_compute_grams_streaming",
     "shard_state",
     "shard_video",
 ]
