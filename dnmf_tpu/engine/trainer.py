@@ -359,31 +359,35 @@ class DeformableNMF:
     def traces(self) -> np.ndarray:
         return np.asarray(self.state.c)
 
-    def positions_at(self, frame: int) -> np.ndarray:
-        """Deformed neuron positions at a frame: ``warp_t^{-1}`` applied to
-        footprint centers via the forward warp of the tracked grid.
+    def positions_at(self, frame: int, iters: int = 3) -> np.ndarray:
+        """Deformed neuron positions at a frame: ``warp_t^{-1}(p_k)``.
 
         The model warps *coordinates* (footprints stay anchored at frame-0
         positions and the sampling grid deforms), so the apparent position
-        of neuron k at frame t is the point ``x`` with ``warp_t(x) = p_k``;
-        we return the first-order estimate ``2*p_k - warp_t(p_k)``.
+        of neuron k at frame t is the point ``x`` with ``warp_t(x) = p_k``.
+        Solved by fixed-point iteration (exact to <1e-3 px for demo-scale
+        warps; the old first-order ``2p - warp(p)`` estimate was biased
+        for strong quadratic warps).
         """
         from dnmf_tpu.ops.basis import (
             denormalize_points,
+            invert_warp_points,
             normalize_points,
-            warp_points,
         )
 
         pos = self.state.pos
         if self.model.deformation.basis_scaling == "normalized":
-            warped = denormalize_points(
-                warp_points(normalize_points(pos, self.model.size),
-                            self.state.beta[frame]),
+            inv = denormalize_points(
+                invert_warp_points(
+                    normalize_points(pos, self.model.size),
+                    self.state.beta[frame], iters=iters,
+                ),
                 self.model.size,
             )
         else:
-            warped = warp_points(pos, self.state.beta[frame])
-        return np.asarray(2 * pos - warped)
+            inv = invert_warp_points(pos, self.state.beta[frame],
+                                     iters=iters)
+        return np.asarray(inv)
 
 
 class StaticFootprintNMF:

@@ -23,14 +23,23 @@ def save_state(path: str, state: Any) -> None:
 
 
 def load_state(path: str, template: Any) -> Any:
-    """Restore a pytree checkpoint with structure/dtypes from ``template``."""
+    """Restore a pytree checkpoint with structure/dtypes from ``template``.
+
+    Sharding follows the *template*, not the checkpoint: a state saved on
+    one topology restores directly onto whatever mesh (or single device)
+    the template's leaves live on — save on an 8-way time mesh, resume on
+    a single chip or a differently-shaped mesh without a gather step.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    restore_args = jax.tree_util.tree_map(
-        lambda x: ocp.ArrayRestoreArgs(dtype=x.dtype), template
-    )
+
+    def _restore_arg(x):
+        sharding = getattr(x, "sharding", None)
+        return ocp.ArrayRestoreArgs(dtype=x.dtype, sharding=sharding)
+
+    restore_args = jax.tree_util.tree_map(_restore_arg, template)
     return ckptr.restore(
         path, args=ocp.args.PyTreeRestore(
             item=template,

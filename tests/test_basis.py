@@ -77,3 +77,28 @@ def test_translation_beta_shifts_coordinates():
     psi1 = warp_voxel_coords(vb, beta[1], size, "normalized")
     np.testing.assert_allclose(np.asarray(psi1), np.asarray(grid),
                                atol=1e-5)
+
+
+def test_invert_warp_points_roundtrip(rng):
+    """warp(invert(p)) round-trips to <1e-3 px for a strong quadratic
+    warp (the fixed-point inverse replaces the biased first-order
+    ``2p - warp(p)`` estimate)."""
+    from dnmf_tpu.ops.basis import invert_warp_points, warp_points
+
+    beta = np.asarray(basis.identity_beta(1))[0]
+    beta = beta + rng.normal(0, 0.02, size=(10, 3)).astype(np.float32)
+    beta_j = jnp.asarray(beta)
+    pts = jnp.asarray(
+        rng.uniform(-0.8, 0.8, size=(50, 3)).astype(np.float32)
+    )
+    inv = invert_warp_points(pts, beta_j, iters=3)
+    back = warp_points(inv, beta_j)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts),
+                               atol=1e-3)
+    # And the fixed point is a genuine improvement over first order.
+    first_order = 2 * pts - warp_points(pts, beta_j)
+    err_fp = np.abs(np.asarray(warp_points(inv, beta_j) - pts)).max()
+    err_fo = np.abs(
+        np.asarray(warp_points(first_order, beta_j) - pts)
+    ).max()
+    assert err_fp < err_fo
