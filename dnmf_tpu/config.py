@@ -159,9 +159,12 @@ class RuntimeConfig:
 
     # Frames processed per device step when streaming long recordings.
     frame_block: int = 8
-    # Mesh axis sizes; None => single device.
+    # Mesh axis sizes; None => single device.  mesh_pixel shards voxels
+    # (tensor parallelism for the [K,K] MU Grams at large K; analytic
+    # footprints, XLA path only).
     mesh_time: Optional[int] = None
     mesh_batch: Optional[int] = None
+    mesh_pixel: Optional[int] = None
     # Fused Pallas kernels for footprint evaluation + Gram/gradient
     # accumulation (None = auto: on for TPU backends with analytic
     # footprints).

@@ -76,19 +76,37 @@ class DeformableNMF:
                 "dnmf_tpu.parallel.batched for multi-recording runs "
                 "(set mesh_time for frame sharding)"
             )
-        if self.runtime.mesh_time and optimizer.motion_mode == "parity":
+        if (self.runtime.mesh_time or self.runtime.mesh_pixel) \
+                and optimizer.motion_mode == "parity":
             raise ValueError(
                 "parity motion mode is batch-serial and bypasses the "
-                "frame mesh; use motion_mode='parallel' with mesh_time"
+                "mesh; use motion_mode='parallel' with mesh axes"
             )
-        if self.runtime.mesh_time:
+        if self.runtime.mesh_pixel and self.runtime.mesh_pixel > 1:
+            p = model.size[0] * model.size[1] * model.size[2]
+            if model.deformation.footprint_mode != "analytic":
+                raise ValueError(
+                    "mesh_pixel (Gram tensor parallelism) requires "
+                    "analytic footprints"
+                )
+            if p % self.runtime.mesh_pixel:
+                raise ValueError(
+                    "voxel count must divide evenly over mesh_pixel"
+                )
+            if self.runtime.use_pallas:
+                raise ValueError(
+                    "mesh_pixel uses the XLA footprint path; unset "
+                    "use_pallas"
+                )
+        if self.runtime.mesh_time or self.runtime.mesh_pixel:
             from dnmf_tpu.parallel import make_mesh, shard_state
 
             self._mesh = make_mesh(
-                num_time=self.runtime.mesh_time,
+                num_time=self.runtime.mesh_time or 1,
                 num_batch=self.runtime.mesh_batch or 1,
+                num_pixel=self.runtime.mesh_pixel or 1,
             )
-            if model.num_frames % self.runtime.mesh_time:
+            if model.num_frames % (self.runtime.mesh_time or 1):
                 raise ValueError(
                     "num_frames must divide evenly over mesh_time"
                 )
@@ -100,6 +118,11 @@ class DeformableNMF:
             )
         else:
             self._use_pallas = bool(self.runtime.use_pallas)
+        if (self.runtime.mesh_pixel or 1) > 1:
+            # Pixel-sharded shards evaluate footprints on basis slices,
+            # which only the XLA path supports (the fused kernels derive
+            # coordinates from the full volume size).
+            self._use_pallas = False
 
     class _Prepared:
         """Marker wrapper: video already flattened/clamped/sharded."""

@@ -311,6 +311,7 @@ def frame_grads_local(
     frame_block: int,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    vb: Optional[jnp.ndarray] = None,
 ):
     """Per-frame loss gradients for a (local) set of frames.
 
@@ -318,9 +319,24 @@ def frame_grads_local(
     shard_map per-shard function, and the host-streamed path — one place
     for the pallas dispatch, precision, padding, and scan logic.
 
-    Returns ``(grads [Tl, 10, 3], mses [Tl], regs [Tl])``.
+    ``vb`` overrides the voxel basis — the pixel-sharded (TP) path
+    passes each shard's ``[P_local, 10]`` slice so footprints evaluate
+    only on local voxels (analytic mode only; the XLA path — the fused
+    kernels derive coordinates from ``model.size`` internally).
+
+    Returns ``(grads [Tl, 10, 3], mses [Tl], regs [Tl])`` — with a
+    pixel-local ``vb``, the data terms are partial (local-voxel) values
+    whose pixel-axis ``psum/npix`` reproduces the global ones.
     """
-    vb = model_voxel_basis(model)
+    pixel_local = vb is not None
+    if pixel_local and (use_pallas
+                        or model.deformation.footprint_mode != "analytic"):
+        raise ValueError(
+            "pixel-sharded gradients require the analytic-footprint XLA "
+            "path"
+        )
+    if vb is None:
+        vb = model_voxel_basis(model)
     stored_a = _maybe_stored_a(state, model, vb)
     tl, p = video_loc.shape
 
@@ -389,13 +405,26 @@ def grams_local(
     frame_block: int,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    vb: Optional[jnp.ndarray] = None,
 ):
     """Per-frame MU statistics for a (local) set of frames — the shared
     body behind ``compute_grams`` and the sharded/streamed variants.
 
+    ``vb`` overrides the voxel basis for the pixel-sharded (TP) path:
+    with a ``[P_local, 10]`` slice the returned Grams are partial sums
+    over local voxels whose pixel-axis ``psum`` is the global Gram
+    (analytic mode, XLA path only).
+
     Returns ``(grams [Tl, K, K], c1 [Tl, K])``.
     """
-    vb = model_voxel_basis(model)
+    pixel_local = vb is not None
+    if pixel_local and (use_pallas
+                        or model.deformation.footprint_mode != "analytic"):
+        raise ValueError(
+            "pixel-sharded Grams require the analytic-footprint XLA path"
+        )
+    if vb is None:
+        vb = model_voxel_basis(model)
     stored_a = _maybe_stored_a(state, model, vb)
     tl, p = video_loc.shape
 

@@ -20,24 +20,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TIME_AXIS = "time"
 BATCH_AXIS = "batch"
+PIXEL_AXIS = "pixel"
 
 
 def make_mesh(
     num_time: Optional[int] = None,
     num_batch: int = 1,
+    num_pixel: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ``(batch, time)`` mesh over available devices."""
+    """Build a ``(batch, time, pixel)`` mesh over available devices.
+
+    ``batch`` partitions recordings, ``time`` partitions frames, and
+    ``pixel`` partitions voxels within a frame (tensor parallelism for
+    the ``[K, K]`` MU Grams at large K — each pixel shard evaluates
+    footprints on its voxel subset and partial Grams ``psum`` over the
+    axis; the reference's Gram einsum reduces over all voxels on one
+    host, ``/root/reference/Demix/dNMF.py:141``).  Unused axes default to
+    size 1, so 2-axis callers are unaffected.
+    """
     if devices is None:
         devices = jax.devices()
     if num_time is None:
-        num_time = len(devices) // num_batch
-    devs = np.asarray(devices[: num_batch * num_time]).reshape(
-        num_batch, num_time
+        num_time = len(devices) // (num_batch * num_pixel)
+    devs = np.asarray(devices[: num_batch * num_time * num_pixel]).reshape(
+        num_batch, num_time, num_pixel
     )
-    return Mesh(devs, (BATCH_AXIS, TIME_AXIS))
+    return Mesh(devs, (BATCH_AXIS, TIME_AXIS, PIXEL_AXIS))
 
 
 def video_sharding(mesh: Mesh) -> NamedSharding:
-    """Frames sharded over the time axis: video ``[T, P]``."""
-    return NamedSharding(mesh, P(TIME_AXIS))
+    """Video ``[T, P]``: frames over the time axis, voxels over the
+    pixel axis (replicated there when the axis has size 1)."""
+    return NamedSharding(mesh, P(TIME_AXIS, PIXEL_AXIS))

@@ -30,7 +30,11 @@ from dnmf_tpu.models import dnmf as model_lib
 from dnmf_tpu.ops import basis as basis_ops
 from dnmf_tpu.ops import jacobian as jac_ops
 from dnmf_tpu.ops import mu as mu_ops
-from dnmf_tpu.parallel.mesh import TIME_AXIS
+from dnmf_tpu.parallel.mesh import PIXEL_AXIS, TIME_AXIS
+
+
+def _pixel_size(mesh: Mesh) -> int:
+    return mesh.shape.get(PIXEL_AXIS, 1)
 
 
 def _state_specs(state: model_lib.DNMFState):
@@ -59,8 +63,17 @@ def shard_state(state: model_lib.DNMFState, mesh: Mesh):
 
 
 def shard_video(video_flat: jnp.ndarray, mesh: Mesh):
-    """Place ``[T, P]`` frames time-sharded onto the mesh."""
-    return jax.device_put(video_flat, NamedSharding(mesh, P(TIME_AXIS)))
+    """Place ``[T, P]`` frames onto the mesh: frames over the time axis,
+    voxels over the pixel axis (size-1 pixel axis = time-only layout)."""
+    if (PIXEL_AXIS in mesh.shape
+            and video_flat.shape[1] % mesh.shape[PIXEL_AXIS]):
+        raise ValueError(
+            f"voxel count {video_flat.shape[1]} must divide evenly over "
+            f"mesh pixel={mesh.shape[PIXEL_AXIS]}"
+        )
+    return jax.device_put(
+        video_flat, NamedSharding(mesh, P(TIME_AXIS, PIXEL_AXIS))
+    )
 
 
 @functools.partial(
@@ -81,15 +94,29 @@ def sharded_motion_epoch(
 ) -> Tuple[model_lib.DNMFState, dict]:
     """Frame-sharded equivalent of ``motion_epoch_parallel``.
 
-    Requires ``T % mesh.shape["time"] == 0``.
+    Requires ``T % mesh.shape["time"] == 0``.  With a pixel mesh axis
+    of size > 1 (tensor parallelism), the video also shards over voxels:
+    each shard evaluates footprints on its ``[P/npix, 10]`` basis slice
+    and partial per-frame gradients ``psum`` over the pixel axis before
+    the (replicated-over-pixel) Adam step.
     """
     specs = _state_specs(state)
+    npix = _pixel_size(mesh)
 
-    def local_fn(state_loc, video_loc):
+    def local_fn(state_loc, video_loc, vb_loc):
         grads, mses, regs = model_lib.frame_grads_local(
             state_loc, video_loc, model, gamma, frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            vb=vb_loc if npix > 1 else None,
         )
+        if npix > 1:
+            # Local values are computed over local voxels; the psum/npix
+            # of both the data-term gradients and the metrics reproduces
+            # the global ones (the identical per-frame regularizer terms
+            # also come back unscaled under /npix).
+            grads = jax.lax.psum(grads, PIXEL_AXIS) / npix
+            mses = jax.lax.psum(mses, PIXEL_AXIS) / npix
+            regs = jax.lax.psum(regs, PIXEL_AXIS) / npix
         updates, opt_state = optimizer.update(
             grads, state_loc.opt_state, state_loc.beta
         )
@@ -100,13 +127,14 @@ def sharded_motion_epoch(
         new_state = state_loc._replace(beta=beta, opt_state=opt_state)
         return new_state, {"recon_mse": mse, "reg": reg}
 
+    vb = model_lib.model_voxel_basis(model)
     f = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(specs, P(TIME_AXIS)),
+        in_specs=(specs, P(TIME_AXIS, PIXEL_AXIS), P(PIXEL_AXIS)),
         out_specs=(specs, {"recon_mse": P(), "reg": P()}),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )
-    return f(state, video_flat)
+    return f(state, video_flat, vb)
 
 
 @functools.partial(
@@ -122,22 +150,39 @@ def sharded_compute_grams(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Frame-sharded per-frame Grams: ``([T,K,K], [T,K])`` sharded on T."""
-    specs = _state_specs(state)
+    """Frame-sharded per-frame Grams: ``([T,K,K], [T,K])`` sharded on T.
 
-    def local_fn(state_loc, video_loc):
-        return model_lib.grams_local(
+    With a pixel mesh axis of size > 1 (tensor parallelism for large K,
+    SURVEY §2.3 TP row), each shard accumulates partial Grams over its
+    voxel subset and one ``psum`` over the pixel axis yields the global
+    ``[K, K]`` per-frame Grams — the pixel-sharded form of the
+    reference's whole-volume Gram einsum
+    (``/root/reference/Demix/dNMF.py:141``).
+    """
+    specs = _state_specs(state)
+    npix = _pixel_size(mesh)
+
+    def local_fn(state_loc, video_loc, vb_loc):
+        g, c1 = model_lib.grams_local(
             state_loc, video_loc, model, frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            vb=vb_loc if npix > 1 else None,
         )
+        if npix > 1:
+            # Grams are plain sums over voxels — partial sums psum to the
+            # global Gram (no normalization).
+            g = jax.lax.psum(g, PIXEL_AXIS)
+            c1 = jax.lax.psum(c1, PIXEL_AXIS)
+        return g, c1
 
+    vb = model_lib.model_voxel_basis(model)
     f = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(specs, P(TIME_AXIS)),
+        in_specs=(specs, P(TIME_AXIS, PIXEL_AXIS), P(PIXEL_AXIS)),
         out_specs=(P(TIME_AXIS), P(TIME_AXIS)),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )
-    return f(state, video_flat)
+    return f(state, video_flat, vb)
 
 
 @functools.partial(

@@ -34,6 +34,14 @@ from dnmf_tpu.parallel.sharded import _state_specs
 
 
 def _shard_geometry(state, source, mesh: Mesh) -> Tuple[int, int, int]:
+    from dnmf_tpu.parallel.mesh import PIXEL_AXIS
+
+    if mesh.shape.get(PIXEL_AXIS, 1) > 1:
+        raise ValueError(
+            "host-streamed epochs do not compose with a pixel (TP) mesh "
+            "axis yet — stream onto a time-only mesh, or keep the video "
+            "device-resident for pixel-sharded Grams"
+        )
     n = mesh.shape[TIME_AXIS]
     t = state.beta.shape[0]
     if t != source.num_frames:

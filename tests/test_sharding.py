@@ -97,7 +97,9 @@ def test_sharded_mu_no_smoothing_matches():
 
 def test_mesh_construction():
     mesh = make_mesh(num_time=4, num_batch=2)
-    assert mesh.shape == {"batch": 2, "time": 4}
+    assert mesh.shape == {"batch": 2, "time": 4, "pixel": 1}
+    mesh_tp = make_mesh(num_time=2, num_batch=1, num_pixel=4)
+    assert mesh_tp.shape == {"batch": 1, "time": 2, "pixel": 4}
 
 
 def test_batched_multi_recording_round():
