@@ -1,6 +1,11 @@
 """Partitioning layer: device meshes, frame-sharded training steps, and
 the +-1-frame halo exchange for temporally-smoothed trace updates."""
 
+from dnmf_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_distributed,
+    process_summary,
+)
 from dnmf_tpu.parallel.batched import (
     batched_round,
     stack_states,
@@ -24,6 +29,9 @@ __all__ = [
     "stack_states",
     "unstack_states",
     "make_mesh",
+    "initialize_distributed",
+    "is_distributed",
+    "process_summary",
     "video_sharding",
     "sharded_compute_grams",
     "sharded_footprint_update",

@@ -198,3 +198,15 @@ def test_sharded_with_pallas_interpret_matches():
     )
     np.testing.assert_allclose(np.asarray(sh_g), np.asarray(ref_g),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_helpers_single_host():
+    """Multi-host entry point is importable and sane on one host (the
+    real multi-process path needs a coordinator — documented untestable
+    here; see dnmf_tpu/parallel/distributed.py)."""
+    from dnmf_tpu.parallel import is_distributed, process_summary
+
+    assert not is_distributed()
+    summary = process_summary()
+    assert summary["process_count"] == 1
+    assert summary["global_device_count"] == 8  # virtual CPU mesh
