@@ -121,6 +121,19 @@ class RegistrationConfig:
     # Apply shifts with the fast interpolating remap (reference
     # ``shifts_opencv=True``) instead of per-patch DFT + feathered blending.
     use_remap: bool = True
+    # Frames per device dispatch: device memory is bounded by
+    # frame_block * frame size regardless of T (the reference materializes
+    # whole chunks per worker, ``:2031-2058``).
+    frame_block: int = 16
+    # During template-refinement iterations (all but the last), register
+    # only this many chunks — the reference's ``num_splits_to_process_*``
+    # knob (``:1846-1858``, which samples chunks randomly per iteration;
+    # here a deterministic evenly-spaced subset, and the FINAL iteration
+    # always processes every chunk so shifts/movie are complete).
+    num_splits_to_process: Optional[int] = None
+    # Keep the corrected movie (host-resident).  False => shifts +
+    # templates only; memory does not scale with T.
+    return_mc: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,12 +76,51 @@ def patch_grid(dims, overlaps, strides):
 
 
 def _extract_patches(img: jnp.ndarray, starts: np.ndarray, window):
-    """``[n_patches, *window]`` stack of (statically-placed) patches."""
-    pats = [
-        img[tuple(slice(int(s), int(s) + w) for s, w in zip(row, window))]
-        for row in starts
-    ]
-    return jnp.stack(pats)
+    """``[n_patches, *window]`` stack of patches.
+
+    vmapped ``dynamic_slice`` over the start array — compile time is
+    O(1) in patch count (a Python slice-stack loop makes XLA program
+    size, and compile time, scale with the grid; NOTES r1 #3)."""
+    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+
+    def one(s):
+        return jax.lax.dynamic_slice(
+            img, tuple(s[d] for d in range(len(window))), window
+        )
+
+    return jax.vmap(one)(starts_arr)
+
+
+def _blend_patches(patches, weights, starts, window, dims):
+    """Feather-blend shifted patches back into a volume.
+
+    ``lax.scan`` of dynamic read-modify-write slices over the patch axis
+    (replaces the unrolled ``at[].add`` loop — one compiled body for any
+    grid density).  NaNs in a patch (DFT border policy) are excluded
+    from both numerator and weight mass.
+
+    Returns the blended image with NaNs where no patch contributed.
+    """
+    valid = (~jnp.isnan(patches)).astype(jnp.float32)
+    patches = jnp.nan_to_num(patches, nan=0.0)
+    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+
+    def body(carry, xs):
+        num, den = carry
+        patch, w, v, s = xs
+        idx = tuple(s[d] for d in range(len(window)))
+        cur_n = jax.lax.dynamic_slice(num, idx, window)
+        cur_d = jax.lax.dynamic_slice(den, idx, window)
+        num = jax.lax.dynamic_update_slice(num, cur_n + patch * w * v, idx)
+        den = jax.lax.dynamic_update_slice(den, cur_d + w * v, idx)
+        return (num, den), None
+
+    zeros = jnp.zeros(dims, dtype=jnp.float32)
+    (num, den), _ = jax.lax.scan(
+        body, (zeros, zeros), (patches, weights, valid, starts_arr)
+    )
+    blended = num / jnp.where(den > 0, den, 1.0)
+    return jnp.where(den > 0, blended, jnp.nan)
 
 
 def _feather_weights(window, overlaps, grid_pos, grid_shape) -> np.ndarray:
@@ -362,18 +401,8 @@ def tile_and_correct(
     ])
     weights = jnp.where(max_shear < 0.5, feather, owner)
 
-    valid = (~jnp.isnan(shifted)).astype(jnp.float32)
-    shifted_f = jnp.nan_to_num(shifted, nan=0.0)
-    num = jnp.zeros(dims, dtype=jnp.float32)
-    den = jnp.zeros(dims, dtype=jnp.float32)
-    for i, row in enumerate(new_starts):
-        sl = tuple(
-            slice(int(s), int(s) + w) for s, w in zip(row, new_window)
-        )
-        num = num.at[sl].add(shifted_f[i] * weights[i] * valid[i])
-        den = den.at[sl].add(weights[i] * valid[i])
-    corrected = num / jnp.where(den > 0, den, 1.0)
-    corrected = jnp.where(den > 0, corrected, jnp.nan)
+    corrected = _blend_patches(shifted, weights, new_starts, new_window,
+                               dims)
     return corrected - add_to_movie, -patch_shifts
 
 
@@ -393,7 +422,14 @@ class MotionCorrect:
                  **overrides):
         if not isinstance(video, (list, tuple)):
             video = [video]
-        self.video = [jnp.asarray(v, dtype=jnp.float32) for v in video]
+        # Videos stay HOST-resident (NumPy views; memmaps untouched) —
+        # the batch drivers stream frame blocks to the device, so device
+        # memory never scales with T.
+        self.video = [
+            v if isinstance(v, np.ndarray)
+            else np.asarray(v, dtype=np.float32)
+            for v in video
+        ]
         cfg = config or RegistrationConfig()
         if overrides:
             import dataclasses
@@ -435,7 +471,15 @@ class MotionCorrect:
         """Rigid or pw-rigid correction per ``config.pw_rigid``; computes
         ``border_to_0`` from the max applied shift (reference ``:176-211``)."""
         if self.min_mov is None:
-            self.min_mov = float(jnp.min(self.video[0]))
+            # Streamed: min over a bounded frame prefix (the template is
+            # iterated afterwards; an offset estimated from a prefix is
+            # the reference's own practice for long movies).
+            head = _host_frames(
+                self.video[0],
+                np.arange(min(self.video[0].shape[0],
+                              _TEMPLATE_INIT_MAX_FRAMES)),
+            )
+            self.min_mov = float(np.min(head))
         if self.config.pw_rigid:
             self.motion_correct_pwrigid(template=template)
             shift_mats = [np.abs(np.asarray(s)) for s in
@@ -570,75 +614,159 @@ class MotionCorrect:
 
 
 # ----------------------------------------------------------------------
+# Streamed batch drivers: device memory is bounded by
+# frame_block x frame size; the video stays host-resident (NumPy/memmap)
+# and the corrected movie (when kept) accumulates on host.
+# ----------------------------------------------------------------------
 def _chunk_indices(t: int, splits: int):
     return np.array_split(np.arange(t), splits)
 
 
+def _host_frames(video, idx) -> np.ndarray:
+    """Host-side float32 frame gather (works for np/memmap/jnp inputs)."""
+    return np.asarray(video[np.asarray(idx)], dtype=np.float32)
+
+
+_TEMPLATE_INIT_MAX_FRAMES = 1000
+
+
+def _streamed_bin_median(video, gSig_filt=None) -> jnp.ndarray:
+    """Template init: median over window-binned means, streamed.
+
+    Matches ``fft_reg.bin_median``'s interleaved binning (reference
+    ``bin_median``, ``:432-494``: reshape groups frame ``w*nw + n`` into
+    window ``n``) while reading at most ``window`` frames onto the device
+    at a time.  For very long recordings only the first
+    ``_TEMPLATE_INIT_MAX_FRAMES`` frames seed the template — the template
+    is iterated afterwards anyway.
+    """
+    t = min(video.shape[0], _TEMPLATE_INIT_MAX_FRAMES)
+    window = min(10, t)
+    num_windows = t // window
+    means = []
+    for n in range(num_windows):
+        idx = np.arange(n, n + window * num_windows, num_windows)
+        frames = jnp.asarray(_host_frames(video, idx))
+        if gSig_filt is not None:
+            frames = jax.vmap(
+                lambda f: high_pass_filter_space(f, gSig_filt)
+            )(frames)
+        means.append(np.asarray(jnp.nanmean(frames, axis=0)))
+    return jnp.asarray(np.nanmedian(np.stack(means), axis=0))
+
+
+def _iteration_chunks(chunks, cfg: RegistrationConfig, is_last: bool):
+    """Chunk subset for one template iteration.
+
+    All chunks on the final iteration; otherwise an evenly-spaced subset
+    of ``num_splits_to_process`` (deterministic version of the
+    reference's random per-iteration sampling, ``:2097-2098``).
+    """
+    n = cfg.num_splits_to_process
+    if is_last or n is None or n >= len(chunks):
+        return chunks
+    sel = np.linspace(0, len(chunks) - 1, n).round().astype(int)
+    return [chunks[i] for i in sorted(set(sel.tolist()))]
+
+
+def _stream_chunk(video, idx, cfg: RegistrationConfig, correct_block,
+                  collect: bool):
+    """Register one chunk in frame blocks.
+
+    ``correct_block(frames [B, ...]) -> (corrected [B, ...], shifts)``.
+    Returns ``(chunk_template, shifts [len(idx), ...], corrected_host or
+    None)`` with device memory bounded by the block size.
+    """
+    fb = max(1, cfg.frame_block)
+    sum_img = None
+    cnt_img = None
+    shifts_out = []
+    corrected_host = [] if collect else None
+    for i in range(0, len(idx), fb):
+        frames = jnp.asarray(_host_frames(video, idx[i:i + fb]))
+        corrected, shifts = correct_block(frames)
+        finite = jnp.isfinite(corrected)
+        s = jnp.sum(jnp.where(finite, corrected, 0.0), axis=0)
+        c = jnp.sum(finite, axis=0)
+        sum_img = s if sum_img is None else sum_img + s
+        cnt_img = c if cnt_img is None else cnt_img + c
+        shifts_out.append(np.asarray(shifts))
+        if collect:
+            corrected_host.append(np.asarray(corrected))
+    chunk_t = sum_img / jnp.maximum(cnt_img, 1)
+    chunk_t = jnp.where(cnt_img > 0, chunk_t, jnp.nan)
+    chunk_t = jnp.nan_to_num(chunk_t, nan=float(jnp.nanmin(chunk_t)))
+    shifts = np.concatenate(shifts_out)
+    mc = np.concatenate(corrected_host) if collect else None
+    return chunk_t, shifts, mc
+
+
 def _batch_rigid(video, cfg: RegistrationConfig, template=None,
                  add_to_movie=0.0):
-    """Template-iterated rigid registration
-    (reference ``motion_correct_batch_rigid``, ``:1770-1878``)."""
-    if cfg.gSig_filt is not None and template is None:
-        filt = jnp.stack(
-            [high_pass_filter_space(f, cfg.gSig_filt) for f in video]
-        )
-        template = fft_reg.bin_median(filt)
-    elif template is None:
-        template = fft_reg.bin_median(video)
+    """Template-iterated rigid registration, streamed in frame blocks
+    (reference ``motion_correct_batch_rigid``, ``:1770-1878``; its chunk
+    workers materialize whole chunks — here device memory is bounded by
+    ``cfg.frame_block`` frames and the movie accumulates host-side)."""
+    if template is None:
+        template = _streamed_bin_median(video, cfg.gSig_filt)
     if bool(jnp.isnan(add_to_movie)):
         raise Exception("The movie contains NaNs. NaNs are not allowed!")
 
-    new_templ = template
-    chunks = _chunk_indices(video.shape[0], cfg.splits)
-    for _ in range(max(cfg.niter_rig, 1)):
-        chunk_templates = []
-        all_corrected = []
-        all_shifts = []
-        for idx in chunks:
-            frames = video[jnp.asarray(idx)]
-            reg_in = frames
+    def correct_block_factory(templ):
+        def correct_block(frames):
             if cfg.gSig_filt is not None:
-                reg_in = jnp.stack(
-                    [high_pass_filter_space(f, cfg.gSig_filt)
-                     for f in frames]
-                )
-                # register on filtered, apply to raw (vmapped)
+                reg_in = jax.vmap(
+                    lambda f: high_pass_filter_space(f, cfg.gSig_filt)
+                )(frames)
+                # register on filtered, apply to raw
                 shifts = rigid_correct_frames(
-                    reg_in, new_templ, cfg.max_shifts,
+                    reg_in, templ, cfg.max_shifts,
                     upsample_factor=cfg.upsample_factor_fft,
-                    border_nan=cfg.border_nan,
-                    add_to_movie=add_to_movie,
+                    border_nan=cfg.border_nan, add_to_movie=add_to_movie,
                 )[1]
                 corrected = jax.vmap(
                     lambda f, s: fft_reg.apply_shifts_fourier(
                         f, s, 0.0, border_nan=cfg.border_nan
                     )
                 )(frames, shifts)
-            else:
-                corrected, shifts = rigid_correct_frames(
-                    frames, new_templ, cfg.max_shifts,
-                    upsample_factor=cfg.upsample_factor_fft,
-                    border_nan=cfg.border_nan, add_to_movie=add_to_movie,
-                )
-            chunk_t = jnp.nanmean(corrected, axis=0)
-            chunk_t = jnp.nan_to_num(
-                chunk_t, nan=float(jnp.nanmin(chunk_t))
+                return corrected, shifts
+            return rigid_correct_frames(
+                frames, templ, cfg.max_shifts,
+                upsample_factor=cfg.upsample_factor_fft,
+                border_nan=cfg.border_nan, add_to_movie=add_to_movie,
+            )
+        return correct_block
+
+    new_templ = template
+    chunks = _chunk_indices(video.shape[0], cfg.splits)
+    num_iter = max(cfg.niter_rig, 1)
+    for it in range(num_iter):
+        is_last = it == num_iter - 1
+        chunk_templates = []
+        all_shifts = []
+        all_mc = []
+        correct_block = correct_block_factory(new_templ)
+        for idx in _iteration_chunks(chunks, cfg, is_last):
+            chunk_t, shifts, mc = _stream_chunk(
+                video, idx, cfg, correct_block,
+                collect=is_last and cfg.return_mc,
             )
             chunk_templates.append(chunk_t)
-            all_corrected.append(corrected)
             all_shifts.append(shifts)
+            if mc is not None:
+                all_mc.append(mc)
         new_templ = jnp.nanmedian(jnp.stack(chunk_templates), axis=0)
         if cfg.gSig_filt is not None:
             new_templ = high_pass_filter_space(new_templ, cfg.gSig_filt)
 
-    shifts = np.concatenate([np.asarray(s) for s in all_shifts])
-    mc = jnp.concatenate(all_corrected)
+    shifts = np.concatenate(all_shifts)
+    mc = np.concatenate(all_mc) if all_mc else None
     return new_templ, [np.asarray(t) for t in chunk_templates], shifts, mc
 
 
 def _batch_pwrigid(video, cfg: RegistrationConfig, template,
                    add_to_movie=0.0):
-    """Template-iterated pw-rigid registration
+    """Template-iterated pw-rigid registration, streamed in frame blocks
     (reference ``motion_correct_batch_pwrigid``, ``:1880-2000``)."""
     if template is None:
         raise Exception(
@@ -654,41 +782,45 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
     overlaps = tuple(cfg.overlaps[:nd])
     starts, grid_shape, _ = patch_grid(dims, overlaps, strides)
 
-    def correct_one(frame, templ):
-        return tile_and_correct(
-            frame, templ, strides, overlaps, cfg.max_shifts,
-            max_deviation_rigid=cfg.max_deviation_rigid,
-            upsample_factor_grid=cfg.upsample_factor_grid,
-            upsample_factor_fft=cfg.upsample_factor_fft,
-            use_remap=cfg.use_remap, border_nan=cfg.border_nan,
-            add_to_movie=add_to_movie, gSig_filt=cfg.gSig_filt,
-        )
+    def correct_block_factory(templ):
+        def correct_block(frames):
+            return jax.vmap(
+                lambda f: tile_and_correct(
+                    f, templ, strides, overlaps, cfg.max_shifts,
+                    max_deviation_rigid=cfg.max_deviation_rigid,
+                    upsample_factor_grid=cfg.upsample_factor_grid,
+                    upsample_factor_fft=cfg.upsample_factor_fft,
+                    use_remap=cfg.use_remap, border_nan=cfg.border_nan,
+                    add_to_movie=add_to_movie, gSig_filt=cfg.gSig_filt,
+                )
+            )(frames)
+        return correct_block
 
     new_templ = template
     chunks = _chunk_indices(video.shape[0], cfg.splits)
-    for _ in range(max(cfg.niter_rig, 1)):
+    num_iter = max(cfg.niter_rig, 1)
+    for it in range(num_iter):
+        is_last = it == num_iter - 1
         chunk_templates = []
-        all_corrected = []
         all_shifts = []
-        for idx in chunks:
-            frames = video[jnp.asarray(idx)]
-            corrected, shifts = jax.vmap(
-                lambda f: correct_one(f, new_templ)
-            )(frames)
-            chunk_t = jnp.nanmean(corrected, axis=0)
-            chunk_t = jnp.nan_to_num(
-                chunk_t, nan=float(jnp.nanmin(chunk_t))
+        all_mc = []
+        correct_block = correct_block_factory(new_templ)
+        for idx in _iteration_chunks(chunks, cfg, is_last):
+            chunk_t, shifts, mc = _stream_chunk(
+                video, idx, cfg, correct_block,
+                collect=is_last and cfg.return_mc,
             )
             chunk_templates.append(chunk_t)
-            all_corrected.append(corrected)
             all_shifts.append(shifts)
+            if mc is not None:
+                all_mc.append(mc)
         new_templ = jnp.nanmedian(jnp.stack(chunk_templates), axis=0)
         if cfg.gSig_filt is not None:
             # Keep the iterated template in the filtered domain
             # (reference :1971-1972).
             new_templ = high_pass_filter_space(new_templ, cfg.gSig_filt)
 
-    shifts = np.concatenate([np.asarray(s) for s in all_shifts])
+    shifts = np.concatenate(all_shifts)
     xs = [shifts[t, :, 0] for t in range(shifts.shape[0])]
     ys = [shifts[t, :, 1] for t in range(shifts.shape[0])]
     zs = (
@@ -696,6 +828,6 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
         if nd == 3 else [np.zeros(shifts.shape[1])] * shifts.shape[0]
     )
     coords = [starts] * shifts.shape[0]
-    mc = jnp.concatenate(all_corrected)
+    mc = np.concatenate(all_mc) if all_mc else None
     return (new_templ, [np.asarray(t) for t in chunk_templates],
             xs, ys, zs, coords, mc)

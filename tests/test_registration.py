@@ -198,3 +198,99 @@ def test_high_pass_filter_preserves_shape(rng):
     assert out.shape == (32, 40)
     with pytest.raises(ValueError):
         high_pass_filter_space(jnp.zeros((8, 8, 4)), (2, 2))
+
+
+# ----------------------------------------------------------------------
+# Streamed batch drivers (round-2: bounded device memory, shifts-only,
+# num_splits_to_process)
+# ----------------------------------------------------------------------
+def test_streamed_blocks_match_single_block(rng):
+    """frame_block streaming is numerically identical to one big block,
+    rigid and pw-rigid (the unchanged-output gate for the rework)."""
+    tmpl = _template(rng)
+    true = [(0, 0), (2, -1), (-3, 2), (1, 3), (-2, -2), (3, 0), (1, 1)]
+    video = _rolled_video(tmpl, true)
+
+    big = RegistrationConfig(max_shifts=(5, 5), pw_rigid=False, splits=1,
+                             border_nan=False, frame_block=64)
+    small = RegistrationConfig(max_shifts=(5, 5), pw_rigid=False,
+                               splits=2, border_nan=False, frame_block=2)
+    mc_big = MotionCorrect(video, big).motion_correct(
+        template=jnp.asarray(tmpl))
+    mc_small = MotionCorrect(video, small).motion_correct(
+        template=jnp.asarray(tmpl))
+    np.testing.assert_allclose(np.asarray(mc_small.shifts_rig),
+                               np.asarray(mc_big.shifts_rig), atol=1e-5)
+    np.testing.assert_allclose(mc_small.mc[0], mc_big.mc[0], atol=1e-4)
+
+    big_pw = RegistrationConfig(
+        max_shifts=(5, 5), pw_rigid=True, splits=1, border_nan=False,
+        strides=(24, 24), overlaps=(8, 8), frame_block=64,
+    )
+    small_pw = RegistrationConfig(
+        max_shifts=(5, 5), pw_rigid=True, splits=2, border_nan=False,
+        strides=(24, 24), overlaps=(8, 8), frame_block=3,
+    )
+    mc_bp = MotionCorrect(video, big_pw).motion_correct(
+        template=jnp.asarray(tmpl))
+    mc_sp = MotionCorrect(video, small_pw).motion_correct(
+        template=jnp.asarray(tmpl))
+    np.testing.assert_allclose(np.asarray(mc_sp.x_shifts_els),
+                               np.asarray(mc_bp.x_shifts_els), atol=1e-5)
+    np.testing.assert_allclose(mc_sp.mc_els[0], mc_bp.mc_els[0],
+                               atol=1e-4)
+
+
+def test_shifts_only_mode(rng):
+    """return_mc=False keeps shifts/templates but no corrected movie —
+    memory does not scale with T."""
+    tmpl = _template(rng)
+    true = [(1, 0), (0, 2), (-1, 1), (2, -2)]
+    video = _rolled_video(tmpl, true)
+    cfg = RegistrationConfig(max_shifts=(4, 4), pw_rigid=False,
+                             border_nan=False, return_mc=False,
+                             frame_block=2)
+    mc = MotionCorrect(video, cfg).motion_correct(
+        template=jnp.asarray(tmpl))
+    assert mc.mc == [None]
+    np.testing.assert_allclose(np.asarray(mc.shifts_rig),
+                               -np.asarray(true, dtype=float), atol=0.15)
+    assert mc.border_to_0 == 2
+
+
+def test_num_splits_to_process_subset_iterations(rng):
+    """Template iterations run on a chunk subset; the final iteration
+    still yields complete per-frame shifts."""
+    tmpl = _template(rng)
+    true = [(i % 3 - 1, (i + 1) % 3 - 1) for i in range(12)]
+    video = _rolled_video(tmpl, true)
+    cfg = RegistrationConfig(max_shifts=(4, 4), pw_rigid=False,
+                             niter_rig=3, splits=4,
+                             num_splits_to_process=2, border_nan=False,
+                             frame_block=3)
+    mc = MotionCorrect(video, cfg).motion_correct()
+    rec = np.asarray(mc.shifts_rig)
+    assert rec.shape == (12, 2)  # complete despite subset iterations
+    centered = rec - rec.mean(0)
+    true_arr = -np.asarray(true, dtype=float)
+    np.testing.assert_allclose(centered, true_arr - true_arr.mean(0),
+                               atol=0.3)
+
+
+def test_memmap_video_registration(rng, tmp_path):
+    """A disk-memmapped video registers without being materialized."""
+    tmpl = _template(rng, (32, 32))
+    true = [(1, 0), (0, 1), (-1, -1), (2, 0), (0, -2), (1, 1)]
+    video = _rolled_video(tmpl, true)
+    path = tmp_path / "reg.raw"
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=video.shape)
+    mm[:] = video
+    mm.flush()
+    ro = np.memmap(path, dtype=np.float32, mode="r", shape=video.shape)
+    cfg = RegistrationConfig(max_shifts=(4, 4), pw_rigid=False,
+                             border_nan=False, frame_block=2,
+                             return_mc=False)
+    mc = MotionCorrect(ro, cfg).motion_correct(template=jnp.asarray(tmpl))
+    assert isinstance(mc.video[0], np.memmap)
+    np.testing.assert_allclose(np.asarray(mc.shifts_rig),
+                               -np.asarray(true, dtype=float), atol=0.2)
