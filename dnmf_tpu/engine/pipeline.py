@@ -122,24 +122,47 @@ def register_and_demix(
 
     beta0 = None
     if seed_deformation:
-        from dnmf_tpu.ops.basis import translation_beta
+        from dnmf_tpu.ops.basis import (
+            affine_beta_from_displacements,
+            translation_beta,
+        )
 
         if reg_cfg.pw_rigid:
+            # Per-frame affine fit to the patch-shift field (round-2
+            # accuracy push): apparent content positions at patch
+            # centers, per apply_shifts_points' sign conventions
+            # (x/y displacement = -(shift_t - shift_0); z the opposite
+            # sign, matching the reference :365-369).
             xs = np.asarray(mc.x_shifts_els)
             ys = np.asarray(mc.y_shifts_els)
             zs = np.asarray(mc.z_shifts_els)
-            # Mean correction per frame, relative to frame 0 (matching
-            # apply_shifts_points' frame-0 anchoring).
-            corr = np.stack([xs.mean(1), ys.mean(1), zs.mean(1)], axis=1)
+            disp = np.stack(
+                [-(xs - xs[0]), -(ys - ys[0]), (zs - zs[0])], axis=-1
+            )  # [T, n_patches, 3]
+            # Axes too shallow for meaningful FFT shift estimates (e.g.
+            # the 2-plane z stacks of the reference demo, where a +-1
+            # circular shift is ambiguous) must not pollute the seed.
+            for d, dim in enumerate((m, n, z)):
+                if dim < 4:
+                    disp[:, :, d] = 0.0
+            centers = mc._patch_centers().astype(np.float32)
+            if centers.shape[1] < 3:
+                centers = np.pad(
+                    centers, ((0, 0), (0, 3 - centers.shape[1]))
+                )
+            beta0 = affine_beta_from_displacements(
+                jnp.asarray(centers), jnp.asarray(disp, jnp.float32),
+                (m, n, z), scaling=model_cfg.deformation.basis_scaling,
+            )
         else:
             corr = np.asarray(mc.shifts_rig)
             if corr.shape[1] < 3:
                 corr = np.pad(corr, ((0, 0), (0, 3 - corr.shape[1])))
-        corr = corr - corr[0:1]
-        beta0 = translation_beta(
-            jnp.asarray(corr, dtype=jnp.float32), (m, n, z),
-            scaling=model_cfg.deformation.basis_scaling,
-        )
+            corr = corr - corr[0:1]
+            beta0 = translation_beta(
+                jnp.asarray(corr, dtype=jnp.float32), (m, n, z),
+                scaling=model_cfg.deformation.basis_scaling,
+            )
 
     engine = DeformableNMF(
         model_cfg, opt_cfg, runtime,

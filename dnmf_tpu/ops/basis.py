@@ -183,6 +183,77 @@ def warp_voxel_coords(
     return psi
 
 
+def affine_beta_from_displacements(
+    points: jnp.ndarray,
+    displacements: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    ridge: float = 1e-4,
+) -> jnp.ndarray:
+    """Per-frame affine deformation coefficients fitted to a displacement
+    field — the registration-seeded initialization for the deformation
+    fit.
+
+    Registration reports per-patch content displacements: the blob near
+    patch center ``c_i`` sits at ``q_{t,i} = c_i + d_{t,i}`` in frame t.
+    The model samples footprints at warped coordinates, so the seed warp
+    must map apparent positions back onto anchors: ``warp_t(q) = c``.  We
+    fit the *displacement* of the warp, ``warp(x) = x + [1, x] @ G_t``,
+    by ridge least squares per frame (min-perturbation around identity;
+    degenerate patch grids — e.g. single-z-plane grids — stay
+    well-posed).  Quadratic terms start at 0 and are learned by Adam.
+
+    The reference's analog initializes positions only
+    (``apply_shifts_points``, ``/root/reference/Demix/MotionCorrect.py:351-371``)
+    and starts beta at identity for every frame — for temporally-white
+    motion each frame's warp must then be found from scratch.
+
+    Args:
+      points: ``[n, 3]`` pixel-space anchor points (patch centers).
+      displacements: ``[T, n, 3]`` pixel-space content displacements.
+      size: volume shape.
+      scaling: beta coordinate space ("normalized" or "pixel").
+      ridge: Tikhonov weight (relative to n) on the affine perturbation.
+
+    Returns:
+      ``[T, 10, 3]`` coefficients.
+    """
+    t, n = displacements.shape[0], points.shape[0]
+    base = identity_beta(t)
+    if n == 0:
+        return base
+    q = points[None] + displacements  # [T, n, 3] apparent positions
+    c = jnp.broadcast_to(points[None], q.shape)
+    if scaling == "normalized":
+        q = normalize_points(q, size)
+        c = normalize_points(c, size)
+    r = c - q  # warp displacement targets at sample points q
+
+    if n < 4:
+        # Underdetermined for an affine: translation-only seed.
+        return base.at[:, 0, :].add(jnp.mean(r, axis=1))
+
+    # Center the sample coordinates so the constant column is orthogonal
+    # to the linear ones: a degenerate axis (all patch centers in one
+    # z-plane) then has a zero column, and the ridge pins its linear
+    # perturbation to 0 — preserving the identity along that axis
+    # instead of splitting the offset into it catastrophically.
+    mu = jnp.mean(q, axis=1, keepdims=True)  # [T, 1, 3]
+    qc = q - mu
+    ones = jnp.ones(q.shape[:2] + (1,), dtype=q.dtype)
+    phi = jnp.concatenate([ones, qc], axis=-1)  # [T, n, 4]
+
+    def solve(phi_t, r_t):
+        a = phi_t.T @ phi_t + ridge * n * jnp.eye(4, dtype=phi_t.dtype)
+        b = phi_t.T @ r_t
+        return jnp.linalg.solve(a, b)  # [4, 3]
+
+    g = jax.vmap(solve)(phi, r)  # displacement = g0 + (x - mu) @ g_lin
+    g_lin = g[:, 1:, :]
+    g0 = g[:, 0, :] - jnp.einsum("td,tdc->tc", mu[:, 0, :], g_lin)
+    return base.at[:, 0, :].add(g0).at[:, 1:4, :].add(g_lin)
+
+
 def translation_beta(
     shifts: jnp.ndarray, size, scaling: str = "normalized"
 ) -> jnp.ndarray:

@@ -102,3 +102,46 @@ def test_invert_warp_points_roundtrip(rng):
         np.asarray(warp_points(first_order, beta_j) - pts)
     ).max()
     assert err_fp < err_fo
+
+
+def test_affine_beta_from_displacements_recovers_affine(rng):
+    """A known affine content motion is inverted exactly by the fitted
+    seed warp: warp(apparent) == anchor."""
+    from dnmf_tpu.ops.basis import (
+        affine_beta_from_displacements,
+        normalize_points,
+        warp_points,
+    )
+
+    size = (24, 24, 4)
+    centers = rng.uniform(4, 20, size=(9, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(1, 3, size=9)
+    # Content motion: apparent q = M c + b (true affine).
+    m_true = np.eye(3) + rng.normal(0, 0.03, (3, 3))
+    b_true = rng.normal(0, 1.0, 3)
+    q = centers @ m_true.T + b_true
+    disp = (q - centers)[None].astype(np.float32)  # [T=1, n, 3]
+
+    beta = affine_beta_from_displacements(
+        jnp.asarray(centers), jnp.asarray(disp), size,
+        scaling="normalized", ridge=1e-8,
+    )
+    qn = normalize_points(jnp.asarray(q.astype(np.float32)), size)
+    back = warp_points(qn, beta[0])
+    cn = normalize_points(jnp.asarray(centers), size)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(cn),
+                               atol=2e-3)
+
+
+def test_affine_beta_translation_fallback(rng):
+    """n < 4 sample points fall back to a pure-translation seed."""
+    from dnmf_tpu.ops.basis import affine_beta_from_displacements
+
+    size = (20, 20, 2)
+    centers = jnp.asarray([[10.0, 10.0, 1.0]])
+    disp = jnp.asarray([[[2.0, -1.0, 0.0]]])  # [1, 1, 3]
+    beta = affine_beta_from_displacements(centers, disp, size,
+                                          scaling="pixel")
+    expected = np.array(basis.identity_beta(1))[0]
+    expected[0] = [-2.0, 1.0, 0.0]
+    np.testing.assert_allclose(np.asarray(beta[0]), expected, atol=1e-6)
