@@ -12,6 +12,10 @@ from dnmf_tpu.parallel.batched import (
     unstack_states,
 )
 from dnmf_tpu.parallel.mesh import make_mesh, video_sharding
+from dnmf_tpu.parallel.registration import (
+    sharded_register_pwrigid,
+    sharded_register_rigid,
+)
 from dnmf_tpu.parallel.streaming import (
     sharded_compute_grams_streaming,
     sharded_motion_epoch_streaming,
@@ -38,6 +42,8 @@ __all__ = [
     "sharded_motion_epoch",
     "sharded_motion_epoch_streaming",
     "sharded_compute_grams_streaming",
+    "sharded_register_rigid",
+    "sharded_register_pwrigid",
     "shard_state",
     "shard_video",
 ]
