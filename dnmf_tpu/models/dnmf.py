@@ -612,21 +612,25 @@ def motion_epoch_streaming(
     identical math to ``motion_epoch_parallel``.
     """
     grad_blocks = []
-    mse_sum = reg_sum = 0.0
+    mses, regs = [], []
     for frames, start, valid in source.blocks():
         g, ms, rs = _stream_block_grads(
             state, frames, start, valid, model, gamma, source.block,
             use_pallas=use_pallas,
         )
+        # Keep per-block metrics as device scalars: a host read here
+        # would synchronize the loop every block and serialize the
+        # host->device transfers against compute.
         grad_blocks.append(g)
-        mse_sum += float(ms)
-        reg_sum += float(rs)
+        mses.append(ms)
+        regs.append(rs)
     t = state.beta.shape[0]
     grads = jnp.concatenate(grad_blocks, axis=0)[:t]
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.beta)
     beta = optax.apply_updates(state.beta, updates)
-    metrics = {"recon_mse": mse_sum / t, "reg": reg_sum / t}
+    metrics = {"recon_mse": jnp.stack(mses).sum() / t,
+               "reg": jnp.stack(regs).sum() / t}
     return state._replace(beta=beta, opt_state=opt_state), metrics
 
 

@@ -174,7 +174,7 @@ def sharded_motion_epoch_streaming(
     grads_buf = jax.device_put(
         jnp.zeros_like(state.beta), tsh
     )
-    mse_sum = reg_sum = 0.0
+    mses, regs = [], []
     for off in range(0, shard_len, block):
         host_row, valid = _host_block_row(source, n, shard_len, block, off)
         frames = jax.device_put(host_row, tsh)
@@ -183,11 +183,14 @@ def sharded_motion_epoch_streaming(
             model, gamma, block, mesh,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
-        mse_sum += float(mse)
-        reg_sum += float(reg)
+        # Device scalars, read once at the end: a float() here would
+        # synchronize every block row and serialize transfers vs compute.
+        mses.append(mse)
+        regs.append(reg)
     state = _apply_motion_updates(state, grads_buf, optimizer)
     t = state.beta.shape[0]
-    return state, {"recon_mse": mse_sum / t, "reg": reg_sum / t}
+    return state, {"recon_mse": float(jnp.stack(mses).sum()) / t,
+                   "reg": float(jnp.stack(regs).sum()) / t}
 
 
 @functools.partial(
