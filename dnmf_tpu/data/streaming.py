@@ -71,3 +71,74 @@ def open_memmap_video(path: str, shape, dtype=np.float32,
     """Open a raw binary volume sequence as a streaming source."""
     mm = np.memmap(path, dtype=dtype, mode="r", shape=tuple(shape))
     return StreamingVideo(mm, block=block)
+
+
+class RawFileVideo:
+    """Streaming source over a raw float32 ``[T, ...spatial]`` file,
+    backed by the native threaded block reader
+    (:mod:`dnmf_tpu.native`): reads+clamps run on native threads and the
+    NEXT block prefetches while the device computes on the current one.
+
+    Same interface as :class:`StreamingVideo` (``read``/``blocks``), so
+    every streamed epoch accepts it interchangeably.
+    """
+
+    def __init__(self, path: str, shape, block: int = 64,
+                 num_threads: int = 4, prefetch: bool = True):
+        from dnmf_tpu.native import BlockReader
+
+        shape = tuple(int(s) for s in shape)
+        self.num_frames = shape[0]
+        if len(shape) == 4:
+            self.size = shape[1:]
+        self.num_voxels = int(np.prod(shape[1:]))
+        self.block = int(block)
+        self.prefetch = bool(prefetch)
+        self._reader = BlockReader(path, self.num_frames,
+                                   self.num_voxels,
+                                   num_threads=num_threads)
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def num_blocks(self) -> int:
+        return -(-self.num_frames // self.block)
+
+    def read(self, start: int, stop: int) -> np.ndarray:
+        return self._reader.read(start, stop)
+
+    def blocks(self) -> Iterator[Tuple[jnp.ndarray, int, int]]:
+        starts = list(range(0, self.num_frames, self.block))
+        if self.prefetch and starts:
+            s0 = starts[0]
+            self._reader.prefetch(s0, min(s0 + self.block,
+                                          self.num_frames))
+        for i, start in enumerate(starts):
+            stop = min(start + self.block, self.num_frames)
+            if self.prefetch:
+                chunk = self._reader.wait(start, stop)
+                if i + 1 < len(starts):
+                    n0 = starts[i + 1]
+                    self._reader.prefetch(
+                        n0, min(n0 + self.block, self.num_frames)
+                    )
+            else:
+                chunk = self._reader.read(start, stop)
+            valid = stop - start
+            if valid < self.block:
+                chunk = np.pad(chunk,
+                               ((0, self.block - valid), (0, 0)))
+            yield jnp.asarray(chunk), start, valid
+
+
+def open_raw_video(path: str, shape, block: int = 64,
+                   num_threads: int = 4, prefetch: bool = True):
+    """Open a raw float32 recording with the native prefetching reader,
+    falling back to a memmapped :class:`StreamingVideo` when no
+    compiler/loader is available."""
+    from dnmf_tpu.native import load_blockreader
+
+    if load_blockreader() is not None:
+        return RawFileVideo(path, shape, block=block,
+                            num_threads=num_threads, prefetch=prefetch)
+    return open_memmap_video(path, shape, block=block)
