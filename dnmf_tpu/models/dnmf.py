@@ -312,6 +312,7 @@ def frame_grads_local(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     vb: Optional[jnp.ndarray] = None,
+    p_offset: Optional[jnp.ndarray] = None,
 ):
     """Per-frame loss gradients for a (local) set of frames.
 
@@ -319,21 +320,27 @@ def frame_grads_local(
     shard_map per-shard function, and the host-streamed path — one place
     for the pallas dispatch, precision, padding, and scan logic.
 
-    ``vb`` overrides the voxel basis — the pixel-sharded (TP) path
-    passes each shard's ``[P_local, 10]`` slice so footprints evaluate
-    only on local voxels (analytic mode only; the XLA path — the fused
-    kernels derive coordinates from ``model.size`` internally).
+    Pixel-sharded (TP) inputs, analytic mode only:
 
-    Returns ``(grads [Tl, 10, 3], mses [Tl], regs [Tl])`` — with a
-    pixel-local ``vb``, the data terms are partial (local-voxel) values
-    whose pixel-axis ``psum/npix`` reproduces the global ones.
+    * XLA path: ``vb`` overrides the voxel basis with each shard's
+      ``[P_local, 10]`` slice so footprints evaluate only on local
+      voxels.
+    * Pallas path: ``p_offset`` (traced scalar) gives the shard's global
+      voxel offset; the fused kernels derive local coordinates from it.
+
+    Returns ``(grads [Tl, 10, 3], mses [Tl], regs [Tl])`` — on a pixel
+    shard, the data terms are partial (local-voxel) values whose
+    pixel-axis ``psum/npix`` reproduces the global ones.
     """
-    pixel_local = vb is not None
-    if pixel_local and (use_pallas
-                        or model.deformation.footprint_mode != "analytic"):
+    pixel_local = vb is not None or p_offset is not None
+    if pixel_local and model.deformation.footprint_mode != "analytic":
         raise ValueError(
-            "pixel-sharded gradients require the analytic-footprint XLA "
-            "path"
+            "pixel-sharded gradients require analytic footprints"
+        )
+    if use_pallas and vb is not None and p_offset is None:
+        raise ValueError(
+            "pixel-sharded pallas gradients need p_offset (the fused "
+            "kernels derive coordinates from the voxel offset, not vb)"
         )
     if vb is None:
         vb = model_voxel_basis(model)
@@ -355,7 +362,7 @@ def frame_grads_local(
             mses, dbetas = pk.motion_block(
                 beta_blk, state.pos, state.sigma, c_blk, y_blk,
                 model.size, scaling=model.deformation.basis_scaling,
-                interpret=pallas_interpret,
+                p_offset=p_offset, interpret=pallas_interpret,
             )
             regs, dregs = jax.vmap(jax.value_and_grad(reg_fn))(beta_blk)
             return (mses, regs), dbetas + gamma * dregs
@@ -406,22 +413,28 @@ def grams_local(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     vb: Optional[jnp.ndarray] = None,
+    p_offset: Optional[jnp.ndarray] = None,
 ):
     """Per-frame MU statistics for a (local) set of frames — the shared
     body behind ``compute_grams`` and the sharded/streamed variants.
 
-    ``vb`` overrides the voxel basis for the pixel-sharded (TP) path:
-    with a ``[P_local, 10]`` slice the returned Grams are partial sums
-    over local voxels whose pixel-axis ``psum`` is the global Gram
-    (analytic mode, XLA path only).
+    Pixel-sharded (TP) inputs, analytic mode only: the XLA path takes
+    ``vb`` (each shard's ``[P_local, 10]`` basis slice); the Pallas path
+    takes ``p_offset`` (traced global voxel offset of the shard).  The
+    returned Grams are then partial sums over local voxels whose
+    pixel-axis ``psum`` is the global Gram.
 
     Returns ``(grams [Tl, K, K], c1 [Tl, K])``.
     """
-    pixel_local = vb is not None
-    if pixel_local and (use_pallas
-                        or model.deformation.footprint_mode != "analytic"):
+    pixel_local = vb is not None or p_offset is not None
+    if pixel_local and model.deformation.footprint_mode != "analytic":
         raise ValueError(
-            "pixel-sharded Grams require the analytic-footprint XLA path"
+            "pixel-sharded Grams require analytic footprints"
+        )
+    if use_pallas and vb is not None and p_offset is None:
+        raise ValueError(
+            "pixel-sharded pallas Grams need p_offset (the fused "
+            "kernels derive coordinates from the voxel offset, not vb)"
         )
     if vb is None:
         vb = model_voxel_basis(model)
@@ -446,7 +459,7 @@ def grams_local(
             g, c1 = pk.gram_block(
                 beta_blk, state.pos, state.sigma, y_blk, model.size,
                 scaling=model.deformation.basis_scaling,
-                interpret=pallas_interpret,
+                p_offset=p_offset, interpret=pallas_interpret,
             )
             return None, (g, c1)
     else:

@@ -107,9 +107,9 @@ def _block_footprint(psi, pos_ref, lo, kb):
     return jnp.exp(-d2 * pos_ref[lo:lo + kb, 3:4])
 
 
-def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
-                        c1_ref, g_acc, c1_acc, a_scr, *scr, size,
-                        scaling, tile_p, total_p, n_tiles, kb, nkb,
+def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
+                        g_ref, c1_ref, g_acc, c1_acc, a_scr, *scr, size,
+                        scaling, tile_p, p_count, n_tiles, kb, nkb,
                         dot_mode):
     tile = pl.program_id(1)
 
@@ -118,9 +118,10 @@ def _gram_kernel_culled(beta_ref, blocks_ref, pos_ref, y_ref, g_ref,
         g_acc[:] = jnp.zeros_like(g_acc)
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
-    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    off = off_ref[0, 0]
+    idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
     psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, 1)
-    w = _fade_row(psi, size) * (idx < total_p).astype(jnp.float32)
+    w = _fade_row(psi, size) * (idx < off + p_count).astype(jnp.float32)
     t_lo = jnp.min(psi[0])
     t_hi = jnp.max(psi[0])
 
@@ -204,6 +205,7 @@ def gram_block_culled(
     tile_p: int = 8192,
     kblock: int = 64,
     dot_mode: str = "highest",
+    p_offset=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Culled MU statistics for a block of frames: ``(G, c1)``.
@@ -214,29 +216,39 @@ def gram_block_culled(
     culling blocks win: whole-brain 512x512x20 K=200 Grams run 9.3
     ms/frame at kblock=64 + split vs 14.9 at kblock=128 + HIGHEST
     (same chip/session); error vs float64 is ~3e-6 relative.
+
+    ``p_offset`` (traced): pixel-sharded/TP path — ``y`` covers global
+    voxels ``[p_offset, p_offset + y.shape[1])``; returned Grams are
+    partial sums over that range (``psum`` over the pixel axis yields
+    the global Gram).  Culling still keys on the *deformed* coordinates
+    of the local tile, so each shard skips blocks far from its voxels.
     """
     bsz = betas.shape[0]
     k = pos.shape[0]
     kb = min(kblock, _round_up(k, SUBLANE))
     nkb = -(-k // kb)
     k_pad = nkb * kb
-    total_p = int(np.prod(size))
-    p_pad = _round_up(total_p, tile_p)
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
     perm, params, blocks = _sorted_params(pos, sigma, kb, nkb)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
 
     n_tiles = p_pad // tile_p
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
+    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - p_count))).reshape(
         bsz, n_tiles, 1, tile_p
     )
 
     g, c1 = pl.pallas_call(
         functools.partial(
             _gram_kernel_culled, size=tuple(size), scaling=scaling,
-            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, kb=kb,
+            tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
             nkb=nkb, dot_mode=dot_mode,
         ),
         grid=(bsz, n_tiles),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
@@ -269,7 +281,7 @@ def gram_block_culled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(_beta_warp_matrix(betas, 1), blocks, params, y_pad)
+    )(off, _beta_warp_matrix(betas, 1), blocks, params, y_pad)
 
     # Undo the sort: sorted index i holds original neuron perm[i], so the
     # original-order Gram is G_sorted[inv][:, inv] with inv = argsort(perm).
@@ -279,9 +291,9 @@ def gram_block_culled(
     return g, c1
 
 
-def _motion_kernel_culled(beta_ref, blocks_ref, pos_ref, w2_ref, y_ref,
-                          sse_ref, dbeta_ref, sse_acc, dbeta_acc,
-                          row_scr, *, size, scaling, tile_p, total_p,
+def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
+                          y_ref, sse_ref, dbeta_ref, sse_acc, dbeta_acc,
+                          row_scr, *, size, scaling, tile_p, p_count,
                           n_tiles, kb, nkb):
     tile = pl.program_id(1)
 
@@ -290,9 +302,10 @@ def _motion_kernel_culled(beta_ref, blocks_ref, pos_ref, w2_ref, y_ref,
         sse_acc[0, 0] = 0.0
         dbeta_acc[:] = jnp.zeros_like(dbeta_acc)
 
-    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    off = off_ref[0, 0]
+    idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
     psi, phi = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, 1)
-    valid = (idx < total_p).astype(jnp.float32)
+    valid = (idx < off + p_count).astype(jnp.float32)
     w = _fade_row(psi, size) * valid
     t_lo = jnp.min(psi[0])
     t_hi = jnp.max(psi[0])
@@ -345,7 +358,7 @@ def _motion_kernel_culled(beta_ref, blocks_ref, pos_ref, w2_ref, y_ref,
         )
         if scaling == "normalized":
             dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
-        dpsi_rows.append(dpsi_d * (1.0 / total_p))
+        dpsi_rows.append(dpsi_d * (1.0 / p_count))
     dpsi = jnp.concatenate(dpsi_rows, axis=0)
     phi_mat = jnp.concatenate(phi, axis=0)
 
@@ -374,32 +387,42 @@ def motion_block_culled(
     scaling: str = "normalized",
     tile_p: int = 8192,
     kblock: int = 64,
+    p_offset=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Culled data term + analytic beta gradient: ``(mse [B], dbeta)``."""
+    """Culled data term + analytic beta gradient: ``(mse [B], dbeta)``.
+
+    ``p_offset`` (traced): pixel-sharded/TP path — ``y`` covers global
+    voxels ``[p_offset, p_offset + y.shape[1])``; mse/dbeta are
+    local-voxel means (pixel-axis ``psum / npix`` gives global values).
+    """
     bsz = betas.shape[0]
     k = pos.shape[0]
     kb = min(kblock, _round_up(k, SUBLANE))
     nkb = -(-k // kb)
     k_pad = nkb * kb
-    total_p = int(np.prod(size))
-    p_pad = _round_up(total_p, tile_p)
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
     perm, params, blocks, w2 = _sorted_params(pos, sigma, kb, nkb,
                                               c_block=c_block)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
 
     n_tiles = p_pad // tile_p
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - total_p))).reshape(
+    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - p_count))).reshape(
         bsz, n_tiles, 1, tile_p
     )
 
     sse, dbeta_t = pl.pallas_call(
         functools.partial(
             _motion_kernel_culled, size=tuple(size), scaling=scaling,
-            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, kb=kb,
+            tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
             nkb=nkb,
         ),
         grid=(bsz, n_tiles),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
@@ -431,5 +454,5 @@ def motion_block_culled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(_beta_warp_matrix(betas, 1), blocks, params, w2, y_pad)
-    return sse[:, 0, 0] / total_p, jnp.transpose(dbeta_t, (0, 2, 1))
+    )(off, _beta_warp_matrix(betas, 1), blocks, params, w2, y_pad)
+    return sse[:, 0, 0] / p_count, jnp.transpose(dbeta_t, (0, 2, 1))

@@ -239,8 +239,8 @@ def _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p):
 # ----------------------------------------------------------------------
 # Gram kernel
 # ----------------------------------------------------------------------
-def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
-                 *, size, scaling, tile_p, total_p, n_tiles, f,
+def _gram_kernel(off_ref, beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc,
+                 c1_acc, *, size, scaling, tile_p, p_count, n_tiles, f,
                  dot_mode):
     tile = pl.program_id(1)
 
@@ -249,9 +249,10 @@ def _gram_kernel(beta_ref, pos_ref, y_ref, g_ref, c1_ref, g_acc, c1_acc,
         g_acc[:] = jnp.zeros_like(g_acc)
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
-    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    off = off_ref[0, 0]
+    idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
     psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
-    valid = (idx < total_p).astype(jnp.float32)
+    valid = (idx < off + p_count).astype(jnp.float32)
     w = _fade_row(psi, size) * valid  # [F, tp] (valid broadcasts)
 
     for fi in range(f):
@@ -287,12 +288,18 @@ def gram_block(
     tile_p: int = 8192,
     frames_per_step: int = 8,
     dot_mode: str = "highest",
+    p_offset=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused MU statistics for a block of frames.
 
     Args:
       betas: ``[B, 10, 3]``; y: ``[B, P]``.
+      p_offset: optional traced voxel offset (pixel-sharded/TP path):
+        ``y`` then holds the contiguous global voxel range
+        ``[p_offset, p_offset + y.shape[1])`` and the returned Grams are
+        partial sums over that range (``psum`` over the pixel axis
+        yields the global Gram).
 
     Returns:
       ``(G [B, K, K], c1 [B, K])``.
@@ -300,25 +307,29 @@ def gram_block(
     bsz = betas.shape[0]
     k = pos.shape[0]
     k8 = _round_up(k, SUBLANE)
-    total_p = int(np.prod(size))
-    p_pad = _round_up(total_p, tile_p)
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
     n_tiles = p_pad // tile_p
     params = _neuron_params(pos, sigma, k8)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
 
     f_eff, b_pad = _pad_frames(bsz, frames_per_step)
     beta_rows = _beta_warp_matrix(
         jnp.pad(betas, ((0, b_pad - bsz), (0, 0), (0, 0))), f_eff
     )
-    y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p)
+    y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
 
     g, c1 = pl.pallas_call(
         functools.partial(
             _gram_kernel, size=tuple(size), scaling=scaling,
-            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, f=f_eff,
+            tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, f=f_eff,
             dot_mode=dot_mode,
         ),
         grid=(b_pad // f_eff, n_tiles),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 3 * f_eff, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k8, 8), lambda bi, ti: (0, 0),
@@ -345,7 +356,7 @@ def gram_block(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(beta_rows, params, y_blk)
+    )(off, beta_rows, params, y_blk)
     return g[:bsz, :k, :k], c1[:bsz, :k, 0]
 
 
@@ -361,10 +372,10 @@ def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
 # ----------------------------------------------------------------------
 # Motion kernel (data term + analytic gradient)
 # ----------------------------------------------------------------------
-def _motion_kernel(beta_ref, pos_ref, w2_ref, y_ref, sse_ref, dbeta_ref,
-                   sse_acc, dbeta_acc, s_scr, b1_scr, b2x_scr, b2y_scr,
-                   b2z_scr, *, size, scaling, tile_p, total_p, n_tiles,
-                   f):
+def _motion_kernel(off_ref, beta_ref, pos_ref, w2_ref, y_ref, sse_ref,
+                   dbeta_ref, sse_acc, dbeta_acc, s_scr, b1_scr, b2x_scr,
+                   b2y_scr, b2z_scr, *, size, scaling, tile_p, p_count,
+                   n_tiles, f):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -372,9 +383,10 @@ def _motion_kernel(beta_ref, pos_ref, w2_ref, y_ref, sse_ref, dbeta_ref,
         sse_acc[:] = jnp.zeros_like(sse_acc)
         dbeta_acc[:] = jnp.zeros_like(dbeta_acc)
 
-    idx, mi, ni, zi = _coord_rows(tile * tile_p, size, tile_p)
+    off = off_ref[0, 0]
+    idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
     psi, phi = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
-    valid = (idx < total_p).astype(jnp.float32)
+    valid = (idx < off + p_count).astype(jnp.float32)
     w = _fade_row(psi, size) * valid  # [F, tp]
 
     # Per-frame row quantities via one [K8, 8] x [K8, tp] contraction on
@@ -430,7 +442,7 @@ def _motion_kernel(beta_ref, pos_ref, w2_ref, y_ref, sse_ref, dbeta_ref,
         )
         if scaling == "normalized":
             dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
-        dpsi.append(dpsi_d * (1.0 / total_p))  # [F, tp]
+        dpsi.append(dpsi_d * (1.0 / p_count))  # [F, tp]
 
     phi_mat = jnp.concatenate(phi, axis=0)  # [10, tp]
     for fi in range(f):
@@ -464,12 +476,17 @@ def motion_block(
     scaling: str = "normalized",
     tile_p: int = 8192,
     frames_per_step: int = 8,
+    p_offset=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused data term + analytic beta gradient for a block of frames.
 
     Args:
       betas: ``[B, 10, 3]``; c_block: ``[B, K]``; y: ``[B, P]``.
+      p_offset: optional traced voxel offset (pixel-sharded/TP path):
+        ``y`` covers global voxels ``[p_offset, p_offset + y.shape[1])``
+        and the returned mse/dbeta are local-voxel means whose
+        pixel-axis ``psum / npix`` reproduces the global values.
 
     Returns:
       ``(mse [B], dbeta [B, 10, 3])`` — ``mse = sum_p r^2 / P`` per frame
@@ -478,10 +495,12 @@ def motion_block(
     bsz = betas.shape[0]
     k = pos.shape[0]
     k8 = _round_up(k, SUBLANE)
-    total_p = int(np.prod(size))
-    p_pad = _round_up(total_p, tile_p)
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
     n_tiles = p_pad // tile_p
     params, w2 = _neuron_params(pos, sigma, k8, c_block=c_block)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
 
     f_eff, b_pad = _pad_frames(bsz, frames_per_step)
     pad_b = ((0, b_pad - bsz),)
@@ -490,15 +509,17 @@ def motion_block(
     )
     params = jnp.pad(params, pad_b + ((0, 0), (0, 0)))
     w2 = jnp.pad(w2, pad_b + ((0, 0), (0, 0)))
-    y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, total_p)
+    y_blk = _frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
 
     sse, dbeta_t = pl.pallas_call(
         functools.partial(
             _motion_kernel, size=tuple(size), scaling=scaling,
-            tile_p=tile_p, total_p=total_p, n_tiles=n_tiles, f=f_eff,
+            tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, f=f_eff,
         ),
         grid=(b_pad // f_eff, n_tiles),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 3 * f_eff, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f_eff, k8, 8), lambda bi, ti: (bi, 0, 0),
@@ -532,8 +553,8 @@ def motion_block(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(beta_rows, params, w2, y_blk)
-    return (sse[:bsz, 0] / total_p,
+    )(off, beta_rows, params, w2, y_blk)
+    return (sse[:bsz, 0] / p_count,
             jnp.transpose(dbeta_t, (0, 2, 1))[:bsz])
 
 

@@ -104,10 +104,17 @@ def sharded_motion_epoch(
     npix = _pixel_size(mesh)
 
     def local_fn(state_loc, video_loc, vb_loc):
+        # Pixel shards: the XLA path evaluates on the local basis slice
+        # (vb); the pallas path takes the shard's global voxel offset
+        # and derives coordinates in-kernel.
+        tp = npix > 1
         grads, mses, regs = model_lib.frame_grads_local(
             state_loc, video_loc, model, gamma, frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            vb=vb_loc if npix > 1 else None,
+            vb=vb_loc if (tp and not use_pallas) else None,
+            p_offset=(jax.lax.axis_index(PIXEL_AXIS)
+                      * video_loc.shape[1]) if (tp and use_pallas)
+                     else None,
         )
         if npix > 1:
             # Local values are computed over local voxels; the psum/npix
@@ -163,10 +170,14 @@ def sharded_compute_grams(
     npix = _pixel_size(mesh)
 
     def local_fn(state_loc, video_loc, vb_loc):
+        tp = npix > 1
         g, c1 = model_lib.grams_local(
             state_loc, video_loc, model, frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            vb=vb_loc if npix > 1 else None,
+            vb=vb_loc if (tp and not use_pallas) else None,
+            p_offset=(jax.lax.axis_index(PIXEL_AXIS)
+                      * video_loc.shape[1]) if (tp and use_pallas)
+                     else None,
         )
         if npix > 1:
             # Grams are plain sums over voxels — partial sums psum to the

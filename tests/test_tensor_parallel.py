@@ -137,6 +137,70 @@ def test_pixel_sharded_mu_with_smoothing(rng):
     )
 
 
+@pytest.mark.parametrize("culled", [False, True], ids=["dense", "culled"])
+def test_pixel_sharded_pallas_grams_match_dense(rng, culled):
+    """Fused-kernel TP: voxel-offset pallas Grams on a pixel mesh ==
+    dense XLA Grams (both kernel families; culled = K > 64 path)."""
+    model, optimizer, state, video = _fixture(rng)
+    if not culled:
+        # K <= 64 routes to the dense fused kernels (_pick_pallas).
+        sub = 48
+        model = ModelConfig(size=SIZE, num_neurons=sub, num_frames=T,
+                            shape_std=2.0)
+        state = M.init_state(
+            model, optimizer, positions=state.pos[:sub],
+            key=jax.random.PRNGKey(0),
+        )
+
+    dense_grams, dense_c1 = M.compute_grams(state, video, model,
+                                            frame_block=4)
+
+    mesh = make_mesh(num_time=2, num_batch=1, num_pixel=4)
+    sh_state = shard_state(state, mesh)
+    sh_video = shard_video(video, mesh)
+    grams, c1 = sharded_compute_grams(
+        sh_state, sh_video, model, mesh=mesh, frame_block=4,
+        use_pallas=True, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(grams),
+                               np.asarray(dense_grams),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(dense_c1),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("culled", [False, True], ids=["dense", "culled"])
+def test_pixel_sharded_pallas_motion_matches_dense(rng, culled):
+    """Fused-kernel TP: voxel-offset pallas gradients on a pixel mesh ==
+    dense XLA motion epoch."""
+    model, optimizer, state, video = _fixture(rng)
+    if not culled:
+        sub = 48
+        model = ModelConfig(size=SIZE, num_neurons=sub, num_frames=T,
+                            shape_std=2.0)
+        state = M.init_state(
+            model, optimizer, positions=state.pos[:sub],
+            key=jax.random.PRNGKey(0),
+        )
+    dense_state, dense_m = M.motion_epoch_parallel(
+        state, video, model, optimizer, gamma=0.1, frame_block=4
+    )
+
+    mesh = make_mesh(num_time=2, num_batch=1, num_pixel=4)
+    sh_state = shard_state(state, mesh)
+    sh_video = shard_video(video, mesh)
+    sh_state, sh_m = sharded_motion_epoch(
+        sh_state, sh_video, model, optimizer, gamma=0.1, mesh=mesh,
+        frame_block=4, use_pallas=True, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.beta), np.asarray(dense_state.beta),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(float(sh_m["recon_mse"]),
+                               float(dense_m["recon_mse"]), rtol=1e-4)
+
+
 def test_guards(rng):
     """Unsupported compositions fail loudly, not silently wrong."""
     from dnmf_tpu.config import DeformationConfig
@@ -145,7 +209,7 @@ def test_guards(rng):
     model, optimizer, state, video = _fixture(rng)
     mesh = make_mesh(num_time=2, num_batch=1, num_pixel=4)
 
-    with pytest.raises(ValueError, match="analytic"):
+    with pytest.raises(ValueError, match="p_offset"):
         M.grams_local(state, video, model, 4,
                       vb=M.model_voxel_basis(model), use_pallas=True)
 
