@@ -93,11 +93,6 @@ class DeformableNMF:
                 raise ValueError(
                     "voxel count must divide evenly over mesh_pixel"
                 )
-            if self.runtime.use_pallas:
-                raise ValueError(
-                    "mesh_pixel uses the XLA footprint path; unset "
-                    "use_pallas"
-                )
         if self.runtime.mesh_time or self.runtime.mesh_pixel:
             from dnmf_tpu.parallel import make_mesh, shard_state
 
@@ -118,11 +113,6 @@ class DeformableNMF:
             )
         else:
             self._use_pallas = bool(self.runtime.use_pallas)
-        if (self.runtime.mesh_pixel or 1) > 1:
-            # Pixel-sharded shards evaluate footprints on basis slices,
-            # which only the XLA path supports (the fused kernels derive
-            # coordinates from the full volume size).
-            self._use_pallas = False
 
     class _Prepared:
         """Marker wrapper: video already flattened/clamped/sharded."""

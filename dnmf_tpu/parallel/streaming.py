@@ -29,20 +29,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dnmf_tpu.config import ModelConfig
 from dnmf_tpu.models import dnmf as model_lib
 from dnmf_tpu.ops import basis as basis_ops
-from dnmf_tpu.parallel.mesh import TIME_AXIS
+from dnmf_tpu.parallel.mesh import PIXEL_AXIS, TIME_AXIS
 from dnmf_tpu.parallel.sharded import _state_specs
 
 
-def _shard_geometry(state, source, mesh: Mesh) -> Tuple[int, int, int]:
-    from dnmf_tpu.parallel.mesh import PIXEL_AXIS
-
-    if mesh.shape.get(PIXEL_AXIS, 1) > 1:
-        raise ValueError(
-            "host-streamed epochs do not compose with a pixel (TP) mesh "
-            "axis yet — stream onto a time-only mesh, or keep the video "
-            "device-resident for pixel-sharded Grams"
-        )
+def _shard_geometry(state, source, mesh: Mesh,
+                    model=None) -> Tuple[int, int, int, int]:
     n = mesh.shape[TIME_AXIS]
+    npix = mesh.shape.get(PIXEL_AXIS, 1)
     t = state.beta.shape[0]
     if t != source.num_frames:
         raise ValueError(
@@ -53,9 +47,29 @@ def _shard_geometry(state, source, mesh: Mesh) -> Tuple[int, int, int]:
         raise ValueError(
             f"num_frames={t} must divide evenly over mesh time={n}"
         )
+    if npix > 1:
+        p = int(np.prod(source.size))
+        if p % npix:
+            raise ValueError(
+                f"voxel count {p} must divide evenly over mesh "
+                f"pixel={npix}"
+            )
+        if model is not None and model.deformation.footprint_mode != (
+                "analytic"):
+            raise ValueError(
+                "pixel-sharded streaming requires analytic footprints"
+            )
     shard_len = t // n
     block = min(int(source.block), shard_len)
-    return n, shard_len, block
+    return n, shard_len, block, npix
+
+
+def _frame_spec(mesh: Mesh):
+    """Block-row sharding: frames over time, voxels over pixel (when the
+    mesh has a pixel axis)."""
+    if PIXEL_AXIS in mesh.shape:
+        return P(TIME_AXIS, PIXEL_AXIS)
+    return P(TIME_AXIS)
 
 
 def _host_block_row(source, n: int, shard_len: int, block: int,
@@ -116,8 +130,10 @@ def _stream_shard_grads_step(
 ):
     """One block row of per-frame gradients on every shard at once."""
     specs = _state_specs(state)
+    npix = mesh.shape.get(PIXEL_AXIS, 1)
+    tp = npix > 1
 
-    def local_fn(state_loc, grads_loc, frames_loc, offset, valid):
+    def local_fn(state_loc, grads_loc, frames_loc, vb_loc, offset, valid):
         beta_pad = jnp.concatenate(
             [state_loc.beta, basis_ops.identity_beta(block)], axis=0
         )
@@ -129,20 +145,33 @@ def _stream_shard_grads_step(
         g, mses, regs = model_lib.frame_grads_local(
             st, frames_loc, model, gamma, block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            vb=vb_loc if (tp and not use_pallas) else None,
+            p_offset=(jax.lax.axis_index(PIXEL_AXIS)
+                      * frames_loc.shape[1]) if (tp and use_pallas)
+                     else None,
         )
+        if tp:
+            # Partial (local-voxel) values; psum/npix reproduces the
+            # global gradients/metrics (same contract as the
+            # device-resident sharded epoch).
+            g = jax.lax.psum(g, PIXEL_AXIS) / npix
+            mses = jax.lax.psum(mses, PIXEL_AXIS) / npix
+            regs = jax.lax.psum(regs, PIXEL_AXIS) / npix
         grads_loc, mask = _masked_accumulate(grads_loc, g, offset, valid,
                                              block)
         mse = jax.lax.psum(jnp.sum(mses * mask), TIME_AXIS)
         reg = jax.lax.psum(jnp.sum(regs * mask), TIME_AXIS)
         return grads_loc, mse, reg
 
+    vb = model_lib.model_voxel_basis(model)
     f = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(specs, P(TIME_AXIS), P(TIME_AXIS), P(), P()),
+        in_specs=(specs, P(TIME_AXIS), _frame_spec(mesh),
+                  P(PIXEL_AXIS) if tp else P(), P(), P()),
         out_specs=(P(TIME_AXIS), P(), P()),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )
-    return f(state, grads_buf, frames, offset, valid)
+    return f(state, grads_buf, frames, vb, offset, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("optimizer",))
@@ -168,16 +197,19 @@ def sharded_motion_epoch_streaming(
     Identical math to ``motion_epoch_streaming`` /
     ``sharded_motion_epoch``: per-frame gradients collected block-row by
     block-row into a time-sharded buffer, then one full-tensor Adam step.
+    With a pixel mesh axis, each block row also shards over voxels and
+    partial gradients psum over the pixel axis (TP x streaming).
     """
-    n, shard_len, block = _shard_geometry(state, source, mesh)
+    n, shard_len, block, _ = _shard_geometry(state, source, mesh, model)
     tsh = NamedSharding(mesh, P(TIME_AXIS))
+    fsh = NamedSharding(mesh, _frame_spec(mesh))
     grads_buf = jax.device_put(
         jnp.zeros_like(state.beta), tsh
     )
     mses, regs = [], []
     for off in range(0, shard_len, block):
         host_row, valid = _host_block_row(source, n, shard_len, block, off)
-        frames = jax.device_put(host_row, tsh)
+        frames = jax.device_put(host_row, fsh)
         grads_buf, mse, reg = _stream_shard_grads_step(
             state, grads_buf, frames, jnp.int32(off), jnp.int32(valid),
             model, gamma, block, mesh,
@@ -212,8 +244,11 @@ def _stream_shard_grams_step(
     pallas_interpret: bool = False,
 ):
     specs = _state_specs(state)
+    npix = mesh.shape.get(PIXEL_AXIS, 1)
+    tp = npix > 1
 
-    def local_fn(state_loc, grams_loc, c1_loc, frames_loc, offset, valid):
+    def local_fn(state_loc, grams_loc, c1_loc, frames_loc, vb_loc,
+                 offset, valid):
         beta_pad = jnp.concatenate(
             [state_loc.beta, basis_ops.identity_beta(block)], axis=0
         )
@@ -223,20 +258,30 @@ def _stream_shard_grams_step(
         g, c1 = model_lib.grams_local(
             st, frames_loc, model, block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            vb=vb_loc if (tp and not use_pallas) else None,
+            p_offset=(jax.lax.axis_index(PIXEL_AXIS)
+                      * frames_loc.shape[1]) if (tp and use_pallas)
+                     else None,
         )
+        if tp:
+            # Grams are plain sums over voxels — partial sums psum to
+            # the global Gram.
+            g = jax.lax.psum(g, PIXEL_AXIS)
+            c1 = jax.lax.psum(c1, PIXEL_AXIS)
         grams_loc, _ = _masked_accumulate(grams_loc, g, offset, valid,
                                           block)
         c1_loc, _ = _masked_accumulate(c1_loc, c1, offset, valid, block)
         return grams_loc, c1_loc
 
+    vb = model_lib.model_voxel_basis(model)
     f = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(specs, P(TIME_AXIS), P(TIME_AXIS), P(TIME_AXIS), P(),
-                  P()),
+        in_specs=(specs, P(TIME_AXIS), P(TIME_AXIS), _frame_spec(mesh),
+                  P(PIXEL_AXIS) if tp else P(), P(), P()),
         out_specs=(P(TIME_AXIS), P(TIME_AXIS)),
         check_vma=False,
     )
-    return f(state, grams_buf, c1_buf, frames, offset, valid)
+    return f(state, grams_buf, c1_buf, frames, vb, offset, valid)
 
 
 def sharded_compute_grams_streaming(
@@ -251,17 +296,19 @@ def sharded_compute_grams_streaming(
 
     Returns ``(grams [T, K, K], c1 [T, K])`` sharded on the time axis —
     ready for ``sharded_footprint_update``'s halo'd MU iterations without
-    ever gathering to a single device.
+    ever gathering to a single device.  With a pixel mesh axis, block
+    rows shard over voxels and partial Grams psum over the pixel axis.
     """
-    n, shard_len, block = _shard_geometry(state, source, mesh)
+    n, shard_len, block, _ = _shard_geometry(state, source, mesh, model)
     k = state.c.shape[0]
     t = state.beta.shape[0]
     tsh = NamedSharding(mesh, P(TIME_AXIS))
+    fsh = NamedSharding(mesh, _frame_spec(mesh))
     grams_buf = jax.device_put(jnp.zeros((t, k, k)), tsh)
     c1_buf = jax.device_put(jnp.zeros((t, k)), tsh)
     for off in range(0, shard_len, block):
         host_row, valid = _host_block_row(source, n, shard_len, block, off)
-        frames = jax.device_put(host_row, tsh)
+        frames = jax.device_put(host_row, fsh)
         grams_buf, c1_buf = _stream_shard_grams_step(
             state, grams_buf, c1_buf, frames, jnp.int32(off),
             jnp.int32(valid), model, block, mesh,

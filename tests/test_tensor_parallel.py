@@ -230,8 +230,60 @@ def test_guards(rng):
     from dnmf_tpu.data.streaming import StreamingVideo
     from dnmf_tpu.parallel import sharded_motion_epoch_streaming
 
+    resample_state = M.init_state(
+        resample_model,
+        M.make_motion_optimizer(OptimizerConfig(learning_rate=1e-3)),
+        positions=state.pos, key=jax.random.PRNGKey(0),
+    )
     src = StreamingVideo(np.zeros((T,) + SIZE, np.float32), block=4)
+    sh_state = shard_state(resample_state, mesh)
+    with pytest.raises(ValueError, match="analytic"):
+        sharded_motion_epoch_streaming(
+            sh_state, src, resample_model, optimizer, gamma=0.1,
+            mesh=mesh,
+        )
+
+
+@pytest.mark.parametrize("use_pallas", [False, True],
+                         ids=["xla", "pallas"])
+def test_streaming_on_pixel_mesh_matches_dense(rng, use_pallas):
+    """TP x streaming: host-streamed block rows on a (time x pixel) mesh
+    reproduce the device-resident single-device fit (both footprint
+    paths)."""
+    from dnmf_tpu.data.streaming import StreamingVideo
+    from dnmf_tpu.parallel import (
+        sharded_compute_grams_streaming,
+        sharded_motion_epoch_streaming,
+    )
+
+    model, optimizer, state, video = _fixture(rng)
+    dense_state, dense_m = M.motion_epoch_parallel(
+        state, video, model, optimizer, gamma=0.1, frame_block=4
+    )
+    dense_grams, dense_c1 = M.compute_grams(dense_state, video, model,
+                                            frame_block=4)
+
+    mesh = make_mesh(num_time=2, num_batch=1, num_pixel=4)
     sh_state = shard_state(state, mesh)
-    with pytest.raises(ValueError, match="pixel"):
-        sharded_motion_epoch_streaming(sh_state, src, model, optimizer,
-                                       gamma=0.1, mesh=mesh)
+    src = StreamingVideo(
+        np.asarray(video).reshape((T,) + SIZE), block=3
+    )
+    kw = dict(use_pallas=True, pallas_interpret=True) if use_pallas \
+        else dict(use_pallas=False)
+    sh_state, sh_m = sharded_motion_epoch_streaming(
+        sh_state, src, model, optimizer, gamma=0.1, mesh=mesh, **kw
+    )
+    grams, c1 = sharded_compute_grams_streaming(
+        sh_state, src, model, mesh=mesh, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.beta), np.asarray(dense_state.beta),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(float(sh_m["recon_mse"]),
+                               float(dense_m["recon_mse"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(grams),
+                               np.asarray(dense_grams),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(dense_c1),
+                               rtol=1e-4, atol=1e-5)
