@@ -42,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 from dnmf_tpu.ops import pallas_kernels as pk
 from dnmf_tpu.ops.pallas_kernels import (
     SUBLANE,
-    _beta_warp_matrix,
     _coord_rows,
     _fade_row,
     _round_up,
@@ -56,8 +55,10 @@ def _sorted_params(pos, sigma, kb, nkb, c_block=None):
     """Sort neurons by m; build padded param columns + block m-ranges.
 
     Returns ``(perm, params [K_pad, 8], blocks [nkb_pad, 2], [w2])`` with
-    ``K_pad = nkb * kb``; padded neurons sit at 1e4 with inv_s2 = 1 (they
-    evaluate to exactly 0) and never extend a block's range.
+    ``K_pad = nkb * kb``; padded neurons sit at 1e4 with unit scale (they
+    evaluate to exactly 0) and never extend a block's range.  Col 3 is
+    ``inv_s2 * log2(e)`` for the exp2-form footprint evaluation
+    (``pallas_kernels._footprint_tile``).
     """
     k = pos.shape[0]
     k_pad = nkb * kb
@@ -70,7 +71,7 @@ def _sorted_params(pos, sigma, kb, nkb, c_block=None):
     params = params.at[:, :3].set(
         jnp.pad(pos_s, ((0, k_pad - k), (0, 0)), constant_values=1e4)
     )
-    params = params.at[:k, 3].set(inv_s2)
+    params = params.at[:k, 3].set(inv_s2 * pk.LOG2E)
     params = params.at[k:, 3].set(1.0)
 
     m_pad = jnp.pad(pos_s[:, 0], (0, k_pad - k),
@@ -101,15 +102,17 @@ def _sorted_params(pos, sigma, kb, nkb, c_block=None):
 
 
 def _block_footprint(psi, pos_ref, lo, kb):
+    # Col 3 = inv_s2 * log2(e): exp2 form of the Gaussian (see
+    # pallas_kernels._footprint_tile).
     d2 = (pos_ref[lo:lo + kb, 0:1] - psi[0]) ** 2
     d2 += (pos_ref[lo:lo + kb, 1:2] - psi[1]) ** 2
     d2 += (pos_ref[lo:lo + kb, 2:3] - psi[2]) ** 2
-    return jnp.exp(-d2 * pos_ref[lo:lo + kb, 3:4])
+    return jnp.exp2(-d2 * pos_ref[lo:lo + kb, 3:4])
 
 
 def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
-                        g_ref, c1_ref, g_acc, c1_acc, a_scr, *scr, size,
-                        scaling, tile_p, p_count, n_tiles, kb, nkb,
+                        g_ref, c1_ref, g_acc, c1_acc, *scr, size,
+                        scaling, tile_p, p_count, n_tiles, kb, nkb, f,
                         dot_mode):
     tile = pl.program_id(1)
 
@@ -118,30 +121,53 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         g_acc[:] = jnp.zeros_like(g_acc)
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
+    # Per-step cost structure (whole-brain 512x512x20, K=200, measured
+    # by leveled probe kernels): [1, tile_p] row machinery (coordinate
+    # divmods, basis rows, warp polynomial, fade) ~4.5 ms/frame, exp +
+    # bf16 split ~2.2, pair dots ~2.8 — parts sum to the total, i.e.
+    # execution is serial.  Two rewrites that "should" amortize the row
+    # half both measured SLOWER end-to-end and were reverted: (a) an
+    # XLA-side psi precompute (its ~1 GB/call HBM round-trip plus XLA's
+    # memory-bound elementwise codegen costs as much as the in-kernel
+    # rows it replaces — 10.3 vs 9.9 ms/frame), and (b) F frames per
+    # grid step sharing the rows (F=4: 17.0, F=8: 16.5 vs 9.9 — the
+    # [F, K_pad, K_pad] accumulator + F-row video blocks blow the VMEM
+    # working set and break pipelining, reproducing the round-1
+    # finding).  Hence frames_per_step defaults to 1; the loop below
+    # degenerates to the single-frame form.
     off = off_ref[0, 0]
     idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
-    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, 1)
+    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
     w = _fade_row(psi, size) * (idx < off + p_count).astype(jnp.float32)
+    # Culling bounds are the union over the step's F frames: one
+    # cross-lane reduce instead of F, and per-frame deformed ranges
+    # differ by at most the warp spread, so selectivity is ~unchanged.
     t_lo = jnp.min(psi[0])
     t_hi = jnp.max(psi[0])
 
+    # Split mode keeps only the 2-term bf16 decomposition in scratch
+    # (reused frame-by-frame within the step) — no f32 footprint buffer;
+    # the c1 dot reconstructs hi + lo, exact to the decomposition.
     split = dot_mode == "split"
-    ahi_scr, alo_scr = scr if split else (None, None)
+    if split:
+        ahi_scr, alo_scr = scr
+        a_scr = None
+    else:
+        (a_scr,) = scr
 
     actives = []
+    pair_actives = {}
     for i in range(nkb):
-        active = (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
-        actives.append(active)
-
-        @pl.when(active)
-        def _(i=i):
-            sl = slice(i * kb, (i + 1) * kb)
-            a = _block_footprint(psi, pos_ref, i * kb, kb) * w
-            a_scr[sl, :] = a
-            if split:
-                hi, lo = pk._split_bf16(a)
-                ahi_scr[sl, :] = hi
-                alo_scr[sl, :] = lo
+        actives.append(
+            (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+        )
+        for j in range(i, nkb):
+            # Pair-interval cull: G entries between blocks i and j are
+            # nonzero only if some neuron pair sits within 2*reach in m,
+            # i.e. the +-reach intervals overlap (blocks sorted by m, so
+            # for j >= i that is "j starts before i ends").
+            pair_actives[(i, j)] = (blocks_ref[j, 0]
+                                    <= blocks_ref[i, 1])
 
     hi_prec = jax.lax.Precision.HIGHEST
     dims = (((1,), (1,)), ((), ()))
@@ -150,50 +176,69 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    for i in range(nkb):
-        @pl.when(actives[i])
-        def _(i=i):
-            ai = a_scr[i * kb:(i + 1) * kb, :]
-            c1_acc[i * kb:(i + 1) * kb, :] += jax.lax.dot_general(
-                ai, y_ref[:], dims,
-                preferred_element_type=jnp.float32, precision=hi_prec,
-            )
-        for j in range(i, nkb):
-            @pl.when(actives[i] & actives[j])
-            def _(i=i, j=j):
-                si = slice(i * kb, (i + 1) * kb)
-                sj = slice(j * kb, (j + 1) * kb)
+    for fi in range(f):
+        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+        w_f = w[fi:fi + 1, :]
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i):
+                sl = slice(i * kb, (i + 1) * kb)
+                a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
                 if split:
-                    # 3 single-pass bf16 products vs 6-pass HIGHEST; the
-                    # dropped lo@lo term is O(2^-18) relative.
-                    gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
-                           + bf_dot(ahi_scr[si, :], alo_scr[sj, :])
-                           + bf_dot(alo_scr[si, :], ahi_scr[sj, :]))
+                    hi, lo = pk._split_bf16(a)
+                    ahi_scr[sl, :] = hi
+                    alo_scr[sl, :] = lo
                 else:
-                    gij = jax.lax.dot_general(
-                        a_scr[si, :], a_scr[sj, :], dims,
-                        preferred_element_type=jnp.float32,
-                        precision=hi_prec,
-                    )
-                g_acc[si, sj] += gij
+                    a_scr[sl, :] = a
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i):
+                sl = slice(i * kb, (i + 1) * kb)
+                ai = (ahi_scr[sl, :].astype(jnp.float32)
+                      + alo_scr[sl, :].astype(jnp.float32)) if split \
+                    else a_scr[sl, :]
+                c1_acc[fi, sl, :] += jax.lax.dot_general(
+                    ai, y_ref[fi:fi + 1, :], dims,
+                    preferred_element_type=jnp.float32,
+                    precision=hi_prec,
+                )
+            for j in range(i, nkb):
+                @pl.when(actives[i] & actives[j] & pair_actives[(i, j)])
+                def _(i=i, j=j):
+                    si = slice(i * kb, (i + 1) * kb)
+                    sj = slice(j * kb, (j + 1) * kb)
+                    if split:
+                        # 3 single-pass bf16 products vs 6-pass HIGHEST;
+                        # the dropped lo@lo term is O(2^-18) relative.
+                        gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
+                               + bf_dot(ahi_scr[si, :], alo_scr[sj, :])
+                               + bf_dot(alo_scr[si, :], ahi_scr[sj, :]))
+                    else:
+                        gij = jax.lax.dot_general(
+                            a_scr[si, :], a_scr[sj, :], dims,
+                            preferred_element_type=jnp.float32,
+                            precision=hi_prec,
+                        )
+                    g_acc[fi, si, sj] += gij
 
     @pl.when(tile == n_tiles - 1)
     def _():
         c1_ref[:] = c1_acc[:]
         # Mirror the strictly-upper blocks into the lower triangle.
-        g_full = g_acc[:]
         lower_mask = jax.lax.broadcasted_iota(
-            jnp.int32, g_full.shape, 0
+            jnp.int32, (f,) + g_acc.shape[1:], 1
         ) // kb > jax.lax.broadcasted_iota(
-            jnp.int32, g_full.shape, 1
+            jnp.int32, (f,) + g_acc.shape[1:], 2
         ) // kb
-        g_ref[:] = jnp.where(lower_mask, g_full.T, g_full)
+        g_full = g_acc[:]
+        g_ref[:] = jnp.where(lower_mask,
+                             jnp.transpose(g_full, (0, 2, 1)), g_full)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
-                     "interpret"),
+                     "frames_per_step", "interpret"),
 )
 def gram_block_culled(
     betas: jnp.ndarray,
@@ -205,6 +250,7 @@ def gram_block_culled(
     tile_p: int = 8192,
     kblock: int = 64,
     dot_mode: str = "highest",
+    frames_per_step: int = 1,
     p_offset=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -212,10 +258,10 @@ def gram_block_culled(
 
     ``dot_mode="split"`` runs the block-pair Gram dots as 3 single-pass
     bf16 products instead of the 6-pass HIGHEST emulation (~2x cheaper
-    dots; see ``pallas_kernels._gram_dot``).  With split dots, finer
-    culling blocks win: whole-brain 512x512x20 K=200 Grams run 9.3
-    ms/frame at kblock=64 + split vs 14.9 at kblock=128 + HIGHEST
-    (same chip/session); error vs float64 is ~3e-6 relative.
+    dots; see ``pallas_kernels._gram_dot``); error vs float64 is ~3e-6
+    relative.  ``frames_per_step`` frames can share one grid step's
+    coordinate/warp/fade rows, but 1 is the measured whole-brain
+    optimum — see the kernel comment.
 
     ``p_offset`` (traced): pixel-sharded/TP path — ``y`` covers global
     voxels ``[p_offset, p_offset + y.shape[1])``; returned Grams are
@@ -235,59 +281,72 @@ def gram_block_culled(
         jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
 
     n_tiles = p_pad // tile_p
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - p_count))).reshape(
-        bsz, n_tiles, 1, tile_p
+    f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
+    # Pad frames by replicating the last real beta: padded frames' psi
+    # joins the per-step culling union, so a copy keeps it tight (their
+    # y is zero-padded and their outputs are sliced off below).
+    beta_rows = pk._beta_warp_matrix(
+        jnp.concatenate(
+            [betas,
+             jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
+            axis=0,
+        ) if b_pad > bsz else betas,
+        f_eff,
     )
+    y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
 
     g, c1 = pl.pallas_call(
         functools.partial(
             _gram_kernel_culled, size=tuple(size), scaling=scaling,
             tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
-            nkb=nkb, dot_mode=dot_mode,
+            nkb=nkb, f=f_eff, dot_mode=dot_mode,
         ),
-        grid=(bsz, n_tiles),
+        grid=(b_pad // f_eff, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, 3 * f_eff, 10),
+                         lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 1, tile_p),
+            pl.BlockSpec((None, None, f_eff, tile_p),
                          lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, k_pad, k_pad), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k_pad, k_pad),
+                         lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, k_pad, 1), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k_pad, 1), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, k_pad, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, k_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k_pad, k_pad), jnp.float32),
-            pltpu.VMEM((k_pad, 1), jnp.float32),
-            pltpu.VMEM((k_pad, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, k_pad, k_pad), jnp.float32),
+            pltpu.VMEM((f_eff, k_pad, 1), jnp.float32),
         ] + ([
             pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
             pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
-        ] if dot_mode == "split" else []),
+        ] if dot_mode == "split" else [
+            pltpu.VMEM((k_pad, tile_p), jnp.float32),
+        ]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off, _beta_warp_matrix(betas, 1), blocks, params, y_pad)
+    )(off, beta_rows, blocks, params, y_blk)
 
     # Undo the sort: sorted index i holds original neuron perm[i], so the
     # original-order Gram is G_sorted[inv][:, inv] with inv = argsort(perm).
     inv = jnp.argsort(perm)
-    g = g[:, :k, :k][:, inv, :][:, :, inv]
-    c1 = c1[:, :k, 0][:, inv]
+    g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
+    c1 = c1[:bsz, :k, 0][:, inv]
     return g, c1
 
 
@@ -405,9 +464,9 @@ def motion_block_culled(
     p_pad = _round_up(p_count, tile_p)
     perm, params, blocks, w2 = _sorted_params(pos, sigma, kb, nkb,
                                               c_block=c_block)
+
     off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
         jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
-
     n_tiles = p_pad // tile_p
     y_pad = jnp.pad(y, ((0, 0), (0, p_pad - p_count))).reshape(
         bsz, n_tiles, 1, tile_p
@@ -454,5 +513,5 @@ def motion_block_culled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off, _beta_warp_matrix(betas, 1), blocks, params, w2, y_pad)
+    )(off, pk._beta_warp_matrix(betas, 1), blocks, params, w2, y_pad)
     return sse[:, 0, 0] / p_count, jnp.transpose(dbeta_t, (0, 2, 1))

@@ -69,9 +69,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _coord_rows(base, size, tile_p):
-    """Voxel coordinates of a tile as ``[1, tile_p]`` f32 rows."""
+    """Voxel coordinates of a tile as ``[1, tile_p]`` f32 rows.
+
+    Volumes below 2^24 voxels use float divmod: integers that size are
+    exact in f32, f32 division is correctly rounded (so
+    ``floor(idx / z)`` can only stray at quotients within ulp/2 of an
+    integer, impossible while ``quotient * divisor < 2^24``), and the
+    VPU has no native integer divide — the int path's expansion costs
+    ~1 ms/frame at whole-brain scale.
+    """
     m, n, z = size
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
+    if m * n * z + tile_p < (1 << 24):
+        idxf = idx.astype(jnp.float32)
+        rest = jnp.floor(idxf / z)
+        zi = idxf - rest * z
+        mi = jnp.floor(rest / n)
+        ni = rest - mi * n
+        return idx, mi, ni, zi
     zi = idx % z
     rest = idx // z
     ni = rest % n
@@ -144,17 +159,23 @@ def _fade_row(psi, size):
     return w
 
 
+LOG2E = 1.4426950408889634  # exp(-x) == exp2(-x * log2(e))
+
+
 def _footprint_tile(psi, pos_ref):
     """Raw Gaussians ``A [K8, tp] = exp(-sum_d (psi_d - p_kd)^2 / s_k^2)``.
 
     ``psi``: 3 x ``[1, tp]`` (a single frame's rows); ``pos_ref``:
-    ``[K8, 8]`` columns ``(px, py, pz, inv_s2, ...)`` — only the first 4
-    used here; padded neurons sit at 1e4 so they evaluate to exactly 0.
+    ``[K8, 8]`` columns ``(px, py, pz, inv_s2 * log2(e), ...)`` — only
+    the first 4 used here; padded neurons sit at 1e4 so they evaluate to
+    exactly 0.  The exponent runs as ``exp2`` with log2(e) pre-folded
+    into the scale column: same math, one fewer multiply and the VPU's
+    native base-2 exponential.
     """
     d2 = (pos_ref[:, 0:1] - psi[0]) ** 2
     d2 += (pos_ref[:, 1:2] - psi[1]) ** 2
     d2 += (pos_ref[:, 2:3] - psi[2]) ** 2
-    return jnp.exp(-d2 * pos_ref[:, 3:4])
+    return jnp.exp2(-d2 * pos_ref[:, 3:4])
 
 
 def _neuron_params(pos, sigma, k8, c_block=None):
@@ -163,6 +184,9 @@ def _neuron_params(pos, sigma, k8, c_block=None):
     With ``c_block [B, K]`` given, returns ``(params [B, K8, 8],
     w2 [B, K8, 8])`` where params cols 4:6 hold the motion-kernel trace
     weights ``(c, 2c/s^2)`` and w2 cols 0:3 hold ``2 c p_d / s^2``.
+
+    Col 3 carries ``inv_s2 * log2(e)`` — the exponent scale for the
+    ``exp2``-form footprint tile (see :func:`_footprint_tile`).
     """
     k = pos.shape[0]
     inv_s2 = 1.0 / (sigma**2)
@@ -170,7 +194,7 @@ def _neuron_params(pos, sigma, k8, c_block=None):
     base = base.at[:, :3].set(
         jnp.pad(pos, ((0, k8 - k), (0, 0)), constant_values=1e4)
     )
-    base = base.at[:k, 3].set(inv_s2)
+    base = base.at[:k, 3].set(inv_s2 * LOG2E)
     base = base.at[k:, 3].set(1.0)
     if c_block is None:
         return base

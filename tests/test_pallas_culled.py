@@ -119,3 +119,43 @@ def test_gram_split_dot_mode_close_to_highest(rng):
                                rtol=5e-4, atol=5e-4 * scale)
     np.testing.assert_allclose(np.asarray(c1_sp), np.asarray(c1_hi),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pair_cull_distant_clusters(rng):
+    """Two tight neuron clusters far apart in m: the cross-block Gram
+    must still match the dense XLA reference (the pair-interval cull may
+    only drop contributions below the exp(-36) reach floor), and nearby
+    clusters must never be culled."""
+    size = (64, 8, 2)
+    total_p = int(np.prod(size))
+    t = 2
+    for gap_lo, gap_hi in [(4.0, 12.0), (40.0, 56.0)]:
+        # cluster A at m ~ [2, 6], cluster B at m ~ [gap_lo, gap_hi]
+        pos_a = rng.uniform([2, 2, 0.2], [6, 6, 1.8], (8, 3))
+        pos_b = rng.uniform([gap_lo, 2, 0.2], [gap_hi, 6, 1.8], (8, 3))
+        pos = jnp.asarray(
+            np.concatenate([pos_a, pos_b]).astype(np.float32)
+        )
+        sigma = jnp.asarray(
+            rng.uniform(1.0, 1.5, (16,)).astype(np.float32)
+        )
+        betas = B.identity_beta(t) + 0.02 * jnp.asarray(
+            rng.normal(size=(t, 10, 3)).astype(np.float32)
+        )
+        y = jnp.asarray(rng.uniform(size=(t, total_p)).astype(np.float32))
+        g, c1 = pc.gram_block_culled(betas, pos, sigma, y, size,
+                                     scaling="pixel", tile_p=128,
+                                     kblock=8, interpret=True)
+        vb = B.voxel_basis(size)
+        for ti in range(t):
+            psi = B.warp_voxel_coords(vb, betas[ti], size, "pixel")
+            a = FP.evaluate_footprints(psi, pos, sigma, size=size)
+            g_ref, c1_ref = MU.mu_grams(a, y[ti])
+            np.testing.assert_allclose(
+                np.asarray(g[ti]), np.asarray(g_ref), rtol=1e-4,
+                atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(c1[ti]), np.asarray(c1_ref), rtol=1e-4,
+                atol=1e-5,
+            )
