@@ -174,7 +174,7 @@ class RuntimeConfig:
     frame_block: int = 8
     # Mesh axis sizes; None => single device.  mesh_pixel shards voxels
     # (tensor parallelism for the [K,K] MU Grams at large K; analytic
-    # footprints, XLA path only).
+    # footprints; works with both the XLA and fused-Pallas paths).
     mesh_time: Optional[int] = None
     mesh_batch: Optional[int] = None
     mesh_pixel: Optional[int] = None

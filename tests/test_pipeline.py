@@ -151,3 +151,41 @@ def test_white_noise_gp_fixture_accuracy_gate():
     assert corr_seeded.mean() > corr_identity.mean() + 0.2, (
         corr_seeded.mean(), corr_identity.mean()
     )
+
+
+def test_wb_recovery_components(rng):
+    """The recovery benchmark's device-side synthesis + warp-error
+    metric (tools/wb_recovery.py) at CPU-tiny scale: chunked rendering
+    matches the direct reconstruction, and the error metric is exact."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+
+    from dnmf_tpu.config import ModelConfig
+    from dnmf_tpu.models import dnmf as M
+    from tools.wb_recovery import synthesize, warp_error_px
+
+    size, k, t = (16, 12, 4), 4, 6
+    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
+                        shape_std=2.0)
+    pos = jnp.asarray(rng.uniform(3, 9, (k, 3)).astype(np.float32))
+    sigma = jnp.full((k,), 2.0)
+    betas_gt, c_gt, video = synthesize(model, pos, sigma,
+                                       jax.random.PRNGKey(1),
+                                       noise_rel=0.0)
+    assert video.shape == (t, 16 * 12 * 4)
+    assert bool(jnp.all(jnp.isfinite(video)))
+
+    # noise_rel=0: the rendered video equals the direct reconstruction.
+    vb = M.model_voxel_basis(model)
+    direct = M.reconstruct(betas_gt, c_gt.T, pos, sigma, model, vb)
+    np.testing.assert_allclose(np.asarray(video),
+                               np.maximum(np.asarray(direct), 0.0),
+                               rtol=1e-5, atol=1e-6)
+
+    assert warp_error_px(betas_gt, betas_gt, pos, model) == 0.0
+    shifted = betas_gt.at[:, 0, 0].add(2.0 / max(size[0] - 1, 1))
+    err = warp_error_px(shifted, betas_gt, pos, model)
+    np.testing.assert_allclose(err, 1.0, rtol=1e-4)
