@@ -10,7 +10,7 @@ reference's canonical defaults so the de-facto demo benchmark is a preset.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,8 +27,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dnmf_tpu.config import ModelConfig
 from dnmf_tpu.models import dnmf as model_lib
-from dnmf_tpu.ops import basis as basis_ops
-from dnmf_tpu.ops import jacobian as jac_ops
 from dnmf_tpu.ops import mu as mu_ops
 from dnmf_tpu.parallel.mesh import PIXEL_AXIS, TIME_AXIS
 

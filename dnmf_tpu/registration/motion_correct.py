@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import functools
 import itertools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
