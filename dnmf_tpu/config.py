@@ -118,9 +118,15 @@ class RegistrationConfig:
     border_nan: object = True  # True | False | "min" | "copy"
     gSig_filt: Optional[Tuple[int, ...]] = None
     min_mov: Optional[float] = None
-    # Apply shifts with the fast interpolating remap (reference
+    # Apply shifts with the interpolating remap (reference
     # ``shifts_opencv=True``) instead of per-patch DFT + feathered blending.
     use_remap: bool = True
+    # How the remap samples the frame: "exact" gather-based trilinear
+    # (cv2.remap semantics; XLA lowers the gather to per-element DMAs —
+    # ~750 ms/frame at 512x512x20 on TPU) or "separable" (gather-free
+    # sequential 1-D passes, ~2 orders of magnitude faster on TPU,
+    # <~0.1 px positional error on patch-smooth fields).
+    remap_mode: str = "exact"
     # Frames per device dispatch: device memory is bounded by
     # frame_block * frame size regardless of T (the reference materializes
     # whole chunks per worker, ``:2031-2058``).

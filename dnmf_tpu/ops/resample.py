@@ -20,6 +20,7 @@ registration stack.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -102,3 +103,59 @@ def resample_footprints(
     m, n, z = (int(s) for s in size)
     vol = footprints.reshape(m, n, z, -1)
     return trilinear_resample(vol, psi, padding="zeros")
+
+
+def separable_warp(
+    volume: jnp.ndarray,
+    shifts: jnp.ndarray,
+    max_shift,
+) -> jnp.ndarray:
+    """Gather-free warp for smooth, statically-bounded shift fields.
+
+    ``output(x) ~= volume[x + shifts(x)]`` (edge-clamped), computed as
+    three sequential per-axis 1-D linear interpolations.  Each pass is a
+    partition-of-unity hat-weighted sum over the *static* integer offset
+    range ``[-S_a, S_a + 1]`` — pure aligned slices and elementwise
+    multiply-adds, no gathers.  TPU motivation: XLA lowers fractional
+    gathers (``jnp.take`` / ``map_coordinates`` style) to per-element
+    DMAs — ~800 ms/frame for a full 512x512x20 remap — while this form
+    runs at VPU/HBM speed (~2 orders of magnitude faster).
+
+    Exactness: each pass interpolates with weights evaluated on the
+    pre-shift lattice rather than at the jointly-displaced point, so the
+    result is EXACT for locally constant shift fields and carries a
+    positional error of O(|ds/dx| * |s|) for smooth ones — for
+    piecewise-rigid registration fields (bounded by
+    ``max_shifts + max_deviation_rigid``, varying over patch-stride
+    scales) that is <~0.1 px, well under the shift-estimation noise.
+    Use :func:`trilinear_resample` where exact reference (cv2.remap)
+    semantics are required.
+
+    Args:
+      volume: ``[M, N, Z]``.
+      shifts: ``[M, N, Z, 3]`` per-axis displacement field.
+      max_shift: static per-axis bound ``(S_m, S_n, S_z)`` on
+        ``|shifts|`` (shifts are clipped to it).
+
+    Returns:
+      ``[M, N, Z]`` warped volume.
+    """
+    out = volume
+    for a in range(3):
+        s_bound = int(max_shift[a])
+        if s_bound == 0:
+            continue
+        s = jnp.clip(shifts[..., a], -s_bound, s_bound)
+        pad = [(0, 0)] * 3
+        pad[a] = (s_bound, s_bound + 1)
+        padded = jnp.pad(out, pad, mode="edge")
+        acc = jnp.zeros_like(out)
+        for o in range(-s_bound, s_bound + 2):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(s - o))
+            start = [0] * 3
+            start[a] = o + s_bound
+            limit = list(padded.shape)
+            limit[a] = start[a] + out.shape[a]
+            acc = acc + w * jax.lax.slice(padded, start, limit)
+        out = acc
+    return out

@@ -94,8 +94,8 @@ def _sharded_rigid_step(
     jax.jit,
     static_argnames=("mesh", "strides", "overlaps", "max_shifts",
                      "max_deviation_rigid", "upsample_factor_grid",
-                     "upsample_factor_fft", "use_remap", "border_nan",
-                     "frame_block"),
+                     "upsample_factor_fft", "use_remap", "remap_mode",
+                     "border_nan", "frame_block"),
 )
 def _sharded_pwrigid_step(
     video: jnp.ndarray,
@@ -108,6 +108,7 @@ def _sharded_pwrigid_step(
     upsample_factor_grid: int,
     upsample_factor_fft: int,
     use_remap: bool,
+    remap_mode: str,
     border_nan,
     add_to_movie: float,
     frame_block: int,
@@ -126,7 +127,8 @@ def _sharded_pwrigid_step(
                 max_deviation_rigid=max_deviation_rigid,
                 upsample_factor_grid=upsample_factor_grid,
                 upsample_factor_fft=upsample_factor_fft,
-                use_remap=use_remap, border_nan=border_nan,
+                use_remap=use_remap, remap_mode=remap_mode,
+                border_nan=border_nan,
                 add_to_movie=add_to_movie,
             )
 
@@ -221,8 +223,8 @@ def sharded_register_pwrigid(
             video, template, mesh, tuple(cfg.strides[:nd]),
             tuple(cfg.overlaps[:nd]), tuple(cfg.max_shifts),
             cfg.max_deviation_rigid, cfg.upsample_factor_grid,
-            cfg.upsample_factor_fft, cfg.use_remap, cfg.border_nan,
-            add_to_movie, cfg.frame_block,
+            cfg.upsample_factor_fft, cfg.use_remap, cfg.remap_mode,
+            cfg.border_nan, add_to_movie, cfg.frame_block,
         )
         template = jnp.nanmedian(chunk_ts, axis=0)
     return template, corrected, shifts

@@ -294,3 +294,31 @@ def test_memmap_video_registration(rng, tmp_path):
     assert isinstance(mc.video[0], np.memmap)
     np.testing.assert_allclose(np.asarray(mc.shifts_rig),
                                -np.asarray(true, dtype=float), atol=0.2)
+
+
+def test_tile_and_correct_separable_matches_exact(rng):
+    """remap_mode="separable" reproduces the exact gather remap within
+    its documented sub-0.1 px positional tolerance (same shifts)."""
+    from dnmf_tpu.registration.motion_correct import tile_and_correct
+
+    m, n = 48, 40
+    xs = np.arange(m)[:, None]
+    ys = np.arange(n)[None, :]
+    template = (np.sin(0.3 * xs) * np.cos(0.2 * ys)).astype(np.float32)
+    img = np.roll(np.roll(template, 2, axis=0), -1, axis=1)
+    kw = dict(strides=(24, 24), overlaps=(8, 8), max_shifts=(4, 4),
+              max_deviation_rigid=2, use_remap=True, border_nan=True)
+    c_exact, s_exact = tile_and_correct(
+        jnp.asarray(img), jnp.asarray(template), remap_mode="exact", **kw
+    )
+    c_sep, s_sep = tile_and_correct(
+        jnp.asarray(img), jnp.asarray(template), remap_mode="separable",
+        **kw
+    )
+    np.testing.assert_allclose(np.asarray(s_sep), np.asarray(s_exact),
+                               atol=1e-6)
+    interior = (slice(6, -6), slice(6, -6))
+    np.testing.assert_allclose(
+        np.asarray(c_sep)[interior], np.asarray(c_exact)[interior],
+        atol=0.06,
+    )

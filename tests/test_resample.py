@@ -80,3 +80,60 @@ def test_resample_footprints_close_to_analytic(rng):
         np.asarray(analytic)[interior],
         atol=0.1,
     )
+
+
+def test_separable_warp_constant_field_exact(rng):
+    """With a locally-constant shift field the sequential-axis warp is
+    mathematically identical to gather-based trilinear sampling."""
+    from dnmf_tpu.ops.basis import voxel_grid
+    from dnmf_tpu.ops.resample import separable_warp, trilinear_resample
+
+    size = (12, 10, 6)
+    vol = jnp.asarray(rng.uniform(size=size).astype(np.float32))
+    const = np.array([1.3, -2.2, 0.7], np.float32)
+    shifts = jnp.broadcast_to(jnp.asarray(const), size + (3,))
+    out = separable_warp(vol, shifts, (3, 3, 2))
+
+    grid = voxel_grid(size)
+    coords = jnp.clip(
+        grid + jnp.asarray(const)[None, :],
+        0.0,
+        jnp.asarray([s - 1 for s in size], jnp.float32),
+    )
+    ref = trilinear_resample(vol, coords, padding="edge").reshape(size)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_separable_warp_smooth_field_close(rng):
+    """A patch-smooth field: positional error stays well under the
+    documented O(|ds/dx| * |s|) bound on a smooth volume."""
+    from dnmf_tpu.ops.basis import voxel_grid
+    from dnmf_tpu.ops.resample import separable_warp, trilinear_resample
+
+    size = (32, 24, 8)
+    m, n, z = size
+    xs = jnp.arange(m)[:, None, None]
+    ys = jnp.arange(n)[None, :, None]
+    zs = jnp.arange(z)[None, None, :]
+    vol = (jnp.sin(0.3 * xs) * jnp.cos(0.25 * ys)
+           + 0.5 * jnp.sin(0.4 * zs)).astype(jnp.float32)
+    # smooth field, |s| <= 2, varying over ~16-voxel scales
+    shifts = jnp.stack([
+        2.0 * jnp.sin(0.1 * xs + 0.05 * ys) * jnp.ones_like(vol),
+        1.5 * jnp.cos(0.08 * ys) * jnp.ones_like(vol),
+        0.5 * jnp.sin(0.2 * zs) * jnp.ones_like(vol),
+    ], axis=-1)
+    out = separable_warp(vol, shifts, (3, 3, 1))
+
+    grid = voxel_grid(size)
+    coords = jnp.clip(
+        grid + shifts.reshape(-1, 3),
+        0.0,
+        jnp.asarray([s - 1 for s in size], jnp.float32),
+    )
+    ref = trilinear_resample(vol, coords, padding="edge").reshape(size)
+    # interior comparison (border rows see clamped-vs-hat edge handling)
+    sl = (slice(3, -3), slice(3, -3), slice(1, -1))
+    err = np.max(np.abs(np.asarray(out)[sl] - np.asarray(ref)[sl]))
+    assert err < 0.05, err
