@@ -13,7 +13,9 @@ TPU-native rebuild of the reference's NoRMCorre-style registration
   estimate, shift-field upsampling, and either
   - ``remap``: interpolated dense shift field + resampling (the
     reference's ``shifts_opencv`` fast path; interpolation here is
-    trilinear vs cv2's cubic), or
+    trilinear vs cv2's cubic) — ``remap_mode`` picks exact gather-based
+    sampling or the gather-free separable form (TPU-fast; see
+    ``tile_and_correct``), or
   - DFT: per-patch Fourier shifts + feathered blending, with the
     reference's shear guard (blend weights switch to hard patch
     ownership when the 75th-percentile shift-field shear >= 0.5 px,
