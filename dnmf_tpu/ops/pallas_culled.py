@@ -352,53 +352,80 @@ def gram_block_culled(
 
 def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
                           y_ref, sse_ref, dbeta_ref, sse_acc, dbeta_acc,
-                          row_scr, *, size, scaling, tile_p, p_count,
-                          n_tiles, kb, nkb):
+                          s_scr, b1_scr, b2x_scr, b2y_scr, b2z_scr, *,
+                          size, scaling, tile_p, p_count, n_tiles, kb,
+                          nkb, f):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
     def _():
-        sse_acc[0, 0] = 0.0
+        sse_acc[:] = jnp.zeros_like(sse_acc)
         dbeta_acc[:] = jnp.zeros_like(dbeta_acc)
 
+    # Multi-frame step (dense-kernel pattern): the shared row machinery
+    # (coords, basis, warp polynomial, fade) and the dpsi gradient-row
+    # chain vectorize over F frames on the sublane axis.  Unlike the
+    # Gram kernel (whose per-frame [K_pad, K_pad] accumulator made
+    # multi-frame steps 1.7x SLOWER), the only per-frame state here is
+    # five [F, tile_p] row scratches, so F=8 does win — but modestly
+    # (6.78 vs 7.20 ms/frame at whole-brain K=200, bit-identical
+    # outputs): the per-(frame, block) exp + weights-dot work, which
+    # F-sharing cannot amortize, dominates this kernel.
     off = off_ref[0, 0]
     idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
-    psi, phi = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, 1)
+    psi, phi = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
     valid = (idx < off + p_count).astype(jnp.float32)
-    w = _fade_row(psi, size) * valid
+    w = _fade_row(psi, size) * valid  # [F, tp]
+    # Culling bounds: union over the step's F frames (one reduce; the
+    # per-frame deformed ranges differ by at most the warp spread).
     t_lo = jnp.min(psi[0])
     t_hi = jnp.max(psi[0])
 
-    # row_scr rows: 0 = S, 1 = B1, 2:5 = B2_d (accumulated over blocks).
-    row_scr[:] = jnp.zeros_like(row_scr)
+    actives = [
+        (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+        for i in range(nkb)
+    ]
+
+    # Row scratches: S = cA, B1 = (2c/s^2)A, B2_d = (2 c p_d / s^2)A,
+    # accumulated over active neuron blocks, frames on sublanes.
+    s_scr[:] = jnp.zeros_like(s_scr)
+    b1_scr[:] = jnp.zeros_like(b1_scr)
+    b2x_scr[:] = jnp.zeros_like(b2x_scr)
+    b2y_scr[:] = jnp.zeros_like(b2y_scr)
+    b2z_scr[:] = jnp.zeros_like(b2z_scr)
     hi_prec = jax.lax.Precision.HIGHEST
-    for i in range(nkb):
-        active = (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+    for fi in range(f):
+        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(fi=fi, i=i):
+                lo = i * kb
+                a = _block_footprint(psi_f, pos_ref[fi], lo, kb)
+                weights = jnp.concatenate(
+                    [pos_ref[fi, lo:lo + kb, 4:6],
+                     w2_ref[fi, lo:lo + kb, 0:3],
+                     jnp.zeros((kb, 3), dtype=jnp.float32)],
+                    axis=1,
+                )  # [kb, 8]
+                rows = jax.lax.dot_general(
+                    weights, a, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=hi_prec,
+                )  # [8, tp]
+                s_scr[fi:fi + 1, :] += rows[0:1, :]
+                b1_scr[fi:fi + 1, :] += rows[1:2, :]
+                b2x_scr[fi:fi + 1, :] += rows[2:3, :]
+                b2y_scr[fi:fi + 1, :] += rows[3:4, :]
+                b2z_scr[fi:fi + 1, :] += rows[4:5, :]
 
-        @pl.when(active)
-        def _(i=i):
-            lo = i * kb
-            a = _block_footprint(psi, pos_ref, lo, kb)  # [kb, tp]
-            weights = jnp.concatenate(
-                [pos_ref[lo:lo + kb, 4:5], pos_ref[lo:lo + kb, 5:6],
-                 w2_ref[lo:lo + kb, 0:1], w2_ref[lo:lo + kb, 1:2],
-                 w2_ref[lo:lo + kb, 2:3],
-                 jnp.zeros((kb, 3), dtype=jnp.float32)],
-                axis=1,
-            )  # [kb, 8]
-            rows = jax.lax.dot_general(
-                weights, a, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hi_prec,
-            )  # [8, tp]
-            row_scr[:] += rows
-
-    s = row_scr[0:1, :]
-    b1 = row_scr[1:2, :]
+    s = s_scr[:]
+    b1 = b1_scr[:]
+    b2 = (b2x_scr[:], b2y_scr[:], b2z_scr[:])
     recon = w * s
-    r = (recon - y_ref[:] * valid) * valid
-    sse_acc[0, 0] += jnp.sum(r * r)
+    r = (recon - y_ref[:] * valid) * valid  # [F, tp]
+    sse_acc[:] += jnp.sum(r * r, axis=1, keepdims=True)
 
-    dpsi_rows = []
+    dpsi = []
     for d in range(3):
         hi_d = float(size[d]) - 1.0
         pd = psi[d]
@@ -412,29 +439,32 @@ def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
                          jnp.where(pd < hi_d - pd, 1.0, -1.0))
         w_over = jnp.where(wd > 0.0, w / jnp.maximum(wd, 1e-12), 0.0)
         dpsi_d = 2.0 * r * (
-            w * (row_scr[2 + d:3 + d, :] - pd * b1)
-            + s * w_over * ramp_grad * sign
+            w * (b2[d] - pd * b1) + s * w_over * ramp_grad * sign
         )
         if scaling == "normalized":
             dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
-        dpsi_rows.append(dpsi_d * (1.0 / p_count))
-    dpsi = jnp.concatenate(dpsi_rows, axis=0)
-    phi_mat = jnp.concatenate(phi, axis=0)
+        dpsi.append(dpsi_d * (1.0 / p_count))  # [F, tp]
 
-    dbeta_acc[:] += jax.lax.dot_general(
-        dpsi, phi_mat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hi_prec,
-    )
+    phi_mat = jnp.concatenate(phi, axis=0)  # [10, tp]
+    for fi in range(f):
+        dpsi_f = jnp.concatenate(
+            [dp[fi:fi + 1, :] for dp in dpsi], axis=0
+        )  # [3, tp]
+        dbeta_acc[fi] += jax.lax.dot_general(
+            dpsi_f, phi_mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi_prec,
+        )
 
     @pl.when(tile == n_tiles - 1)
     def _():
-        sse_ref[0, 0] = sse_acc[0, 0]
+        sse_ref[:] = sse_acc[:]
         dbeta_ref[:] = dbeta_acc[:]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "scaling", "tile_p", "kblock", "interpret"),
+    static_argnames=("size", "scaling", "tile_p", "kblock",
+                     "frames_per_step", "interpret"),
 )
 def motion_block_culled(
     betas: jnp.ndarray,
@@ -446,10 +476,15 @@ def motion_block_culled(
     scaling: str = "normalized",
     tile_p: int = 8192,
     kblock: int = 64,
+    frames_per_step: int = 8,
     p_offset=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Culled data term + analytic beta gradient: ``(mse [B], dbeta)``.
+
+    ``frames_per_step`` frames share one grid step's row machinery
+    (coords/basis/warp/fade/gradient rows on the sublane axis — see the
+    kernel comment); 8 is the measured whole-brain optimum.
 
     ``p_offset`` (traced): pixel-sharded/TP path — ``y`` covers global
     voxels ``[p_offset, p_offset + y.shape[1])``; mse/dbeta are
@@ -462,56 +497,74 @@ def motion_block_culled(
     k_pad = nkb * kb
     p_count = y.shape[1]
     p_pad = _round_up(p_count, tile_p)
-    perm, params, blocks, w2 = _sorted_params(pos, sigma, kb, nkb,
-                                              c_block=c_block)
 
     off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
         jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
     n_tiles = p_pad // tile_p
-    y_pad = jnp.pad(y, ((0, 0), (0, p_pad - p_count))).reshape(
-        bsz, n_tiles, 1, tile_p
-    )
+    f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
+    if b_pad > bsz:
+        # Replicated-last-frame padding keeps the per-step culling union
+        # tight; padded outputs are sliced off below.
+        betas = jnp.concatenate(
+            [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
+            axis=0,
+        )
+        c_block = jnp.pad(c_block, ((0, b_pad - bsz), (0, 0)))
+    perm, params, blocks, w2 = _sorted_params(pos, sigma, kb, nkb,
+                                              c_block=c_block)
+    y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
 
     sse, dbeta_t = pl.pallas_call(
         functools.partial(
             _motion_kernel_culled, size=tuple(size), scaling=scaling,
             tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
-            nkb=nkb,
+            nkb=nkb, f=f_eff,
         ),
-        grid=(bsz, n_tiles),
+        grid=(b_pad // f_eff, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((None, 3 * f_eff, 10),
+                         lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, k_pad, 8), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k_pad, 8), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, k_pad, 8), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k_pad, 8), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 1, tile_p),
+            pl.BlockSpec((None, None, f_eff, tile_p),
                          lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, 1, 1), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 3, 10), lambda bi, ti: (bi, 0, 0),
+            # [groups, F, 1]: trailing (F, 1) block equals the array
+            # dims for any F (a flat (F, 1) block over [b_pad, 1] is
+            # rejected when F < 8 and F < b_pad).
+            pl.BlockSpec((None, f_eff, 1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_eff, 3, 10), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 3, 10), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad // f_eff, f_eff, 1),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 3, 10), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((3, 10), jnp.float32),
-            pltpu.VMEM((8, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, 1), jnp.float32),
+            pltpu.VMEM((f_eff, 3, 10), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
+            pltpu.VMEM((f_eff, tile_p), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off, pk._beta_warp_matrix(betas, 1), blocks, params, w2, y_pad)
-    return sse[:, 0, 0] / p_count, jnp.transpose(dbeta_t, (0, 2, 1))
+    )(off, pk._beta_warp_matrix(betas, f_eff), blocks, params, w2,
+      y_blk)
+    return (sse.reshape(b_pad)[:bsz] / p_count,
+            jnp.transpose(dbeta_t, (0, 2, 1))[:bsz])
