@@ -38,7 +38,7 @@ BASELINE_FRAMES = 2  # frames for the torch-CPU reference measurement
 WB_SIZE = (512, 512, 20)
 WB_K = 200
 WB_T = 16           # frames measured (costs are per-frame; T-linear)
-WB_FRAME_BLOCK = 2
+WB_FRAME_BLOCK = 8
 # Practical peak for MFU: measured 8192^3 f32 matmul throughput on this
 # v5e chip (~125 TF/s; see .claude/skills/verify).
 PRACTICAL_PEAK_FLOPS = 125e12

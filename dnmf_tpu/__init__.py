@@ -25,11 +25,13 @@ Design stance (TPU-first, not a port):
   the O(M*N*Z*K*T) warped-footprint tensor of the reference is never
   materialized.
 * Long recordings shard frame-wise over a ``jax.sharding.Mesh``
-  (axes ``('batch', 'time')``); the only cross-frame coupling (temporal
-  smoothing in the multiplicative update) is a +-1-frame ``ppermute`` halo.
+  (axes ``('batch', 'time', 'pixel')``); the only cross-frame coupling
+  (temporal smoothing in the multiplicative update) is a +-1-frame
+  ``ppermute`` halo, and large-K Gram matrices tensor-parallelize over
+  the voxel (``pixel``) axis with one ``psum``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from dnmf_tpu.config import (
     DeformationConfig,
