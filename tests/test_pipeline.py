@@ -189,3 +189,65 @@ def test_wb_recovery_components(rng):
     shifted = betas_gt.at[:, 0, 0].add(2.0 / max(size[0] - 1, 1))
     err = warp_error_px(shifted, betas_gt, pos, model)
     np.testing.assert_allclose(err, 1.0, rtol=1e-4)
+
+
+def test_translation_seeding_rescues_large_drift(rng):
+    """Drift beyond the footprint capture range: identity-initialized
+    motion fitting stalls, registration-style translation seeding
+    recovers — the mechanism behind the whole-brain T=256 result
+    (BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnmf_tpu.config import ModelConfig, OptimizerConfig
+    from dnmf_tpu.models import dnmf as M
+    from dnmf_tpu.ops import basis as B
+    from dnmf_tpu.ops.basis import translation_beta
+    from tools.wb_recovery import synthesize, warp_error_px
+
+    size, k, t = (48, 40, 4), 6, 8
+    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
+                        shape_std=2.0)
+    pos = jnp.asarray(rng.uniform(10, 30, (k, 3)).astype(np.float32))
+    pos = pos.at[:, 2].set(2.0)
+    sigma = jnp.full((k,), 2.0)
+
+    # Ground truth: pure translation drift ramping to ~6 px (3 sigma).
+    drift = jnp.stack([
+        jnp.linspace(0.0, 6.0, t),
+        jnp.linspace(0.0, -5.0, t),
+        jnp.zeros(t),
+    ], axis=-1)
+    betas_gt = translation_beta(drift, size, scaling="normalized")
+    _, c_gt, video = synthesize(model, pos, sigma, jax.random.PRNGKey(1),
+                                noise_rel=0.02)
+    # overwrite the random-walk warp with the drift warp
+    from dnmf_tpu.models.dnmf import reconstruct, model_voxel_basis
+    vb = model_voxel_basis(model)
+    video = jnp.maximum(
+        reconstruct(betas_gt, c_gt.T, pos, sigma, model, vb), 0.0
+    )
+
+    optimizer = M.make_motion_optimizer(
+        OptimizerConfig(learning_rate=1e-3)
+    )
+
+    def fit(beta0):
+        state = M.init_state(model, optimizer, positions=pos,
+                             key=jax.random.PRNGKey(0), beta0=beta0)
+        for _ in range(2):
+            for _ in range(6):
+                state, _ = M.motion_epoch_parallel(
+                    state, video, model, optimizer, gamma=0.1,
+                    frame_block=4,
+                )
+            g, c1 = M.compute_grams(state, video, model, frame_block=4)
+            state = M.footprint_update(state, g, c1, iters=20)
+        return warp_error_px(state.beta, betas_gt, pos, model)
+
+    err_identity = fit(None)
+    err_seeded = fit(translation_beta(drift, size, scaling="normalized"))
+    # seeded starts exact here; the gate is that fitting does not walk
+    # AWAY from it, while identity init cannot close a 3-sigma gap.
+    assert err_seeded < 0.5, err_seeded
+    assert err_identity > 2.0 * err_seeded, (err_identity, err_seeded)
