@@ -100,18 +100,25 @@ class _CulledShim:
     far below MU sensitivity (validated in tools/tpu_smoke.py).
     """
 
+    # kblock=40 / tile_p=4096: round-2 sweep optimum at whole-brain
+    # scale — smaller pixel tiles tighten each tile's deformed-m range
+    # and 40-wide neuron blocks tighten the culling granularity; the
+    # two compose (Grams 9.7 -> 7.8 ms/frame, motion 6.8 -> 5.3 vs the
+    # earlier kblock=64 / tile_p=8192 setting; identical outputs).
+
     @staticmethod
     def gram_block(*args, **kwargs):
         from dnmf_tpu.ops import pallas_culled as pc
 
-        return pc.gram_block_culled(*args, kblock=64, dot_mode="split",
-                                    **kwargs)
+        return pc.gram_block_culled(*args, kblock=40, tile_p=4096,
+                                    dot_mode="split", **kwargs)
 
     @staticmethod
     def motion_block(*args, **kwargs):
         from dnmf_tpu.ops import pallas_culled as pc
 
-        return pc.motion_block_culled(*args, kblock=64, **kwargs)
+        return pc.motion_block_culled(*args, kblock=40, tile_p=4096,
+                                      **kwargs)
 
 
 def _pick_pallas(num_neurons: int):
