@@ -100,25 +100,33 @@ class _CulledShim:
     far below MU sensitivity (validated in tools/tpu_smoke.py).
     """
 
-    # kblock=40 / tile_p=4096: round-2 sweep optimum at whole-brain
-    # scale — smaller pixel tiles tighten each tile's deformed-m range
-    # and 40-wide neuron blocks tighten the culling granularity; the
-    # two compose (Grams 9.7 -> 7.8 ms/frame, motion 6.8 -> 5.3 vs the
-    # earlier kblock=64 / tile_p=8192 setting; identical outputs).
+    # Round-2 sweep optima at whole-brain scale: 4096-pixel tiles win
+    # everywhere (tighter per-tile deformed-m culling range), while the
+    # best neuron-block width grows with K — 40 at K=200 (Grams 9.7 ->
+    # 7.8 ms/frame, motion 6.8 -> 5.3) but 64 at K=500 (37.3 vs 57 at
+    # kblock=40: more blocks mean quadratically more pair branches).
+    # Outputs are identical across tunings.
 
     @staticmethod
-    def gram_block(*args, **kwargs):
-        from dnmf_tpu.ops import pallas_culled as pc
-
-        return pc.gram_block_culled(*args, kblock=40, tile_p=4096,
-                                    dot_mode="split", **kwargs)
+    def _tuning(num_neurons: int):
+        return (40 if num_neurons <= 320 else 64), 4096
 
     @staticmethod
-    def motion_block(*args, **kwargs):
+    def gram_block(betas, pos, *args, **kwargs):
         from dnmf_tpu.ops import pallas_culled as pc
 
-        return pc.motion_block_culled(*args, kblock=40, tile_p=4096,
-                                      **kwargs)
+        kb, tp = _CulledShim._tuning(pos.shape[0])
+        return pc.gram_block_culled(betas, pos, *args, kblock=kb,
+                                    tile_p=tp, dot_mode="split",
+                                    **kwargs)
+
+    @staticmethod
+    def motion_block(betas, pos, *args, **kwargs):
+        from dnmf_tpu.ops import pallas_culled as pc
+
+        kb, tp = _CulledShim._tuning(pos.shape[0])
+        return pc.motion_block_culled(betas, pos, *args, kblock=kb,
+                                      tile_p=tp, **kwargs)
 
 
 def _pick_pallas(num_neurons: int):
