@@ -118,10 +118,7 @@ def main():
             result.traces, titlestr="C (estimated)",
             save=True, file=os.path.join(args.outdir, "temporal"),
         )
-        est_positions = np.stack(
-            [eng.positions_at(t) for t in range(model.num_frames)],
-            axis=2,
-        )
+        est_positions = eng.positions_all().transpose(1, 2, 0)  # [K,3,T]
         viz.visualize_trajectory(
             np.asarray(ds.positions), est_positions,
             save=True, file=os.path.join(args.outdir, "trajectory"),

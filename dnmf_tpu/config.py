@@ -107,7 +107,13 @@ class RegistrationConfig:
 
     max_shifts: Tuple[int, ...] = (6, 6)
     niter_rig: int = 1
+    # Temporal chunking.  ``splits`` is the shared default; the reference
+    # separates the rigid and elastic phases
+    # (``splits_rig``/``splits_els``, /root/reference/Demix/
+    # MotionCorrect.py:95-111) — set the per-phase fields to override.
     splits: int = 1
+    splits_rig: Optional[int] = None
+    splits_els: Optional[int] = None
     strides: Tuple[int, ...] = (96, 96)
     overlaps: Tuple[int, ...] = (32, 32)
     upsample_factor_grid: int = 4
@@ -135,11 +141,25 @@ class RegistrationConfig:
     # only this many chunks — the reference's ``num_splits_to_process_*``
     # knob (``:1846-1858``, which samples chunks randomly per iteration;
     # here a deterministic evenly-spaced subset, and the FINAL iteration
-    # always processes every chunk so shifts/movie are complete).
+    # always processes every chunk so shifts/movie are complete).  The
+    # shared value is the default; ``*_rig``/``*_els`` override per phase
+    # (reference ``num_splits_to_process_rig/els``, ``:95-111``).
     num_splits_to_process: Optional[int] = None
+    num_splits_to_process_rig: Optional[int] = None
+    num_splits_to_process_els: Optional[int] = None
     # Keep the corrected movie (host-resident).  False => shifts +
     # templates only; memory does not scale with T.
     return_mc: bool = True
+
+    def resolved_splits(self, phase: str) -> int:
+        """Per-phase chunk count (``phase`` in {"rig", "els"})."""
+        v = self.splits_rig if phase == "rig" else self.splits_els
+        return self.splits if v is None else v
+
+    def resolved_num_splits_to_process(self, phase: str) -> Optional[int]:
+        v = (self.num_splits_to_process_rig if phase == "rig"
+             else self.num_splits_to_process_els)
+        return self.num_splits_to_process if v is None else v
 
 
 @dataclasses.dataclass(frozen=True)

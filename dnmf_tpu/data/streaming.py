@@ -30,8 +30,10 @@ class StreamingVideo:
         self.array = array
         self.block = int(block)
         self.num_frames = int(array.shape[0])
-        if array.ndim == 4:
-            self.size = tuple(int(s) for s in array.shape[1:])
+        # Spatial shape; None for flat [T, P] sources (pixel-sharded
+        # streaming requires a spatial shape and checks for this).
+        self.size = (tuple(int(s) for s in array.shape[1:])
+                     if array.ndim == 4 else None)
         self.num_voxels = int(np.prod(array.shape[1:]))
 
     def __len__(self) -> int:
@@ -89,8 +91,7 @@ class RawFileVideo:
 
         shape = tuple(int(s) for s in shape)
         self.num_frames = shape[0]
-        if len(shape) == 4:
-            self.size = shape[1:]
+        self.size = shape[1:] if len(shape) == 4 else None
         self.num_voxels = int(np.prod(shape[1:]))
         self.block = int(block)
         self.prefetch = bool(prefetch)

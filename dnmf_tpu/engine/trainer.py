@@ -10,6 +10,7 @@ only sequences epochs and collects scalar metrics.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from typing import List, Optional
@@ -388,19 +389,35 @@ class DeformableNMF:
             normalize_points,
         )
 
+        return np.asarray(self.positions_all(iters=iters)[frame])
+
+    def positions_all(self, iters: int = 3) -> np.ndarray:
+        """Deformed positions for EVERY frame in one jitted dispatch:
+        ``[T, K, 3]`` (``invert_warp_points`` vmapped over beta frames —
+        trajectory rendering used to loop :meth:`positions_at` per frame,
+        O(T) device dispatches)."""
+        from dnmf_tpu.ops.basis import (
+            denormalize_points,
+            invert_warp_points,
+            normalize_points,
+        )
+
         pos = self.state.pos
-        if self.model.deformation.basis_scaling == "normalized":
-            inv = denormalize_points(
-                invert_warp_points(
-                    normalize_points(pos, self.model.size),
-                    self.state.beta[frame], iters=iters,
-                ),
-                self.model.size,
-            )
-        else:
-            inv = invert_warp_points(pos, self.state.beta[frame],
-                                     iters=iters)
-        return np.asarray(inv)
+        normalized = self.model.deformation.basis_scaling == "normalized"
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def all_frames(pos, beta, iters):
+            if normalized:
+                p = normalize_points(pos, self.model.size)
+                inv = jax.vmap(
+                    lambda b: invert_warp_points(p, b, iters=iters)
+                )(beta)
+                return denormalize_points(inv, self.model.size)
+            return jax.vmap(
+                lambda b: invert_warp_points(pos, b, iters=iters)
+            )(beta)
+
+        return np.asarray(all_frames(pos, self.state.beta, iters))
 
 
 class StaticFootprintNMF:

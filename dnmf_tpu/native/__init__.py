@@ -73,6 +73,11 @@ def load_blockreader():
         lib.br_wait.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_int64]
+        lib.br_wait_range.restype = ctypes.c_int64
+        lib.br_wait_range.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int64,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_int64]
         _lib_cache = lib
         return lib
 
@@ -123,9 +128,15 @@ class BlockReader:
         np = self._np
         n = (stop - start) * self.frame_floats
         out = np.empty(n, dtype=np.float32)
-        got = self._lib.br_wait(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+        got = self._lib.br_wait_range(
+            self._h, start, stop,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
         )
+        if got == -2:
+            raise ValueError(
+                f"wait({start}, {stop}) does not match the in-flight "
+                "prefetch request"
+            )
         if got != n:
             raise OSError(f"br_wait returned {got}, expected {n}")
         return out.reshape(stop - start, self.frame_floats)

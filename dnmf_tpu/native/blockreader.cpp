@@ -154,4 +154,15 @@ int64_t br_wait(BrHandle* h, float* out, int64_t capacity_floats) {
   return n;
 }
 
+// Range-checked wait: additionally verifies that (start, stop) is the
+// frame range the in-flight prefetch was issued for, so a caller cannot
+// silently receive a different (same-size) block.  Returns -2 on range
+// mismatch, otherwise as br_wait.
+int64_t br_wait_range(BrHandle* h, int64_t start, int64_t stop, float* out,
+                      int64_t capacity_floats) {
+  if (!h || h->pf_status.load() == 0) return -1;
+  if (start != h->pf_start || stop != h->pf_stop) return -2;
+  return br_wait(h, out, capacity_floats);
+}
+
 }  // extern "C"

@@ -36,19 +36,32 @@ def _pixel_size(mesh: Mesh) -> int:
 
 
 def _state_specs(state: model_lib.DNMFState):
-    """PartitionSpec pytree for a DNMFState: time-sharded factors."""
-    t = state.beta.shape[0]
-    k = state.c.shape[0]
+    """PartitionSpec pytree for a DNMFState: time-sharded factors.
 
-    def spec(leaf):
-        shape = getattr(leaf, "shape", ())
-        if shape == state.beta.shape:
-            return P(TIME_AXIS)  # beta and Adam moments
-        if shape == (k, t):
-            return P(None, TIME_AXIS)  # traces
-        return P()
+    Leaves are classified by their field path (DNMFState is a NamedTuple,
+    so the first path element is the field name) — not by shape, so a
+    future leaf that happens to collide with beta's or C's shape cannot
+    shard unintentionally.  Inside ``opt_state`` the only per-parameter
+    arrays are the beta-shaped Adam moments; they shard like beta, and
+    everything else (step counts, scalars) replicates.
+    """
+    beta_shape = state.beta.shape
 
-    return jax.tree_util.tree_map(spec, state)
+    def spec(path, leaf):
+        field = path[0].name if path else None
+        if field == "beta":
+            return P(TIME_AXIS)
+        if field == "c":
+            return P(None, TIME_AXIS)  # traces [K, T]
+        if field == "opt_state":
+            # Adam moments mirror the parameter (beta) shape; anything
+            # else in the optimizer state replicates.
+            if getattr(leaf, "shape", ()) == beta_shape:
+                return P(TIME_AXIS)
+            return P()
+        return P()  # pos, sigma, and any future replicated field
+
+    return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def shard_state(state: model_lib.DNMFState, mesh: Mesh):

@@ -48,6 +48,11 @@ def _shard_geometry(state, source, mesh: Mesh,
             f"num_frames={t} must divide evenly over mesh time={n}"
         )
     if npix > 1:
+        if getattr(source, "size", None) is None:
+            raise ValueError(
+                "pixel-sharded streaming needs a source with a spatial "
+                "shape ([T, M, N, Z]); this source is flat [T, P]"
+            )
         p = int(np.prod(source.size))
         if p % npix:
             raise ValueError(

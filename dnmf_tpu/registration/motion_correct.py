@@ -505,15 +505,17 @@ class MotionCorrect:
         """Rigid or pw-rigid correction per ``config.pw_rigid``; computes
         ``border_to_0`` from the max applied shift (reference ``:176-211``)."""
         if self.min_mov is None:
-            # Streamed: min over a bounded frame prefix (the template is
-            # iterated afterwards; an offset estimated from a prefix is
-            # the reference's own practice for long movies).
-            head = _host_frames(
-                self.video[0],
-                np.arange(min(self.video[0].shape[0],
-                              _TEMPLATE_INIT_MAX_FRAMES)),
-            )
-            self.min_mov = float(np.min(head))
+            if self.config.gSig_filt is None:
+                # Full-movie min, streamed host-side in frame blocks
+                # (reference: ``self.video[0].min()`` guarded on
+                # ``gSig_filt is None``, /root/reference/Demix/
+                # MotionCorrect.py:193-195).
+                self.min_mov = _streamed_min(self.video[0])
+            else:
+                # The reference leaves min_mov None here and would fault
+                # at ``-self.min_mov``; registration runs on high-passed
+                # (zero-mean) frames, so no offset is the right intent.
+                self.min_mov = 0.0
         if self.config.pw_rigid:
             self.motion_correct_pwrigid(template=template)
             shift_mats = [np.abs(np.asarray(s)) for s in
@@ -628,8 +630,14 @@ class MotionCorrect:
         cfg = self.config
         return {
             "max_shifts": cfg.max_shifts, "niter_rig": cfg.niter_rig,
-            "splits_rig": cfg.splits, "strides": cfg.strides,
-            "overlaps": cfg.overlaps, "splits_els": cfg.splits,
+            "splits_rig": cfg.resolved_splits("rig"),
+            "strides": cfg.strides,
+            "overlaps": cfg.overlaps,
+            "splits_els": cfg.resolved_splits("els"),
+            "num_splits_to_process_rig":
+                cfg.resolved_num_splits_to_process("rig"),
+            "num_splits_to_process_els":
+                cfg.resolved_num_splits_to_process("els"),
             "upsample_factor_grid": cfg.upsample_factor_grid,
             "max_deviation_rigid": cfg.max_deviation_rigid,
             "min_mov": self.min_mov, "border_nan": cfg.border_nan,
@@ -664,6 +672,15 @@ def _host_frames(video, idx) -> np.ndarray:
 _TEMPLATE_INIT_MAX_FRAMES = 1000
 
 
+def _streamed_min(video, block: int = 256) -> float:
+    """Min over the whole movie, one host frame-block at a time (memmap
+    safe; matches the reference's full-movie ``video.min()``)."""
+    lo = np.inf
+    for i in range(0, video.shape[0], block):
+        lo = min(lo, float(np.min(np.asarray(video[i:i + block]))))
+    return float(lo)
+
+
 def _streamed_bin_median(video, gSig_filt=None) -> jnp.ndarray:
     """Template init: median over window-binned means, streamed.
 
@@ -689,14 +706,15 @@ def _streamed_bin_median(video, gSig_filt=None) -> jnp.ndarray:
     return jnp.asarray(np.nanmedian(np.stack(means), axis=0))
 
 
-def _iteration_chunks(chunks, cfg: RegistrationConfig, is_last: bool):
+def _iteration_chunks(chunks, cfg: RegistrationConfig, is_last: bool,
+                      phase: str = "rig"):
     """Chunk subset for one template iteration.
 
     All chunks on the final iteration; otherwise an evenly-spaced subset
-    of ``num_splits_to_process`` (deterministic version of the
+    of ``num_splits_to_process[_rig/_els]`` (deterministic version of the
     reference's random per-iteration sampling, ``:2097-2098``).
     """
-    n = cfg.num_splits_to_process
+    n = cfg.resolved_num_splits_to_process(phase)
     if is_last or n is None or n >= len(chunks):
         return chunks
     sel = np.linspace(0, len(chunks) - 1, n).round().astype(int)
@@ -772,7 +790,7 @@ def _batch_rigid(video, cfg: RegistrationConfig, template=None,
         return correct_block
 
     new_templ = template
-    chunks = _chunk_indices(video.shape[0], cfg.splits)
+    chunks = _chunk_indices(video.shape[0], cfg.resolved_splits("rig"))
     num_iter = max(cfg.niter_rig, 1)
     for it in range(num_iter):
         is_last = it == num_iter - 1
@@ -780,7 +798,7 @@ def _batch_rigid(video, cfg: RegistrationConfig, template=None,
         all_shifts = []
         all_mc = []
         correct_block = correct_block_factory(new_templ)
-        for idx in _iteration_chunks(chunks, cfg, is_last):
+        for idx in _iteration_chunks(chunks, cfg, is_last, phase="rig"):
             chunk_t, shifts, mc = _stream_chunk(
                 video, idx, cfg, correct_block,
                 collect=is_last and cfg.return_mc,
@@ -833,7 +851,7 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
         return correct_block
 
     new_templ = template
-    chunks = _chunk_indices(video.shape[0], cfg.splits)
+    chunks = _chunk_indices(video.shape[0], cfg.resolved_splits("els"))
     num_iter = max(cfg.niter_rig, 1)
     for it in range(num_iter):
         is_last = it == num_iter - 1
@@ -841,7 +859,7 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
         all_shifts = []
         all_mc = []
         correct_block = correct_block_factory(new_templ)
-        for idx in _iteration_chunks(chunks, cfg, is_last):
+        for idx in _iteration_chunks(chunks, cfg, is_last, phase="els"):
             chunk_t, shifts, mc = _stream_chunk(
                 video, idx, cfg, correct_block,
                 collect=is_last and cfg.return_mc,

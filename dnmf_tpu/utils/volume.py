@@ -49,8 +49,12 @@ def subcube(cube, loc, radius):
         cube[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
     )
     if np.any(frac != 0):
+        # Reference uses scipy.ndimage.affine_transform(eye(3), offset=frac)
+        # whose default interpolation is a cubic (order-3) spline with
+        # zero-fill (/root/reference/WUtils/Utils.py:38,42); nd_shift(-frac)
+        # applies the same output[i] = input[i + frac] resampling.
         for ch in range(patch.shape[3]):
-            patch[..., ch] = nd_shift(patch[..., ch], -frac, order=1)
+            patch[..., ch] = nd_shift(patch[..., ch], -frac, order=3)
     return patch[..., 0] if squeeze else patch
 
 

@@ -258,3 +258,23 @@ def test_fit_fused_matches_fit():
     )
     np.testing.assert_allclose(eng_b.traces, eng_a.traces, rtol=1e-4,
                                atol=1e-6)
+
+
+def test_positions_all_matches_positions_at():
+    """Batched trajectory readout (one jitted vmap dispatch) must equal
+    the per-frame fixed-point inverse."""
+    model = ModelConfig(size=(16, 16, 2), num_neurons=3, num_frames=6,
+                        shape_std=2.0)
+    pos = jnp.asarray([[4.0, 4.0, 1.0], [10.0, 4.0, 1.0], [7.0, 11.0, 1.0]])
+    eng = DeformableNMF(model, OptimizerConfig(learning_rate=1e-3),
+                        positions=pos)
+    # Perturb beta so the warp is non-trivial.
+    beta = eng.state.beta.at[:, 1, 0].add(
+        0.05 * jnp.arange(model.num_frames))
+    beta = beta.at[:, 4, 1].add(0.01)
+    eng.state = eng.state._replace(beta=beta)
+    batched = eng.positions_all()
+    assert batched.shape == (model.num_frames, model.num_neurons, 3)
+    for t in range(model.num_frames):
+        np.testing.assert_allclose(eng.positions_at(t), batched[t],
+                                   rtol=1e-6, atol=1e-6)

@@ -92,3 +92,20 @@ def test_open_raw_video_fallback(raw_file):
     ref = list(StreamingVideo(video, block=4).blocks())
     for (gc, _, _), (wc, _, _) in zip(blocks, ref):
         np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
+
+
+def test_wait_range_mismatch_fails_loudly(raw_file):
+    """wait(start, stop) must reject a range that differs from the
+    in-flight prefetch instead of silently returning the wrong frames."""
+    _require_native()
+    path, video = raw_file
+    src = RawFileVideo(path, SHAPE, block=4)
+    src._reader.prefetch(0, 4)
+    with pytest.raises(ValueError, match="does not match"):
+        src._reader.wait(4, 8)  # same size, different range
+    # The prefetch was consumed by the failed wait attempt? No — the
+    # range check happens before the join, so the request is still
+    # serviceable with the right range.
+    got = src._reader.wait(0, 4)
+    np.testing.assert_array_equal(got, np.maximum(
+        video[0:4].reshape(4, -1), 0.0))

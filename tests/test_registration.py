@@ -322,3 +322,49 @@ def test_tile_and_correct_separable_matches_exact(rng):
         np.asarray(c_sep)[interior], np.asarray(c_exact)[interior],
         atol=0.06,
     )
+
+
+def test_split_rig_els_config(rng):
+    """Per-phase chunking knobs (reference splits_rig/splits_els +
+    num_splits_to_process_rig/els, /root/reference/Demix/
+    MotionCorrect.py:95-111) resolve independently and are reported by
+    get_params."""
+    cfg = RegistrationConfig(splits=3, splits_els=2,
+                             num_splits_to_process=2,
+                             num_splits_to_process_rig=1)
+    assert cfg.resolved_splits("rig") == 3       # falls back to shared
+    assert cfg.resolved_splits("els") == 2       # per-phase override
+    assert cfg.resolved_num_splits_to_process("rig") == 1
+    assert cfg.resolved_num_splits_to_process("els") == 2
+
+    tmpl = _template(rng)
+    true = [(i % 3 - 1, (i + 1) % 3 - 1) for i in range(8)]
+    video = _rolled_video(tmpl, true)
+    run_cfg = RegistrationConfig(
+        max_shifts=(4, 4), pw_rigid=True, strides=(20, 20),
+        overlaps=(8, 8), splits_rig=2, splits_els=4, border_nan=False,
+        frame_block=4,
+    )
+    mc = MotionCorrect(video, run_cfg).motion_correct()
+    params = mc.get_params()
+    assert params["splits_rig"] == 2
+    assert params["splits_els"] == 4
+    assert len(mc.x_shifts_els) == 8  # complete despite differing chunking
+
+
+def test_min_mov_full_movie(rng):
+    """min_mov is the min over the WHOLE movie (reference
+    video[0].min(), MotionCorrect.py:193-195), not a frame prefix; with
+    gSig_filt set the offset is skipped (0.0)."""
+    tmpl = _template(rng)
+    video = _rolled_video(tmpl, [(0, 0)] * 6)
+    video = video - video.min() + 1.0
+    video[-1, 3, 3] = -7.5  # global min lives in the LAST frame
+    cfg = RegistrationConfig(max_shifts=(3, 3), border_nan=False)
+    mc = MotionCorrect(video, cfg).motion_correct()
+    assert mc.min_mov == -7.5
+
+    cfg_filt = RegistrationConfig(max_shifts=(3, 3), border_nan=False,
+                                  gSig_filt=(2, 2))
+    mc2 = MotionCorrect(video, cfg_filt).motion_correct()
+    assert mc2.min_mov == 0.0

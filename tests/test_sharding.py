@@ -210,3 +210,30 @@ def test_distributed_helpers_single_host():
     summary = process_summary()
     assert summary["process_count"] == 1
     assert summary["global_device_count"] == 8  # virtual CPU mesh
+
+
+def test_state_specs_match_by_field_path_not_shape():
+    """Regression: a [K, T]-shaped leaf inside opt_state must replicate
+    (round-2 shape-based matching would have sharded any leaf colliding
+    with beta's or C's shape)."""
+    from jax.sharding import PartitionSpec as P
+
+    from dnmf_tpu.parallel.sharded import _state_specs
+
+    model, optimizer, state, _ = _setup()
+    k, t = state.c.shape
+    # Craft an optimizer state carrying a trace-shaped statistic and a
+    # beta-shaped moment side by side.
+    crafted = state._replace(
+        opt_state=(jnp.zeros_like(state.beta),   # moment: shards like beta
+                   jnp.zeros((k, t)),            # collision shape: replicates
+                   jnp.zeros(()))                # step count: replicates
+    )
+    specs = _state_specs(crafted)
+    assert specs.beta == P("time")
+    assert specs.c == P(None, "time")
+    assert specs.pos == P() and specs.sigma == P()
+    moment_spec, collision_spec, count_spec = specs.opt_state
+    assert moment_spec == P("time")
+    assert collision_spec == P()
+    assert count_spec == P()
