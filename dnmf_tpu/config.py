@@ -133,6 +133,11 @@ class RegistrationConfig:
     # sequential 1-D passes, ~2 orders of magnitude faster on TPU,
     # <~0.1 px positional error on patch-smooth fields).
     remap_mode: str = "exact"
+    # Decimate the global rigid PRE-estimate inside tile_and_correct by
+    # this x/y factor (it only bounds the per-patch search; 2-4 keeps
+    # ~0.1-0.2 px accuracy at 1/d^2 the full-frame FFT cost).  1 = the
+    # reference's full-resolution estimate.
+    rigid_decimate: int = 1
     # Frames per device dispatch: device memory is bounded by
     # frame_block * frame size regardless of T (the reference materializes
     # whole chunks per worker, ``:2031-2058``).

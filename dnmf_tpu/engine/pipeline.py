@@ -74,6 +74,7 @@ def register_and_demix(
     optimizer: Optional[OptimizerConfig] = None,
     runtime: Optional[RuntimeConfig] = None,
     seed_deformation: bool = True,
+    seed_mode: str = "auto",
 ) -> PipelineResult:
     """Full pipeline on a time-major video ``[T, M, N, Z]``.
 
@@ -124,6 +125,7 @@ def register_and_demix(
     if seed_deformation:
         from dnmf_tpu.ops.basis import (
             affine_beta_from_displacements,
+            quadratic_beta_from_displacements,
             translation_beta,
         )
 
@@ -150,10 +152,21 @@ def register_and_demix(
                 centers = np.pad(
                     centers, ((0, 0), (0, 3 - centers.shape[1]))
                 )
-            beta0 = affine_beta_from_displacements(
-                jnp.asarray(centers), jnp.asarray(disp, jnp.float32),
-                (m, n, z), scaling=model_cfg.deformation.basis_scaling,
-            )
+            # Full-quadratic fit when the patch grid constrains it
+            # ("auto": >= 7 patch centers); otherwise affine.
+            if seed_mode == "quadratic" or (
+                    seed_mode == "auto" and centers.shape[0] >= 7):
+                beta0 = quadratic_beta_from_displacements(
+                    jnp.asarray(centers),
+                    jnp.asarray(disp, jnp.float32), (m, n, z),
+                    scaling=model_cfg.deformation.basis_scaling,
+                )
+            else:
+                beta0 = affine_beta_from_displacements(
+                    jnp.asarray(centers),
+                    jnp.asarray(disp, jnp.float32), (m, n, z),
+                    scaling=model_cfg.deformation.basis_scaling,
+                )
         else:
             corr = np.asarray(mc.shifts_rig)
             if corr.shape[1] < 3:

@@ -254,6 +254,96 @@ def affine_beta_from_displacements(
     return base.at[:, 0, :].add(g0).at[:, 1:4, :].add(g_lin)
 
 
+def _centered_quadratic_expansion(mu: jnp.ndarray) -> jnp.ndarray:
+    """``[10, 10]`` matrix T with ``phi_centered_j(x) = sum_i T[j, i] phi_i(x)``
+    for the basis order ``[1, x, y, z, x2, y2, z2, xy, xz, yz]`` and
+    ``u = x - mu``: re-expands a polynomial fitted on centered
+    coordinates into standard-basis coefficients (``coef_std = T.T @ g``).
+    """
+    mx, my, mz = mu[0], mu[1], mu[2]
+    one = jnp.ones(())
+    zero = jnp.zeros(())
+
+    def row(c0, cx=zero, cy=zero, cz=zero, cxx=zero, cyy=zero, czz=zero,
+            cxy=zero, cxz=zero, cyz=zero):
+        return jnp.stack([c0, cx, cy, cz, cxx, cyy, czz, cxy, cxz, cyz])
+
+    return jnp.stack([
+        row(one),                                    # 1
+        row(-mx, cx=one),                            # x - mx
+        row(-my, cy=one),                            # y - my
+        row(-mz, cz=one),                            # z - mz
+        row(mx * mx, cx=-2 * mx, cxx=one),           # (x-mx)^2
+        row(my * my, cy=-2 * my, cyy=one),           # (y-my)^2
+        row(mz * mz, cz=-2 * mz, czz=one),           # (z-mz)^2
+        row(mx * my, cx=-my, cy=-mx, cxy=one),       # (x-mx)(y-my)
+        row(mx * mz, cx=-mz, cz=-mx, cxz=one),       # (x-mx)(z-mz)
+        row(my * mz, cy=-mz, cz=-my, cyz=one),       # (y-my)(z-mz)
+    ])
+
+
+def quadratic_beta_from_displacements(
+    points: jnp.ndarray,
+    displacements: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    ridge: float = 1e-3,
+) -> jnp.ndarray:
+    """Per-frame FULL-QUADRATIC deformation coefficients fitted to a
+    displacement field.
+
+    Same contract as :func:`affine_beta_from_displacements` but fits all
+    10 basis terms, so a dense patch grid seeds the quadratic component
+    of the warp too (the model's deformation IS quadratic — an affine
+    seed leaves the curvature of e.g. GP motion fields for Adam to find
+    from scratch; VERDICT r2 #2).  Safeguards:
+
+    * coordinates are centered per frame and each basis column is scaled
+      to unit RMS before the ridge solve, so the conditioning does not
+      depend on the volume's coordinate range;
+    * columns with (numerically) no sample variation — constant-z patch
+      grids, too-few patches for curvature — are masked out of the fit
+      entirely and their coefficients pinned to 0, preserving the
+      identity along unconstrained directions;
+    * the centered polynomial is re-expanded exactly into standard-basis
+      coefficients (:func:`_centered_quadratic_expansion`).
+
+    Falls back to the affine behavior when fewer than 7 sample points.
+    """
+    t, n = displacements.shape[0], points.shape[0]
+    if n < 7:
+        return affine_beta_from_displacements(
+            points, displacements, size, scaling=scaling)
+    base = identity_beta(t)
+    q = points[None] + displacements  # [T, n, 3] apparent positions
+    c = jnp.broadcast_to(points[None], q.shape)
+    if scaling == "normalized":
+        q = normalize_points(q, size)
+        c = normalize_points(c, size)
+    r = c - q  # warp displacement targets at sample points q
+
+    mu = jnp.mean(q, axis=1, keepdims=True)  # [T, 1, 3]
+    phi = quadratic_basis_points(q - mu)  # [T, n, 10]
+    # Column RMS over samples; the constant column keeps scale 1.
+    col_rms = jnp.sqrt(jnp.mean(phi**2, axis=1, keepdims=True))  # [T,1,10]
+    alive = (col_rms > 1e-6).astype(phi.dtype)
+    scale = jnp.where(col_rms > 1e-6, col_rms, 1.0)
+    phi_s = phi / scale * alive
+
+    def solve(phi_t, r_t, scale_t, alive_t, mu_t):
+        a = (phi_t.T @ phi_t
+             + ridge * n * jnp.eye(10, dtype=phi_t.dtype))
+        b = phi_t.T @ r_t
+        g = jnp.linalg.solve(a, b)  # [10, 3] scaled-basis coefficients
+        g = g / scale_t.reshape(10, 1) * alive_t.reshape(10, 1)
+        t_mat = _centered_quadratic_expansion(mu_t)
+        return t_mat.T @ g  # standard-basis coefficients
+
+    g_std = jax.vmap(solve)(phi_s, r, scale[:, 0, :], alive[:, 0, :],
+                            mu[:, 0, :])
+    return base + g_std
+
+
 def translation_beta(
     shifts: jnp.ndarray, size, scaling: str = "normalized"
 ) -> jnp.ndarray:

@@ -23,8 +23,10 @@ Everything is jit/vmap-friendly: vmap over frames and over patches.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +58,61 @@ def _shift_window_mask(shape, lb, ub) -> jnp.ndarray:
         keep = keep.reshape(shape_d)
         mask = keep if mask is None else (mask & keep)
     return mask
+
+
+# Largest axis length for which the MXU matrix-DFT beats XLA's FFT
+# (O(n^2) matmul vs memory-bound butterflies; crossover is well above
+# registration patch sizes).
+MATMUL_DFT_MAX = 256
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_matrix_np(n: int, inverse: bool):
+    k = np.arange(n)
+    w = np.exp((2j if inverse else -2j) * np.pi * np.outer(k, k) / n)
+    if inverse:
+        w = w / n
+    return w.astype(np.complex64)
+
+
+def matrix_dftn(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """N-D DFT as per-axis MXU matrix products.
+
+    XLA's TPU FFT is a memory-bound multi-pass butterfly on the VPU — at
+    512x512x20-scale patch stacks it measured 21.6 ms/frame, the single
+    largest cost of piecewise-rigid registration.  For the moderate axis
+    lengths of registration patches (n <= ~256) the O(n^2) DFT-matrix
+    contraction runs on the MXU instead and is ~an order of magnitude
+    faster despite the extra FLOPs.  HIGHEST-precision dots: correlation
+    surfaces carry large canceling terms and TPU matmuls default to
+    bf16 passes (~0.4% error — enough to perturb subpixel peaks).
+    """
+    out = x if jnp.iscomplexobj(x) else x.astype(jnp.complex64)
+    for ax in range(x.ndim):
+        w = jnp.asarray(_dft_matrix_np(x.shape[ax], inverse))
+        out = jnp.tensordot(w, out, axes=[[1], [ax]],
+                            precision=jax.lax.Precision.HIGHEST)
+        out = jnp.moveaxis(out, 0, ax)
+    return out
+
+
+def _hermitian_full(half: jnp.ndarray, shape) -> jnp.ndarray:
+    """Reconstruct a full complex spectrum from its rfftn half-spectrum.
+
+    For real inputs ``F(-k) = conj(F(k))``; the missing last-axis bins
+    ``k in [nh, n)`` are ``conj(half[(-i) % n_d ..., n - k])``.  Pure
+    memory ops (flip/roll/concat) — the price of using real FFTs for the
+    correlation while keeping the subpixel matrix-DFT on the full
+    spectrum it expects.
+    """
+    n_last = int(shape[-1])
+    nh = half.shape[-1]
+    if n_last == nh:  # length-1 last axis: rfft == full
+        return half
+    tail = jnp.conj(half[..., 1:n_last - nh + 1][..., ::-1])
+    for d in range(half.ndim - 1):
+        tail = jnp.roll(jnp.flip(tail, axis=d), 1, axis=d)
+    return jnp.concatenate([half, tail], axis=-1)
 
 
 def _upsampled_dft(
@@ -110,6 +167,9 @@ def phase_cross_correlation(
     shifts_lb: Optional[jnp.ndarray] = None,
     shifts_ub: Optional[jnp.ndarray] = None,
     space: str = "real",
+    target_is_freq: bool = False,
+    use_rfft: bool = True,
+    fft_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Subpixel FFT registration of ``src`` against ``target``.
 
@@ -122,18 +182,64 @@ def phase_cross_correlation(
     reference's asymmetric ``[-m, m-1]`` window) or explicit traced
     ``shifts_lb``/``shifts_ub`` (the patchwise ``max_deviation_rigid``
     path).
+
+    ``target_is_freq=True`` means ``target_image`` is already the
+    template's FFT (an ``rfftn`` half-spectrum when ``use_rfft``) —
+    templates are fixed across a frame block, so batch drivers can
+    compute the template FFT once explicitly.
+
+    ``use_rfft=True`` (default for real-space inputs) runs the
+    correlation through real FFTs: ``rfftn`` halves the transform and
+    product work and ``irfftn`` yields the (mathematically real)
+    cross-correlation directly — identical shifts, ~2x less FFT compute,
+    which dominates registration cost at 512x512x20.  The returned
+    ``src_freq`` is then the half-spectrum; pass it to
+    :func:`apply_shifts_fourier` with ``rfft_shape=src_image.shape``.
     """
     if space == "fourier":
         src_freq, target_freq = src_image, target_image
+        shape = src_freq.shape
+        image_product = src_freq * jnp.conj(target_freq)
+        cross_correlation = jnp.fft.ifftn(image_product)
+        magnitude = jnp.abs(cross_correlation)
+        product_half = None
+    elif fft_impl == "matmul" or (
+            fft_impl == "auto" and max(src_image.shape) <= MATMUL_DFT_MAX):
+        # MXU matrix-DFT path (see matrix_dftn): the production choice
+        # for registration patches.  target_is_freq then means "target
+        # is a matrix_dftn full spectrum".
+        shape = src_image.shape
+        src_freq = matrix_dftn(src_image)
+        target_freq = (
+            target_image if target_is_freq else matrix_dftn(target_image)
+        )
+        image_product = src_freq * jnp.conj(target_freq)
+        cross_correlation = matrix_dftn(image_product, inverse=True)
+        magnitude = jnp.abs(cross_correlation)
+        product_half = None
+    elif use_rfft:
+        shape = src_image.shape
+        src_freq = jnp.fft.rfftn(src_image.astype(jnp.float32))
+        target_freq = (
+            target_image if target_is_freq
+            else jnp.fft.rfftn(target_image.astype(jnp.float32))
+        )
+        product_half = src_freq * jnp.conj(target_freq)
+        cross_correlation = jnp.fft.irfftn(product_half, s=shape)
+        magnitude = jnp.abs(cross_correlation)
+        image_product = None  # reconstructed lazily for subpixel only
     else:
         src_freq = jnp.fft.fftn(src_image.astype(jnp.complex64))
-        target_freq = jnp.fft.fftn(target_image.astype(jnp.complex64))
-
-    shape = src_freq.shape
+        target_freq = (
+            target_image if target_is_freq
+            else jnp.fft.fftn(target_image.astype(jnp.complex64))
+        )
+        shape = src_freq.shape
+        image_product = src_freq * jnp.conj(target_freq)
+        cross_correlation = jnp.fft.ifftn(image_product)
+        magnitude = jnp.abs(cross_correlation)
+        product_half = None
     ndim = len(shape)
-    image_product = src_freq * jnp.conj(target_freq)
-    cross_correlation = jnp.fft.ifftn(image_product)
-    magnitude = jnp.abs(cross_correlation)
 
     if shifts_lb is not None or shifts_ub is not None:
         lb = jnp.asarray(shifts_lb, dtype=jnp.float32)
@@ -164,12 +270,14 @@ def phase_cross_correlation(
         region_size = int(np.ceil(usf * 1.5))
         dftshift = float(np.fix(region_size / 2.0))
         sample_region_offset = dftshift - shifts * usf
+        if image_product is None:
+            image_product = _hermitian_full(product_half, shape)
         cc_up = jnp.conj(
             _upsampled_dft(
                 jnp.conj(image_product), region_size, usf,
                 sample_region_offset,
             )
-        ) / (src_freq.size * usf**2)
+        ) / (float(np.prod(shape)) * usf**2)
         up_idx = jnp.argmax(jnp.abs(cc_up))
         up_maxima = jnp.stack(
             jnp.unravel_index(up_idx, cc_up.shape)
@@ -189,35 +297,63 @@ def apply_shifts_fourier(
     diffphase: jnp.ndarray = 0.0,
     is_freq: bool = False,
     border_nan=True,
+    rfft_shape=None,
 ) -> jnp.ndarray:
     """Translate an image/volume by (possibly fractional) ``shifts`` via a
     Fourier phase ramp, with the reference's border policies.
 
     ``border_nan``: ``True`` (NaN borders), ``False`` (leave wrapped),
     ``"min"`` (fill with the min), ``"copy"`` (replicate edge).
+
+    Real-space inputs run through real FFTs (half the transform work;
+    the phase ramp is Hermitian-symmetric so the result is identical:
+    ``real(ifftn(F * ramp * e^{i phi})) = cos(phi) * irfftn(H * ramp)``
+    for the Hermitian ``F`` of a real image).  For frequency-domain
+    inputs (``is_freq=True``), pass ``rfft_shape`` = the real-space
+    shape when ``src`` is an rfftn half-spectrum (as returned by
+    :func:`phase_cross_correlation`); a full complex spectrum is used
+    as before when ``rfft_shape`` is None.
     """
-    src_freq = src if is_freq else jnp.fft.fftn(
-        src.astype(jnp.complex64)
-    )
-    shape = src_freq.shape
+    if is_freq:
+        rfft = rfft_shape is not None
+        src_freq = src
+        shape = tuple(rfft_shape) if rfft else src.shape
+    else:
+        rfft = True
+        shape = src.shape
+        src_freq = jnp.fft.rfftn(src.astype(jnp.float32))
     ndim = len(shape)
     shifts = jnp.asarray(shifts, dtype=jnp.float32)
 
-    ramp = jnp.zeros(shape, dtype=jnp.float32)
+    freq_shape = src_freq.shape
+    ramp = jnp.zeros(freq_shape, dtype=jnp.float32)
     for d in range(ndim):
         n = shape[d]
-        freqs = jnp.asarray(
-            np.fft.ifftshift(
-                np.arange(-np.fix(n / 2.0), np.ceil(n / 2.0))
-            ),
-            dtype=jnp.float32,
-        )
+        if rfft and d == ndim - 1:
+            # rfft last axis carries only the non-negative bins.
+            freqs = jnp.arange(freq_shape[d], dtype=jnp.float32)
+        else:
+            freqs = jnp.asarray(
+                np.fft.ifftshift(
+                    np.arange(-np.fix(n / 2.0), np.ceil(n / 2.0))
+                ),
+                dtype=jnp.float32,
+            )
         sd = [1] * ndim
-        sd[d] = n
+        sd[d] = freq_shape[d]
         ramp = ramp + shifts[d] * freqs.reshape(sd) / n
     greg = src_freq * jnp.exp(-1j * 2 * np.pi * ramp)
-    greg = greg * jnp.exp(1j * jnp.asarray(diffphase, dtype=jnp.float32))
-    out = jnp.real(jnp.fft.ifftn(greg))
+    if rfft:
+        # Constant-phase factor applied as cos(phi) AFTER the inverse
+        # transform: the phase-ramped half-spectrum is Hermitian, so
+        # imag(ifftn) = 0 and real(ifftn(. * e^{i phi})) = cos(phi) * out.
+        out = jnp.fft.irfftn(greg, s=shape)
+        out = out * jnp.cos(jnp.asarray(diffphase, dtype=jnp.float32))
+    else:
+        greg = greg * jnp.exp(
+            1j * jnp.asarray(diffphase, dtype=jnp.float32)
+        )
+        out = jnp.real(jnp.fft.ifftn(greg))
 
     if border_nan is not False:
         lo_w = jnp.ceil(jnp.maximum(shifts, 0.0)).astype(jnp.int32)

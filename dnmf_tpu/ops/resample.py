@@ -109,6 +109,8 @@ def separable_warp(
     volume: jnp.ndarray,
     shifts: jnp.ndarray,
     max_shift,
+    base=None,
+    base_bound=None,
 ) -> jnp.ndarray:
     """Gather-free warp for smooth, statically-bounded shift fields.
 
@@ -131,11 +133,26 @@ def separable_warp(
     Use :func:`trilinear_resample` where exact reference (cv2.remap)
     semantics are required.
 
+    The offset loop is the cost: each pass reads/writes the full volume
+    once per offset.  When the field is a bounded deviation around a
+    known (traced) constant — piecewise-rigid fields deviate at most
+    ``max_deviation_rigid`` from the rigid shift — pass ``base``: the
+    integer part of the constant moves into the *slice start*
+    (``dynamic_slice`` with a traced offset costs one DMA, same as a
+    static slice) and the loop covers only the residual range.  At
+    512x512x20 with ``max_shifts=6``/deviation 3 this cuts the offsets
+    per axis from 28 to 12.
+
     Args:
       volume: ``[M, N, Z]``.
       shifts: ``[M, N, Z, 3]`` per-axis displacement field.
-      max_shift: static per-axis bound ``(S_m, S_n, S_z)`` on
-        ``|shifts|`` (shifts are clipped to it).
+      max_shift: static per-axis bound ``(S_m, S_n, S_z)``; without
+        ``base`` it bounds ``|shifts|``, with ``base`` it bounds the
+        residual ``|shifts - base|`` (fields are clipped to it).
+      base: optional ``[3]`` traced per-axis constant component (e.g.
+        the frame's rigid shift).
+      base_bound: static per-axis bound on ``|base|`` (required with
+        ``base``; e.g. ``max_shifts + 1``).
 
     Returns:
       ``[M, N, Z]`` warped volume.
@@ -143,17 +160,51 @@ def separable_warp(
     out = volume
     for a in range(3):
         s_bound = int(max_shift[a])
-        if s_bound == 0:
-            continue
-        s = jnp.clip(shifts[..., a], -s_bound, s_bound)
-        pad = [(0, 0)] * 3
-        pad[a] = (s_bound, s_bound + 1)
-        padded = jnp.pad(out, pad, mode="edge")
+        if base is None:
+            if s_bound == 0:
+                continue
+            s = jnp.clip(shifts[..., a], -s_bound, s_bound)
+            r = s_bound
+            lo_off = -r
+            padded = jnp.pad(
+                out, [(r, r + 1) if d == a else (0, 0) for d in range(3)],
+                mode="edge",
+            )
+        else:
+            bb = int(base_bound[a])
+            if s_bound == 0 and bb == 0:
+                continue  # identity axis (e.g. z of a 2-D field)
+            b_int = jnp.clip(
+                jnp.floor(base[a]).astype(jnp.int32), -bb, bb
+            )
+            s = jnp.clip(shifts[..., a], base[a] - s_bound,
+                         base[a] + s_bound)
+            # Residual relative to the integer base: in [-S-1, S+1].
+            s = jnp.clip(s - b_int.astype(jnp.float32),
+                         -s_bound - 1, s_bound + 1)
+            r = s_bound + 1
+            lo_off = -r
+            # ONE dynamic slice realizes the traced integer base: a
+            # window of out.shape[a] + 2r + 2 centered r + 1 past the
+            # base offset, so the residual loop below runs on cheap
+            # static slices (a dynamic_slice per offset measured ~3x
+            # slower than the whole static-slice loop).
+            big = jnp.pad(
+                out,
+                [(bb + r, bb + r + 2) if d == a else (0, 0)
+                 for d in range(3)],
+                mode="edge",
+            )
+            start = [0] * 3
+            start[a] = b_int + bb
+            win = list(out.shape)
+            win[a] = out.shape[a] + 2 * r + 2
+            padded = jax.lax.dynamic_slice(big, tuple(start), tuple(win))
         acc = jnp.zeros_like(out)
-        for o in range(-s_bound, s_bound + 2):
+        for o in range(lo_off, r + 2):
             w = jnp.maximum(0.0, 1.0 - jnp.abs(s - o))
             start = [0] * 3
-            start[a] = o + s_bound
+            start[a] = o + r
             limit = list(padded.shape)
             limit[a] = start[a] + out.shape[a]
             acc = acc + w * jax.lax.slice(padded, start, limit)

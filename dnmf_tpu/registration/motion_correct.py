@@ -230,16 +230,26 @@ def rigid_correct_frames(
       *correction applied* (the reference's reported ``-rigid_shts``).
     """
     template = template + add_to_movie
+    real_shape = frames.shape[1:]
+    # Template transform once per block, not once per vmapped frame,
+    # with the impl phase_cross_correlation will auto-pick for these
+    # dims (matrix-DFT for patch-sized frames, rfft beyond).
+    matmul_dft = max(real_shape) <= fft_reg.MATMUL_DFT_MAX
+    template_freq = (
+        fft_reg.matrix_dftn(template.astype(jnp.float32)) if matmul_dft
+        else jnp.fft.rfftn(template.astype(jnp.float32))
+    )
 
     def one(frame):
         frame = frame + add_to_movie
         shifts, src_freq, phasediff = fft_reg.phase_cross_correlation(
-            frame, template, upsample_factor=upsample_factor,
-            max_shifts=max_shifts,
+            frame, template_freq, upsample_factor=upsample_factor,
+            max_shifts=max_shifts, target_is_freq=True,
         )
         corrected = fft_reg.apply_shifts_fourier(
             src_freq, -shifts, phasediff, is_freq=True,
             border_nan=border_nan,
+            rfft_shape=None if matmul_dft else real_shape,
         )
         return corrected - add_to_movie, -shifts
 
@@ -260,7 +270,7 @@ def _upsample_field(field: jnp.ndarray, grid_shape, new_shape):
     static_argnames=(
         "strides", "overlaps", "max_shifts", "max_deviation_rigid",
         "upsample_factor_grid", "upsample_factor_fft", "use_remap",
-        "remap_mode", "border_nan", "gSig_filt",
+        "remap_mode", "border_nan", "gSig_filt", "rigid_decimate",
     ),
 )
 def tile_and_correct(
@@ -277,6 +287,7 @@ def tile_and_correct(
     border_nan=True,
     add_to_movie: float = 0.0,
     gSig_filt=None,
+    rigid_decimate: int = 1,
 ):
     """One piecewise-rigid correction iteration for one frame (2-D or 3-D).
 
@@ -316,10 +327,33 @@ def tile_and_correct(
     else:
         reg_img = img
 
-    rigid_shts, _, _ = fft_reg.phase_cross_correlation(
-        reg_img, template, upsample_factor=upsample_factor_fft,
-        max_shifts=max_shifts,
-    )
+    if rigid_decimate > 1:
+        # The global rigid estimate only bounds the per-patch search
+        # (lb/ub below); a 2x/4x anti-aliased downsample in x/y keeps
+        # ~0.1-0.2 px accuracy — far inside max_deviation_rigid — at
+        # 1/d^2 the FFT cost (the full-frame FFT otherwise rivals the
+        # entire patch stack).
+        d = int(rigid_decimate)
+
+        def pool(x):
+            m, n = x.shape[0] // d, x.shape[1] // d
+            rest = x.shape[2:]
+            return x[:m * d, :n * d].reshape(
+                (m, d, n, d) + rest).mean(axis=(1, 3))
+
+        dec_ms = tuple(max(1.0, float(ms) / d)
+                       for ms in max_shifts[:2]) + tuple(max_shifts[2:])
+        rigid_dec, _, _ = fft_reg.phase_cross_correlation(
+            pool(reg_img), pool(template),
+            upsample_factor=upsample_factor_fft, max_shifts=dec_ms,
+        )
+        scale = jnp.asarray((float(d), float(d)) + (1.0,) * (nd - 2))
+        rigid_shts = rigid_dec * scale
+    else:
+        rigid_shts, _, _ = fft_reg.phase_cross_correlation(
+            reg_img, template, upsample_factor=upsample_factor_fft,
+            max_shifts=max_shifts,
+        )
 
     starts, grid_shape, window = patch_grid(dims, overlaps, strides)
     tmpl_patches = _extract_patches(template, starts, window)
@@ -350,19 +384,26 @@ def tile_and_correct(
         if remap_mode == "separable":
             from dnmf_tpu.ops.resample import separable_warp
 
-            # Static per-axis bound: patch shifts are clamped to
-            # rigid +- max_deviation_rigid with |rigid| <= max_shifts;
-            # +30% headroom for cubic-upsampling overshoot.
-            bound = tuple(
-                int(np.ceil((ms + max_deviation_rigid) * 1.3)) + 1
-                for ms in max_shifts[:nd]
+            # The field deviates at most max_deviation_rigid (+0.75
+            # subpixel + cubic-upsample overshoot < 0.5) from the rigid
+            # shift, so warp relative to the traced rigid base: the
+            # offset loop covers only the residual range instead of
+            # max_shifts + deviation (28 -> 12 passes/axis at defaults).
+            rb = int(max_deviation_rigid) + 2
+            bound = (rb,) * nd + ((0,) if nd == 2 else ())
+            base = jnp.concatenate(
+                [rigid_shts, jnp.zeros((3 - nd,))]
+            ) if nd == 2 else rigid_shts
+            base_bound = tuple(
+                int(np.ceil(ms)) + 1 for ms in max_shifts[:nd]
             ) + ((0,) if nd == 2 else ())
             shifts4 = jnp.stack(
                 [f.reshape(dims3) for f in fields]
                 + ([jnp.zeros(dims3)] if nd == 2 else []),
                 axis=-1,
             )
-            corrected = separable_warp(vol, shifts4, bound)
+            corrected = separable_warp(vol, shifts4, bound, base=base,
+                                       base_bound=base_bound)
         elif remap_mode == "exact":
             from dnmf_tpu.ops.basis import voxel_grid
             from dnmf_tpu.ops.resample import trilinear_resample
@@ -846,6 +887,7 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
                     remap_mode=cfg.remap_mode,
                     border_nan=cfg.border_nan,
                     add_to_movie=add_to_movie, gSig_filt=cfg.gSig_filt,
+                    rigid_decimate=cfg.rigid_decimate,
                 )
             )(frames)
         return correct_block

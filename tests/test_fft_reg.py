@@ -87,13 +87,28 @@ def test_apply_shifts_roundtrip(rng):
         jnp.asarray(np.roll(img, (3, 1), axis=(0, 1))), jnp.asarray(img),
         max_shifts=(6, 6),
     )
+    # src_freq is an rfftn half-spectrum (use_rfft default).
     corrected = fft_reg.apply_shifts_fourier(
-        src_freq, -shifts, phasediff, is_freq=True, border_nan=False
+        src_freq, -shifts, phasediff, is_freq=True, border_nan=False,
+        rfft_shape=img.shape,
     )
     # Interior must match the unshifted original.
     np.testing.assert_allclose(
         np.asarray(corrected)[6:-6, 6:-6], img[6:-6, 6:-6], atol=1e-3
     )
+    # The complex-spectrum path remains available and must agree.
+    shifts_c, src_freq_c, phasediff_c = fft_reg.phase_cross_correlation(
+        jnp.asarray(np.roll(img, (3, 1), axis=(0, 1))), jnp.asarray(img),
+        max_shifts=(6, 6), use_rfft=False,
+    )
+    np.testing.assert_allclose(np.asarray(shifts_c), np.asarray(shifts),
+                               atol=1e-5)
+    corrected_c = fft_reg.apply_shifts_fourier(
+        src_freq_c, -shifts_c, phasediff_c, is_freq=True,
+        border_nan=False,
+    )
+    np.testing.assert_allclose(np.asarray(corrected_c),
+                               np.asarray(corrected), atol=1e-4)
 
 
 def test_apply_shifts_border_nan(rng):
@@ -136,3 +151,84 @@ def test_bin_median_matches_reference_binning(rng):
         axis=0,
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_rfft_matches_complex_path(rng):
+    """rfft-based correlation must produce identical subpixel shifts to
+    the full complex-spectrum path (3-D, fractional shift)."""
+    img = _rand_image(rng, (24, 24, 8))
+    moved = np.asarray(fft_reg.apply_shifts_fourier(
+        jnp.asarray(img), jnp.asarray([1.4, -2.3, 0.6]),
+        border_nan=False))
+    for usf in (1, 10):
+        s_r, _, p_r = fft_reg.phase_cross_correlation(
+            jnp.asarray(moved), jnp.asarray(img), upsample_factor=usf,
+            max_shifts=(5, 5, 2), use_rfft=True)
+        s_c, _, p_c = fft_reg.phase_cross_correlation(
+            jnp.asarray(moved), jnp.asarray(img), upsample_factor=usf,
+            max_shifts=(5, 5, 2), use_rfft=False)
+        np.testing.assert_allclose(np.asarray(s_r), np.asarray(s_c),
+                                   atol=1e-4)
+        np.testing.assert_allclose(float(jnp.cos(p_r)),
+                                   float(jnp.cos(p_c)), atol=1e-3)
+
+
+def test_hermitian_full_reconstruction(rng):
+    """_hermitian_full(rfftn(x)) == fftn(x) for real x (even + odd)."""
+    for shape in [(8, 6), (7, 9), (6, 5, 4), (5, 4, 7)]:
+        x = rng.normal(size=shape).astype(np.float32)
+        half = jnp.fft.rfftn(jnp.asarray(x))
+        full = fft_reg._hermitian_full(half, shape)
+        np.testing.assert_allclose(np.asarray(full),
+                                   np.fft.fftn(x), atol=1e-3)
+
+
+def test_separable_warp_base_decomposition(rng):
+    """separable_warp with a traced rigid base must equal the plain
+    (wide-loop) form on a bounded-deviation field."""
+    from dnmf_tpu.ops.resample import separable_warp
+
+    vol = jnp.asarray(rng.random((24, 24, 6)).astype(np.float32))
+    rigid = jnp.asarray([3.4, -2.7, 0.8])
+    dev = jnp.asarray(
+        np.stack([
+            1.2 * np.sin(np.linspace(0, 3, 24))[:, None, None]
+            * np.ones((24, 24, 6)),
+            -0.9 * np.cos(np.linspace(0, 2, 24))[None, :, None]
+            * np.ones((24, 24, 6)),
+            0.3 * np.ones((24, 24, 6)),
+        ], axis=-1).astype(np.float32))
+    field = dev + rigid[None, None, None, :]
+    wide = separable_warp(vol, field, (6, 6, 2))
+    based = separable_warp(vol, field, (2, 2, 2), base=rigid,
+                           base_bound=(5, 5, 2))
+    np.testing.assert_allclose(np.asarray(based), np.asarray(wide),
+                               atol=1e-5)
+
+
+def test_matrix_dftn_matches_fftn(rng):
+    """MXU matrix-DFT == XLA fftn (forward + inverse roundtrip)."""
+    for shape in [(16, 12), (20, 16, 6), (7, 9, 5)]:
+        x = rng.normal(size=shape).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(fft_reg.matrix_dftn(jnp.asarray(x))),
+            np.fft.fftn(x), atol=1e-3)
+        rt = fft_reg.matrix_dftn(fft_reg.matrix_dftn(jnp.asarray(x)),
+                                 inverse=True)
+        np.testing.assert_allclose(np.asarray(rt.real), x, atol=1e-4)
+
+
+def test_matmul_impl_matches_rfft_impl(rng):
+    """fft_impl='matmul' and 'rfft' paths agree on subpixel shifts."""
+    img = _rand_image(rng, (40, 40, 8))
+    moved = np.asarray(fft_reg.apply_shifts_fourier(
+        jnp.asarray(img), jnp.asarray([2.6, -1.2, 0.4]),
+        border_nan=False))
+    s_m, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(moved), jnp.asarray(img), upsample_factor=10,
+        max_shifts=(5, 5, 2), fft_impl="matmul")
+    s_f, _, _ = fft_reg.phase_cross_correlation(
+        jnp.asarray(moved), jnp.asarray(img), upsample_factor=10,
+        max_shifts=(5, 5, 2), fft_impl="xla")
+    np.testing.assert_allclose(np.asarray(s_m), np.asarray(s_f),
+                               atol=1e-3)

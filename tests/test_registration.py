@@ -368,3 +368,22 @@ def test_min_mov_full_movie(rng):
                                   gSig_filt=(2, 2))
     mc2 = MotionCorrect(video, cfg_filt).motion_correct()
     assert mc2.min_mov == 0.0
+
+
+def test_rigid_decimate_bounds_match(rng):
+    """Decimated global rigid pre-estimate: patch shifts stay within
+    ~0.3 px of the full-resolution path's."""
+    tmpl = _template(rng, shape=(64, 64))
+    true = [(3, -2), (-4, 1), (0, 5), (2, 2)]
+    video = _rolled_video(tmpl, true)
+    common = dict(max_shifts=(6, 6), pw_rigid=True, strides=(32, 32),
+                  overlaps=(16, 16), border_nan=False, frame_block=2)
+    full = MotionCorrect(video, RegistrationConfig(**common)
+                         ).motion_correct()
+    dec = MotionCorrect(video, RegistrationConfig(rigid_decimate=2,
+                                                  **common)
+                        ).motion_correct()
+    np.testing.assert_allclose(np.asarray(dec.x_shifts_els),
+                               np.asarray(full.x_shifts_els), atol=0.3)
+    np.testing.assert_allclose(np.asarray(dec.y_shifts_els),
+                               np.asarray(full.y_shifts_els), atol=0.3)
