@@ -75,6 +75,9 @@ def register_and_demix(
     runtime: Optional[RuntimeConfig] = None,
     seed_deformation: bool = True,
     seed_mode: str = "auto",
+    refine_positions: bool = False,
+    refine_rounds: int = 3,
+    refine_epochs: int = 40,
 ) -> PipelineResult:
     """Full pipeline on a time-major video ``[T, M, N, Z]``.
 
@@ -153,9 +156,11 @@ def register_and_demix(
                     centers, ((0, 0), (0, 3 - centers.shape[1]))
                 )
             # Full-quadratic fit when the patch grid constrains it
-            # ("auto": >= 7 patch centers); otherwise affine.
+            # ("auto": >= 12 patch centers — a 10-term fit on fewer is
+            # ridge-dominated and measured slightly worse than affine);
+            # otherwise affine.
             if seed_mode == "quadratic" or (
-                    seed_mode == "auto" and centers.shape[0] >= 7):
+                    seed_mode == "auto" and centers.shape[0] >= 12):
                 beta0 = quadratic_beta_from_displacements(
                     jnp.asarray(centers),
                     jnp.asarray(disp, jnp.float32), (m, n, z),
@@ -183,4 +188,10 @@ def register_and_demix(
         beta0=beta0,
     )
     fit = engine.fit(video.reshape(t, -1))
+    if refine_positions:
+        # Final polish past the global-warp model class: per-frame
+        # per-neuron anchors fitted to the reconstruction
+        # (dnmf_tpu/models/refine.py).
+        fit = engine.refine(video.reshape(t, -1), rounds=refine_rounds,
+                            epochs=refine_epochs)
     return PipelineResult(fit=fit, motion=mc, positions=positions)

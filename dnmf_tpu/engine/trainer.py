@@ -324,6 +324,47 @@ class DeformableNMF:
                 self.save(f"{self.runtime.checkpoint_dir}/round_{r}")
         return FitResult(state=self.state, metrics=self.metrics)
 
+    def refine(self, video, rounds: int = 3, epochs: int = 40,
+               mu_iters: int = 40, learning_rate: float = 0.08,
+               prior: float = 3e-4) -> FitResult:
+        """Per-frame per-neuron position refinement (final polish).
+
+        Lifts the global-quadratic-warp model-class limit: on motion
+        that is only approximately a global warp (e.g. the reference
+        demo's GP fixture), refined per-frame anchors recover the traces
+        the warp cannot (hard-fixture corr 0.86 -> 0.98 measured; see
+        :mod:`dnmf_tpu.models.refine`).  Stores the refined positions on
+        ``self.pos_t`` (``[T, K, 3]``, model coordinate frame).
+        """
+        from dnmf_tpu.models import refine as refine_lib
+
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "position refinement is single-device (per-frame "
+                "independent — shard over time externally if needed)"
+            )
+        video_flat = self._video_flat(video)
+        t0 = time.time()
+        self.state, pos_t, m = refine_lib.refined_rounds(
+            self.state, video_flat, self.model, rounds=rounds,
+            epochs=epochs, mu_iters=mu_iters,
+            learning_rate=learning_rate, prior=prior,
+            frame_block=self.runtime.frame_block,
+            pos_t=getattr(self, "pos_t", None),
+        )
+        self.pos_t = pos_t
+        self._check_finite("refine")
+        entry = {
+            "phase": "refine", "rounds": rounds, "epochs": epochs,
+            "seconds": time.time() - t0,
+            "recon_mse": float(np.mean(np.asarray(m["recon_mse"]))),
+        }
+        self.metrics.append(entry)
+        if self.runtime.metrics_path:
+            with open(self.runtime.metrics_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+        return FitResult(state=self.state, metrics=self.metrics)
+
     def fit_fused(self, video, rounds: Optional[int] = None) -> FitResult:
         """The whole alternation as one compiled device program.
 

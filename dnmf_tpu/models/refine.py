@@ -1,0 +1,211 @@
+"""Per-frame per-neuron position refinement — beyond the reference's
+model class.
+
+The reference's model (and :mod:`dnmf_tpu.models.dnmf`) explains all
+motion with ONE quadratic warp per frame
+(``/root/reference/Demix/dNMF.py:53-62``).  On recordings whose neurons
+move semi-independently (e.g. GP motion with a length scale comparable
+to neuron spacing — the reference demo fixture,
+``/root/reference/demo.py:26-28``) that class saturates: the best global
+quadratic warp through the ground-truth trajectories leaves ~0.4 px mean
+/ 1.6 px max per-neuron residual on the hard fixture and caps trace
+correlation at ~0.90 (measured; see BASELINE.md), while footprints
+anchored at the true per-frame positions recover traces exactly.
+
+This module closes that gap with a final-polish phase: per-frame,
+per-neuron position offsets fitted by gradient descent against the
+reconstruction, alternated with MU trace updates on per-frame-position
+Grams.  The deformation model is untouched — positions are refined in
+the model's warped coordinate frame, so ``A_t[p, k] =
+exp(-|psi_t(p) - pos_t[k]|^2 / sigma_k^2)`` with ``pos_t`` initialized
+at the shared anchors.  A quadratic prior tethers each neuron to its
+anchor (scaled in pixels), which keeps unidentified neurons (silent
+frames) in place.
+
+Per-frame problems are independent — the epoch vmaps over frames and
+scans over frame blocks, exactly like the parallel deformation epoch.
+XLA analytic-footprint path (the fused Pallas kernels compute dbeta,
+not dpos; this phase is O(epochs) at the cost of one XLA motion epoch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dnmf_tpu.config import ModelConfig
+from dnmf_tpu.models.dnmf import DNMFState, model_voxel_basis
+from dnmf_tpu.ops import basis as basis_ops
+from dnmf_tpu.ops import footprints as fp_ops
+from dnmf_tpu.ops import mu as mu_ops
+
+
+def _tracked_frame_footprints(beta_t, pos_t, sigma, model, vb):
+    """``[P, K]`` footprints with this frame's own anchors (analytic)."""
+    if model.deformation.footprint_mode != "analytic":
+        raise ValueError("position refinement requires analytic "
+                         "footprints")
+    psi = basis_ops.warp_voxel_coords(
+        vb, beta_t, model.size, model.deformation.basis_scaling
+    )
+    return fp_ops.evaluate_footprints(
+        psi, pos_t, sigma, size=model.size,
+        mask_out_of_bounds=model.deformation.mask_out_of_bounds,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "epochs", "frame_block"),
+)
+def refine_positions(
+    state: DNMFState,
+    pos_t: Optional[jnp.ndarray],
+    video_flat: jnp.ndarray,
+    model: ModelConfig,
+    epochs: int = 20,
+    learning_rate: float = 0.05,
+    prior: float = 1e-3,
+    frame_block: int = 16,
+) -> Tuple[jnp.ndarray, dict]:
+    """Fit per-frame neuron positions by Adam against the reconstruction.
+
+    Args:
+      state: current factors (beta, C, anchors, sigma) — not modified.
+      pos_t: ``[T, K, 3]`` starting positions, or None to start at the
+        anchors broadcast over frames.
+      video_flat: ``[T, P]``.
+      epochs: Adam steps (each sees every frame; frames independent).
+      learning_rate: Adam lr in PIXELS (positions live in pixel space).
+      prior: weight of ``mean(|pos_t - anchor|^2)`` per frame, in units
+        of the (dimensionless) data MSE per squared pixel.
+
+    Returns:
+      ``(pos_t [T, K, 3], {"recon_mse": [T]})``.
+    """
+    t, p = video_flat.shape
+    anchors = state.pos
+    if pos_t is None:
+        pos_t = jnp.broadcast_to(anchors[None], (t,) + anchors.shape)
+    vb = model_voxel_basis(model)
+    optimizer = optax.adam(learning_rate)
+
+    def frame_loss(pos_f, beta_f, y_f, c_f):
+        a = _tracked_frame_footprints(beta_f, pos_f, state.sigma, model,
+                                      vb)
+        recon = jnp.dot(a, c_f, precision=jax.lax.Precision.HIGHEST)
+        mse = jnp.mean((recon - y_f) ** 2)
+        tether = jnp.mean(jnp.sum((pos_f - anchors) ** 2, axis=-1))
+        return mse + prior * tether, mse
+
+    grad_fn = jax.vmap(jax.value_and_grad(frame_loss, has_aux=True))
+
+    fb = min(frame_block, t)
+    pad = (-t) % fb
+    nb = (t + pad) // fb
+
+    def pad_t(x, fill=0.0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill) if pad else x
+
+    beta_b = pad_t(state.beta).reshape(nb, fb, 10, 3)
+    y_b = pad_t(video_flat).reshape(nb, fb, p)
+    c_b = pad_t(state.c.T).reshape(nb, fb, -1)
+
+    def epoch(carry, _):
+        pos_all, opt_state = carry
+
+        def block(_, xs):
+            pos_blk, beta_blk, y_blk, c_blk = xs
+            (_, mses), g = grad_fn(pos_blk, beta_blk, y_blk, c_blk)
+            return None, (g, mses)
+
+        pos_b = pos_all.reshape(nb, fb, *pos_all.shape[1:])
+        _, (g_b, mses) = jax.lax.scan(block, None,
+                                      (pos_b, beta_b, y_b, c_b))
+        g_all = g_b.reshape(pos_all.shape)
+        updates, opt_state = optimizer.update(g_all, opt_state, pos_all)
+        return (optax.apply_updates(pos_all, updates), opt_state), mses
+
+    pos_pad = pad_t(pos_t)
+    opt_state = optimizer.init(pos_pad)
+    (pos_out, _), mses = jax.lax.scan(epoch, (pos_pad, opt_state), None,
+                                      length=epochs)
+    return pos_out[:t], {"recon_mse": mses[-1].reshape(-1)[:t]}
+
+
+@functools.partial(jax.jit, static_argnames=("model", "frame_block"))
+def tracked_grams(
+    state: DNMFState,
+    pos_t: jnp.ndarray,
+    video_flat: jnp.ndarray,
+    model: ModelConfig,
+    frame_block: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame MU statistics ``(G [T,K,K], c1 [T,K])`` with per-frame
+    positions (the tracked analog of ``dnmf.compute_grams``)."""
+    t, p = video_flat.shape
+    vb = model_voxel_basis(model)
+
+    def one(beta_f, pos_f, y_f):
+        a = _tracked_frame_footprints(beta_f, pos_f, state.sigma, model,
+                                      vb)
+        g = jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST)
+        c1 = jnp.dot(a.T, y_f, precision=jax.lax.Precision.HIGHEST)
+        return g, c1
+
+    fb = min(frame_block, t)
+    pad = (-t) % fb
+    nb = (t + pad) // fb
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
+            if pad else x
+
+    def block(_, xs):
+        beta_blk, pos_blk, y_blk = xs
+        return None, jax.vmap(one)(beta_blk, pos_blk, y_blk)
+
+    _, (g, c1) = jax.lax.scan(
+        block, None,
+        (pad_t(state.beta).reshape(nb, fb, 10, 3),
+         pad_t(pos_t).reshape(nb, fb, *pos_t.shape[1:]),
+         pad_t(video_flat).reshape(nb, fb, p)),
+    )
+    k = state.c.shape[0]
+    return (g.reshape(-1, k, k)[:t], c1.reshape(-1, k)[:t])
+
+
+def refined_rounds(
+    state: DNMFState,
+    video_flat: jnp.ndarray,
+    model: ModelConfig,
+    rounds: int = 2,
+    epochs: int = 20,
+    mu_iters: int = 30,
+    learning_rate: float = 0.05,
+    prior: float = 1e-3,
+    frame_block: int = 16,
+    pos_t: Optional[jnp.ndarray] = None,
+) -> Tuple[DNMFState, jnp.ndarray, dict]:
+    """Alternate position refinement with tracked-Gram MU trace updates.
+
+    Returns ``(state with updated C, pos_t, metrics)`` — beta and the
+    anchors are untouched; ``pos_t`` holds the per-frame refinement.
+    """
+    metrics = {}
+    for _ in range(rounds):
+        pos_t, metrics = refine_positions(
+            state, pos_t, video_flat, model, epochs=epochs,
+            learning_rate=learning_rate, prior=prior,
+            frame_block=frame_block,
+        )
+        g, c1 = tracked_grams(state, pos_t, video_flat, model,
+                              frame_block=frame_block)
+        c = mu_ops.run_mu_temporal(state.c, g, c1, iters=mu_iters)
+        state = state._replace(c=c)
+    return state, pos_t, metrics
