@@ -194,6 +194,171 @@ def _whole_brain_run():
     }
 
 
+def _correctness_run():
+    """Compiled-kernel correctness summary (VERDICT r2 #3a): the
+    tpu_smoke float64-oracle + finite-difference-gradient checks, run
+    compiled on the real chip, condensed to a pass/fail + check count.
+
+    CI runs the Pallas kernels interpret-only; this is the
+    driver-witnessed evidence that the COMPILED kernels (Mosaic) match
+    the f64 oracle.
+    """
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, "tools")
+    import tpu_smoke
+
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            ok = tpu_smoke.run((64, 32, 4), 12, "normalized", 2048)
+            ok &= tpu_smoke.run((96, 64, 2), 80, "normalized", 4096,
+                                grad_probes=False)
+    except Exception as e:  # noqa: BLE001 — never break the JSON line
+        return {"pass": False, "error": str(e)[:200]}
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.startswith("[")]
+    return {
+        "pass": bool(ok),
+        "checks": len(lines),
+        "failed": [ln for ln in lines if ln.startswith("[FAIL")][:5],
+    }
+
+
+def _registration_run():
+    """Whole-brain registration throughput (VERDICT r2 #1 witness):
+    rigid and pw-rigid estimate+apply ms/frame at 512x512x20."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dnmf_tpu.registration.motion_correct import (
+        rigid_correct_frames,
+        tile_and_correct,
+    )
+
+    if jax.default_backend() != "tpu":
+        return None
+    b = 2
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((b,) + WB_SIZE, dtype=np.float32))
+    template = jnp.asarray(rng.random(WB_SIZE, dtype=np.float32))
+
+    def timed(fn):
+        _ = float(jnp.sum(fn()[0]))  # compile+warm; scalar fence
+        _ = float(jnp.sum(fn()[0]))
+        ts = []
+        for _i in range(3):
+            t0 = time.time()
+            _ = float(jnp.sum(fn()[0]))
+            ts.append(time.time() - t0)
+        return sorted(ts)[1] / b * 1e3
+
+    rigid_ms = timed(lambda: rigid_correct_frames(
+        frames, template, (6, 6, 2), upsample_factor=10,
+        border_nan=False))
+    pw = jax.jit(lambda: jax.vmap(
+        lambda f: tile_and_correct(
+            f, template, (128, 128, 10), (32, 32, 0), (6, 6, 2),
+            max_deviation_rigid=3, upsample_factor_grid=4,
+            upsample_factor_fft=10, use_remap=True,
+            remap_mode="separable", border_nan=False, rigid_decimate=4,
+        ))(frames))
+    pw_ms = timed(pw)
+    return {
+        "rigid_est_apply_ms_per_frame": round(rigid_ms, 2),
+        "pwrigid_est_apply_ms_per_frame": round(pw_ms, 2),
+        "pwrigid_config": "4x4x2 patches, sep remap, rigid_decimate=4",
+    }
+
+
+def _pipeline_recovery_run():
+    """Register -> seed -> demix end-to-end recovery at whole-brain
+    scale (VERDICT r2 #3b): synthetic GT video rendered ON DEVICE,
+    rigid-FFT registration seed, reference init protocol, trace corr +
+    warp error + s/round."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return None
+    import sys
+
+    sys.path.insert(0, "tools")
+    from wb_recovery import synthesize, warp_error_px
+
+    from dnmf_tpu.config import ModelConfig, OptimizerConfig
+    from dnmf_tpu.models import dnmf as M
+    from dnmf_tpu.ops.basis import translation_beta
+    from dnmf_tpu.registration.motion_correct import rigid_correct_frames
+    from dnmf_tpu.utils.metrics import trace_correlations
+
+    size, k, t = WB_SIZE, WB_K, 32
+    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
+                        shape_std=3.0)
+    key = jax.random.PRNGKey(0)
+    k_pos, k_sim, k_init = jax.random.split(key, 3)
+    pos_gt = 20.0 + jax.random.uniform(k_pos, (k, 3)) * (
+        jnp.asarray(size, jnp.float32) - 40.0
+    )
+    sigma_gt = jnp.full((k,), model.shape_std)
+    betas_gt, c_gt, video = synthesize(model, pos_gt, sigma_gt, k_sim)
+    _ = float(jnp.sum(video[0]))
+
+    # Register (shifts only, device-resident) -> seed beta.
+    template = jnp.mean(video[:8].reshape((8,) + size), axis=0)
+
+    @jax.jit
+    def block_shifts(frames):
+        return rigid_correct_frames(
+            frames.reshape((-1,) + size), template, (16, 16, 3),
+            upsample_factor=10, border_nan=True)[1]
+
+    t0 = time.time()
+    shifts = jnp.concatenate([
+        block_shifts(video[s0:min(s0 + 8, t)])
+        for s0 in range(0, t, 8)
+    ])
+    corr_s = shifts - shifts[0:1]
+    _ = float(jnp.sum(shifts))
+    reg_s = time.time() - t0
+    beta0 = translation_beta(corr_s, size,
+                             scaling=model.deformation.basis_scaling)
+
+    optimizer = M.make_motion_optimizer(
+        OptimizerConfig(learning_rate=1e-3))
+    state = M.init_state(model, optimizer, positions=pos_gt, key=k_init,
+                         beta0=beta0)
+    rounds, epochs, mu_iters = 3, 6, 50
+    round_times = []
+    for _r in range(rounds):
+        t0 = time.time()
+        for _e in range(epochs):
+            state, m = M.motion_epoch_parallel(
+                state, video, model, optimizer, gamma=0.1,
+                frame_block=8, use_pallas=True)
+        grams, c1 = M.compute_grams(state, video, model, frame_block=8,
+                                    use_pallas=True)
+        state = M.footprint_update(state, grams, c1, iters=mu_iters)
+        _ = float(jnp.sum(state.c[0])) + float(m["recon_mse"])
+        round_times.append(time.time() - t0)
+    corr = trace_correlations(np.asarray(state.c), np.asarray(c_gt))
+    steady = sorted(round_times[1:])[len(round_times[1:]) // 2]
+    return {
+        "workload": f"{size[0]}x{size[1]}x{size[2]} K={k} T={t} "
+                    f"{rounds}x({epochs}ep+{mu_iters}MU), rigid-seeded",
+        "trace_corr_mean": round(float(np.mean(corr)), 4),
+        "trace_corr_min": round(float(np.min(corr)), 4),
+        "warp_err_px": round(
+            warp_error_px(state.beta, betas_gt, pos_gt, model), 3),
+        "registration_seed_s": round(reg_s, 2),
+        "round_s_steady": round(steady, 2),
+        "frames_per_sec_full_round": round(t / steady, 1),
+    }
+
+
 def _torch_cpu_baseline_per_frame():
     """Per-frame cost of the reference-equivalent round on torch/NumPy CPU.
 
@@ -281,9 +446,25 @@ def _torch_cpu_baseline_per_frame():
     return per_frame
 
 
+def _guard(fn):
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — never break the JSON line
+        return {"error": str(e)[:200]}
+
+
 def main():
+    import jax
+
+    # Tunnel compiles are slow; persist across runs/sections.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     tpu = _tpu_run()
     wb = _whole_brain_run()
+    correctness = _guard(_correctness_run)
+    registration = _guard(_registration_run)
+    pipeline = _guard(_pipeline_recovery_run)
     base_per_frame = _torch_cpu_baseline_per_frame()
     baseline_round = base_per_frame * T
     result = {
@@ -296,9 +477,15 @@ def main():
         "round_ms": round(tpu["tpu_round_seconds"] * 1e3, 1),
         "round_ms_min": round(tpu["tpu_round_seconds_min"] * 1e3, 1),
         "round_ms_max": round(tpu["tpu_round_seconds_max"] * 1e3, 1),
+        # max/median spread is tunnel-queue noise (NOTES.md); median is
+        # the representative figure.
+        "timing_note": "median of 5; max reflects tunnel hiccups",
         "baseline_round_s_extrapolated": round(baseline_round, 1),
         "backend": tpu["backend"],
         "whole_brain": wb,
+        "correctness": correctness,
+        "registration": registration,
+        "pipeline": pipeline,
     }
     print(json.dumps(result))
 

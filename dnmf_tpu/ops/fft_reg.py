@@ -76,16 +76,20 @@ def _dft_matrix_np(n: int, inverse: bool):
 
 
 def matrix_dftn(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """N-D DFT as per-axis MXU matrix products.
+    """N-D DFT as per-axis MXU matrix products (standard axis order).
 
     XLA's TPU FFT is a memory-bound multi-pass butterfly on the VPU — at
     512x512x20-scale patch stacks it measured 21.6 ms/frame, the single
-    largest cost of piecewise-rigid registration.  For the moderate axis
-    lengths of registration patches (n <= ~256) the O(n^2) DFT-matrix
-    contraction runs on the MXU instead and is ~an order of magnitude
-    faster despite the extra FLOPs.  HIGHEST-precision dots: correlation
-    surfaces carry large canceling terms and TPU matmuls default to
-    bf16 passes (~0.4% error — enough to perturb subpixel peaks).
+    largest cost of piecewise-rigid registration.  The O(n^2) DFT-matrix
+    contraction runs on the MXU instead.  HIGHEST-precision dots:
+    correlation surfaces carry large canceling terms and TPU matmuls
+    default to bf16 passes (~0.4% error — enough to perturb subpixel
+    peaks).
+
+    NOTE: for 3-D volumes with a thin minor (z) axis prefer
+    :func:`matrix_dft3_mzn` — arrays laid out ``[.., z]`` use z/128 of
+    the vector lanes, which made this order-preserving form (and XLA's
+    FFT) ~5x slower than the permuted-layout pipeline.
     """
     out = x if jnp.iscomplexobj(x) else x.astype(jnp.complex64)
     for ax in range(x.ndim):
@@ -94,6 +98,48 @@ def matrix_dftn(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
                             precision=jax.lax.Precision.HIGHEST)
         out = jnp.moveaxis(out, 0, ax)
     return out
+
+
+def matrix_dft3_mzn(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """3-D matrix DFT with lane-friendly layouts: ``[m, n, z]`` in,
+    ``[m, z, n]`` (frequency) out — and the reverse when ``inverse``.
+
+    Every intermediate keeps a large (>= m/n) minor dimension; the thin
+    z axis never lands on the lane axis (where it would use z/128 of
+    the VPU/MXU width — measured 5x slower end-to-end).  Contractions:
+
+      1. z-pass:  ``W_z`` contracted to the front -> ``[z, m, n]``
+      2. m-pass:  ``W_m`` contracted to the front -> ``[m, z, n]``
+      3. n-pass:  right-multiplied                -> ``[m, z, n']``
+
+    The permuted frequency layout composes: correlation products and
+    the inverse transform run in ``[m, z, n]`` throughout.  The inverse
+    returns real space in ``[z, m, n]`` layout — still lane-friendly, so
+    the caller's magnitude/mask/argmax also avoid the thin minor axis
+    (indices map back via the permutation).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    if not inverse:
+        m, n, z = x.shape
+        out = x if jnp.iscomplexobj(x) else x.astype(jnp.complex64)
+        wz = jnp.asarray(_dft_matrix_np(z, False))
+        wm = jnp.asarray(_dft_matrix_np(m, False))
+        wn = jnp.asarray(_dft_matrix_np(n, False))
+        out = jnp.tensordot(wz, out, axes=[[1], [2]],
+                            precision=hi)           # [z, m, n]
+        out = jnp.tensordot(wm, out, axes=[[1], [1]],
+                            precision=hi)           # [m, z, n]
+        return jnp.einsum("mzn,kn->mzk", out, wn, precision=hi)
+    # inverse: x is [m, z, n] frequency -> [z, m, n] real-space layout
+    m, z, n = x.shape
+    wz = jnp.asarray(_dft_matrix_np(z, True))
+    wm = jnp.asarray(_dft_matrix_np(m, True))
+    wn = jnp.asarray(_dft_matrix_np(n, True))
+    out = jnp.einsum("mzn,kn->mzk", x, wn, precision=hi)  # [m, z, n]
+    out = jnp.tensordot(wm, out, axes=[[1], [0]],
+                        precision=hi)               # [m, z, n]
+    return jnp.tensordot(wz, out, axes=[[1], [1]],
+                         precision=hi)              # [z, m, n]
 
 
 def _hermitian_full(half: jnp.ndarray, shape) -> jnp.ndarray:
@@ -196,6 +242,11 @@ def phase_cross_correlation(
     ``src_freq`` is then the half-spectrum; pass it to
     :func:`apply_shifts_fourier` with ``rfft_shape=src_image.shape``.
     """
+    # Axis layouts: prod_layout / cc_layout map the axes of
+    # image_product / cross_correlation onto STANDARD dims — the
+    # permuted matrix-DFT pipeline keeps thin z axes off the vector
+    # lanes (see matrix_dft3_mzn); identity for every other path.
+    prod_layout = cc_layout = None  # identity unless set
     if space == "fourier":
         src_freq, target_freq = src_image, target_image
         shape = src_freq.shape
@@ -205,16 +256,29 @@ def phase_cross_correlation(
         product_half = None
     elif fft_impl == "matmul" or (
             fft_impl == "auto" and max(src_image.shape) <= MATMUL_DFT_MAX):
-        # MXU matrix-DFT path (see matrix_dftn): the production choice
-        # for registration patches.  target_is_freq then means "target
-        # is a matrix_dftn full spectrum".
+        # MXU matrix-DFT path: the production choice for registration
+        # patches.  target_is_freq then means "target is the matching
+        # matrix-DFT spectrum" (mzn layout for 3-D inputs).
         shape = src_image.shape
-        src_freq = matrix_dftn(src_image)
-        target_freq = (
-            target_image if target_is_freq else matrix_dftn(target_image)
-        )
-        image_product = src_freq * jnp.conj(target_freq)
-        cross_correlation = matrix_dftn(image_product, inverse=True)
+        if src_image.ndim == 3:
+            src_freq = matrix_dft3_mzn(src_image)          # [m, z, n]
+            target_freq = (
+                target_image if target_is_freq
+                else matrix_dft3_mzn(target_image)
+            )
+            image_product = src_freq * jnp.conj(target_freq)
+            prod_layout = (0, 2, 1)
+            cross_correlation = matrix_dft3_mzn(image_product,
+                                                inverse=True)  # [z, m, n]
+            cc_layout = (2, 0, 1)
+        else:
+            src_freq = matrix_dftn(src_image)
+            target_freq = (
+                target_image if target_is_freq
+                else matrix_dftn(target_image)
+            )
+            image_product = src_freq * jnp.conj(target_freq)
+            cross_correlation = matrix_dftn(image_product, inverse=True)
         magnitude = jnp.abs(cross_correlation)
         product_half = None
     elif use_rfft:
@@ -250,13 +314,24 @@ def phase_cross_correlation(
     else:
         lb = -jnp.asarray(shape, dtype=jnp.float32)
         ub = jnp.asarray(shape, dtype=jnp.float32)
-    mask = _shift_window_mask(shape, lb, ub)
+    if cc_layout is None:
+        cc_shape = shape
+        mask = _shift_window_mask(shape, lb, ub)
+    else:
+        cc_shape = tuple(shape[d] for d in cc_layout)
+        idx = jnp.asarray(cc_layout)
+        mask = _shift_window_mask(cc_shape, jnp.take(lb, idx),
+                                  jnp.take(ub, idx))
     magnitude = jnp.where(mask, magnitude, 0.0)
 
     flat_idx = jnp.argmax(magnitude)
-    maxima = jnp.stack(jnp.unravel_index(flat_idx, shape)).astype(
-        jnp.float32
-    )
+    maxima_l = jnp.unravel_index(flat_idx, cc_shape)
+    if cc_layout is None:
+        maxima = jnp.stack(maxima_l).astype(jnp.float32)
+    else:
+        maxima = jnp.stack(
+            [maxima_l[cc_layout.index(d)] for d in range(ndim)]
+        ).astype(jnp.float32)
     midpoints = jnp.asarray(
         [np.fix(s / 2.0) for s in shape], dtype=jnp.float32
     )
@@ -272,6 +347,10 @@ def phase_cross_correlation(
         sample_region_offset = dftshift - shifts * usf
         if image_product is None:
             image_product = _hermitian_full(product_half, shape)
+        if prod_layout is not None:
+            sample_region_offset = jnp.take(
+                sample_region_offset, jnp.asarray(prod_layout)
+            )
         cc_up = jnp.conj(
             _upsampled_dft(
                 jnp.conj(image_product), region_size, usf,
@@ -279,9 +358,13 @@ def phase_cross_correlation(
             )
         ) / (float(np.prod(shape)) * usf**2)
         up_idx = jnp.argmax(jnp.abs(cc_up))
-        up_maxima = jnp.stack(
-            jnp.unravel_index(up_idx, cc_up.shape)
-        ).astype(jnp.float32)
+        up_maxima_l = jnp.unravel_index(up_idx, cc_up.shape)
+        if prod_layout is None:
+            up_maxima = jnp.stack(up_maxima_l).astype(jnp.float32)
+        else:
+            up_maxima = jnp.stack(
+                [up_maxima_l[prod_layout.index(d)] for d in range(ndim)]
+            ).astype(jnp.float32)
         shifts = shifts + (up_maxima - dftshift) / usf
         ccmax = cc_up.reshape(-1)[up_idx]
 

@@ -235,10 +235,14 @@ def rigid_correct_frames(
     # with the impl phase_cross_correlation will auto-pick for these
     # dims (matrix-DFT for patch-sized frames, rfft beyond).
     matmul_dft = max(real_shape) <= fft_reg.MATMUL_DFT_MAX
-    template_freq = (
-        fft_reg.matrix_dftn(template.astype(jnp.float32)) if matmul_dft
-        else jnp.fft.rfftn(template.astype(jnp.float32))
-    )
+    if matmul_dft:
+        tf32 = template.astype(jnp.float32)
+        template_freq = (
+            fft_reg.matrix_dft3_mzn(tf32) if len(real_shape) == 3
+            else fft_reg.matrix_dftn(tf32)
+        )
+    else:
+        template_freq = jnp.fft.rfftn(template.astype(jnp.float32))
 
     def one(frame):
         frame = frame + add_to_movie
@@ -246,11 +250,17 @@ def rigid_correct_frames(
             frame, template_freq, upsample_factor=upsample_factor,
             max_shifts=max_shifts, target_is_freq=True,
         )
-        corrected = fft_reg.apply_shifts_fourier(
-            src_freq, -shifts, phasediff, is_freq=True,
-            border_nan=border_nan,
-            rfft_shape=None if matmul_dft else real_shape,
-        )
+        if matmul_dft:
+            # The matrix-DFT spectrum lives in a permuted layout; apply
+            # from real space instead (one extra small rfft).
+            corrected = fft_reg.apply_shifts_fourier(
+                frame, -shifts, phasediff, border_nan=border_nan,
+            )
+        else:
+            corrected = fft_reg.apply_shifts_fourier(
+                src_freq, -shifts, phasediff, is_freq=True,
+                border_nan=border_nan, rfft_shape=real_shape,
+            )
         return corrected - add_to_movie, -shifts
 
     return jax.vmap(one)(frames)
