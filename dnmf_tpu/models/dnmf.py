@@ -105,7 +105,10 @@ class _CulledShim:
     # best neuron-block width grows with K — 40 at K=200 (Grams 9.7 ->
     # 7.8 ms/frame, motion 6.8 -> 5.3) but 64 at K=500 (37.3 vs 57 at
     # kblock=40: more blocks mean quadratically more pair branches).
-    # Outputs are identical across tunings.
+    # Round-3: Gram frames_per_step=2 shares the row machinery across
+    # two sublane-packed frames (6.19 -> 5.87 ms/frame at K=200; F=4
+    # still loses to the VMEM working set, 17.5).  Outputs are
+    # identical across tunings (tests/test_pallas_culled.py).
 
     @staticmethod
     def _tuning(num_neurons: int):
@@ -116,6 +119,7 @@ class _CulledShim:
         from dnmf_tpu.ops import pallas_culled as pc
 
         kb, tp = _CulledShim._tuning(pos.shape[0])
+        kwargs.setdefault("frames_per_step", 2)
         return pc.gram_block_culled(betas, pos, *args, kblock=kb,
                                     tile_p=tp, dot_mode="split",
                                     **kwargs)

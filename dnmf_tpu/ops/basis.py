@@ -177,7 +177,10 @@ def warp_voxel_coords(
       scaling: ``"pixel"`` (reference parameterization) or
         ``"normalized"`` (well-conditioned default).
     """
-    psi = voxel_basis_arr @ beta
+    # HIGHEST: coordinates need full f32 — TPU default bf16 matmul
+    # passes would put O(1 px) error on deformed positions.
+    psi = jnp.matmul(voxel_basis_arr, beta,
+                     precision=jax.lax.Precision.HIGHEST)
     if scaling == "normalized":
         psi = denormalize_points(psi, size)
     return psi

@@ -238,7 +238,7 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
-                     "frames_per_step", "interpret"),
+                     "frames_per_step", "psi_source", "interpret"),
 )
 def gram_block_culled(
     betas: jnp.ndarray,
@@ -251,6 +251,7 @@ def gram_block_culled(
     kblock: int = 64,
     dot_mode: str = "highest",
     frames_per_step: int = 1,
+    psi_source: str = "kernel",
     p_offset=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -268,6 +269,12 @@ def gram_block_culled(
     partial sums over that range (``psum`` over the pixel axis yields
     the global Gram).  Culling still keys on the *deformed* coordinates
     of the local tile, so each shard skips blocks far from its voxels.
+
+    ``psi_source="stream"`` (requires ``p_offset=None``): deformed
+    coordinates + fade rows generated by XLA and streamed into the
+    kernel.  Measured SLOWER than the default in-kernel rows (7.1 vs
+    5.9 ms/frame — see :func:`_gram_kernel_streamed` for why); kept as
+    the injection hook for externally-computed coordinate fields.
     """
     bsz = betas.shape[0]
     k = pos.shape[0]
@@ -285,37 +292,14 @@ def gram_block_culled(
     # Pad frames by replicating the last real beta: padded frames' psi
     # joins the per-step culling union, so a copy keeps it tight (their
     # y is zero-padded and their outputs are sliced off below).
-    beta_rows = pk._beta_warp_matrix(
-        jnp.concatenate(
-            [betas,
-             jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
-            axis=0,
-        ) if b_pad > bsz else betas,
-        f_eff,
-    )
+    betas_pad = jnp.concatenate(
+        [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
+        axis=0,
+    ) if b_pad > bsz else betas
     y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
 
-    g, c1 = pl.pallas_call(
-        functools.partial(
-            _gram_kernel_culled, size=tuple(size), scaling=scaling,
-            tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
-            nkb=nkb, f=f_eff, dot_mode=dot_mode,
-        ),
+    common = dict(
         grid=(b_pad // f_eff, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 3 * f_eff, 10),
-                         lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, f_eff, tile_p),
-                         lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=[
             pl.BlockSpec((f_eff, k_pad, k_pad),
                          lambda bi, ti: (bi, 0, 0),
@@ -340,7 +324,61 @@ def gram_block_culled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off, beta_rows, blocks, params, y_blk)
+    )
+    row_spec = pl.BlockSpec((None, None, f_eff, tile_p),
+                            lambda bi, ti: (bi, ti, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if psi_source == "stream":
+        if p_offset is not None:
+            raise ValueError(
+                "psi_source='stream' does not take p_offset (pixel "
+                "shards pass their local voxel basis through the "
+                "kernel-side path)"
+            )
+        psi, w_fade = _xla_psi_rows(betas_pad, tuple(size), scaling)
+        rows = [
+            pk._frame_major(psi[:, :, d], b_pad, f_eff, n_tiles, tile_p,
+                            p_count)
+            for d in range(3)
+        ] + [pk._frame_major(w_fade, b_pad, f_eff, n_tiles, tile_p,
+                             p_count)]
+        g, c1 = pl.pallas_call(
+            functools.partial(
+                _gram_kernel_streamed, tile_p=tile_p, n_tiles=n_tiles,
+                kb=kb, nkb=nkb, f=f_eff, dot_mode=dot_mode,
+            ),
+            in_specs=[
+                pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+                row_spec, row_spec, row_spec, row_spec, row_spec,
+            ],
+            **common,
+        )(blocks, params, *rows, y_blk)
+    else:
+        beta_rows = pk._beta_warp_matrix(betas_pad, f_eff)
+        g, c1 = pl.pallas_call(
+            functools.partial(
+                _gram_kernel_culled, size=tuple(size), scaling=scaling,
+                tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
+                nkb=nkb, f=f_eff, dot_mode=dot_mode,
+            ),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 3 * f_eff, 10),
+                             lambda bi, ti: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+                row_spec,
+            ],
+            **common,
+        )(off, beta_rows, blocks, params, y_blk)
 
     # Undo the sort: sorted index i holds original neuron perm[i], so the
     # original-order Gram is G_sorted[inv][:, inv] with inv = argsort(perm).
@@ -348,6 +386,141 @@ def gram_block_culled(
     g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
     c1 = c1[:bsz, :k, 0][:, inv]
     return g, c1
+
+
+def _gram_kernel_streamed(blocks_ref, pos_ref, psim_ref, psin_ref,
+                          psiz_ref, w_ref, y_ref, g_ref, c1_ref, g_acc,
+                          c1_acc, *scr, tile_p, n_tiles, kb, nkb, f,
+                          dot_mode):
+    """Culled Gram kernel consuming PRECOMPUTED psi/fade rows.
+
+    MEASURED NEGATIVE RESULT (round 3, kept as the psi-injection hook +
+    evidence): streaming XLA-generated psi/fade rows runs 7.1 vs 5.9
+    ms/frame for the in-kernel rows at whole-brain K=200.  The ablation
+    probes that motivated it (BASELINE.md) showed the kernel's time is
+    UNCHANGED with dots+exp+stores removed AND with coords/warp/fade
+    removed — i.e. the kernel is bound by ~2.2 us of per-(frame, tile)
+    grid-pipeline overhead (DMA issue latency + buffer rotation), not
+    by any body compute.  Adding four more streamed inputs per step
+    only adds DMA issue overhead, hence the regression.  The lever that
+    actually moves the wall is the STEP COUNT (tile_p / frames_per_step
+    trade against VMEM) — see the tuning notes in ``_CulledShim``.
+
+    Padded pixels carry w=0 (zero contribution) and psi=0 (they only
+    loosen the final partial tile's cull interval toward m=0).
+    """
+    tile = pl.program_id(1)
+
+    @pl.when(tile == 0)
+    def _():
+        g_acc[:] = jnp.zeros_like(g_acc)
+        c1_acc[:] = jnp.zeros_like(c1_acc)
+
+    psi = (psim_ref[:], psin_ref[:], psiz_ref[:])  # each [F, tp]
+    w = w_ref[:]
+    t_lo = jnp.min(psi[0])
+    t_hi = jnp.max(psi[0])
+
+    split = dot_mode == "split"
+    if split:
+        ahi_scr, alo_scr = scr
+        a_scr = None
+    else:
+        (a_scr,) = scr
+
+    actives = []
+    pair_actives = {}
+    for i in range(nkb):
+        actives.append(
+            (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+        )
+        for j in range(i, nkb):
+            pair_actives[(i, j)] = (blocks_ref[j, 0]
+                                    <= blocks_ref[i, 1])
+
+    hi_prec = jax.lax.Precision.HIGHEST
+    dims = (((1,), (1,)), ((), ()))
+    bf_dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    for fi in range(f):
+        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+        w_f = w[fi:fi + 1, :]
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i):
+                sl = slice(i * kb, (i + 1) * kb)
+                a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
+                if split:
+                    hi, lo = pk._split_bf16(a)
+                    ahi_scr[sl, :] = hi
+                    alo_scr[sl, :] = lo
+                else:
+                    a_scr[sl, :] = a
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i):
+                sl = slice(i * kb, (i + 1) * kb)
+                ai = (ahi_scr[sl, :].astype(jnp.float32)
+                      + alo_scr[sl, :].astype(jnp.float32)) if split \
+                    else a_scr[sl, :]
+                c1_acc[fi, sl, :] += jax.lax.dot_general(
+                    ai, y_ref[fi:fi + 1, :], dims,
+                    preferred_element_type=jnp.float32,
+                    precision=hi_prec,
+                )
+            for j in range(i, nkb):
+                @pl.when(actives[i] & actives[j] & pair_actives[(i, j)])
+                def _(i=i, j=j):
+                    si = slice(i * kb, (i + 1) * kb)
+                    sj = slice(j * kb, (j + 1) * kb)
+                    if split:
+                        gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
+                               + bf_dot(ahi_scr[si, :], alo_scr[sj, :])
+                               + bf_dot(alo_scr[si, :], ahi_scr[sj, :]))
+                    else:
+                        gij = jax.lax.dot_general(
+                            a_scr[si, :], a_scr[sj, :], dims,
+                            preferred_element_type=jnp.float32,
+                            precision=hi_prec,
+                        )
+                    g_acc[fi, si, sj] += gij
+
+    @pl.when(tile == n_tiles - 1)
+    def _():
+        c1_ref[:] = c1_acc[:]
+        lower_mask = jax.lax.broadcasted_iota(
+            jnp.int32, (f,) + g_acc.shape[1:], 1
+        ) // kb > jax.lax.broadcasted_iota(
+            jnp.int32, (f,) + g_acc.shape[1:], 2
+        ) // kb
+        g_full = g_acc[:]
+        g_ref[:] = jnp.where(lower_mask,
+                             jnp.transpose(g_full, (0, 2, 1)), g_full)
+
+
+def _xla_psi_rows(betas, size, scaling):
+    """``(psi [B, P, 3] pixel-space, fade w [B, P])`` via one HIGHEST
+    matmul per frame over the static voxel basis + lane-efficient
+    elementwise fade (matches ``_warp_rows_mf`` + ``_fade_row``)."""
+    from dnmf_tpu.ops import basis as B
+
+    vb = (B.voxel_basis_normalized(size) if scaling == "normalized"
+          else B.voxel_basis(size))
+
+    def one(beta_t):
+        psi = B.warp_voxel_coords(vb, beta_t, size, scaling)  # [P, 3]
+        w = None
+        for d in range(3):
+            hi_d = float(size[d]) - 1.0
+            dist = jnp.minimum(psi[:, d], hi_d - psi[:, d])
+            wd = jnp.clip(1.0 + dist, 0.0, 1.0)
+            w = wd if w is None else w * wd
+        return psi, w
+
+    return jax.vmap(one)(betas)
 
 
 def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,

@@ -159,3 +159,45 @@ def test_pair_cull_distant_clusters(rng):
                 np.asarray(c1[ti]), np.asarray(c1_ref), rtol=1e-4,
                 atol=1e-5,
             )
+
+
+@pytest.mark.parametrize("f", [2, 4])
+def test_gram_culled_multiframe_steps_match(rng, f):
+    """frames_per_step shares row machinery across F frames per grid
+    step (F=2 is the measured whole-brain production setting); outputs
+    must be identical to F=1, including the padded tail (t=3 with F=2
+    pads one frame)."""
+    pos, sigma, betas, y, c = _setup(rng, t=3)
+    g1, c11 = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=1, interpret=True)
+    gf, c1f = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=f, interpret=True)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1f), np.asarray(c11),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("f", [1, 2])
+def test_gram_streamed_psi_matches_kernel_psi(rng, f):
+    """psi_source='stream' (XLA-generated psi/fade rows DMA'd into the
+    kernel — the whole-brain production setting) must match the
+    in-kernel row generation."""
+    pos, sigma, betas, y, c = _setup(rng, t=3)
+    gk, c1k = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=f, interpret=True)
+    gs, c1s = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=f,
+                                   psi_source="stream", interpret=True)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gk),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1s), np.asarray(c1k),
+                               rtol=1e-5, atol=1e-6)

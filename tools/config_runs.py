@@ -1,0 +1,201 @@
+"""Measured runs for BASELINE configs 4 and 5 at single-chip scale
+(VERDICT r2 #5/#6).
+
+Config 4 (10k-frame K=500 frame-sharded scan) cannot stream through
+this session's ~16 MB/s tunneled host link (a real host feeds ~GB/s
+over PCIe), so the single-chip COMPUTE path is measured end-to-end on a
+device-synthesized config-4-shaped recording (512x512x20, K=500,
+registration-seeded, full alternation rounds) and the 8-way-mesh figure
+remains an extrapolation labeled as such in BASELINE.md.
+
+Config 5 measures `batched_round` (vmap over recordings) on one chip at
+reduced scale and reports the throughput ratio vs a single recording —
+the "is vmap-over-recordings ~linear" question.
+
+Run: python tools/config_runs.py [--config4] [--config5]
+Prints one JSON line per section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
+def run_config4(frames: int = 48, rounds: int = 3, epochs: int = 4,
+                mu_iters: int = 50):
+    from wb_recovery import synthesize, warp_error_px
+
+    from dnmf_tpu.config import ModelConfig, OptimizerConfig
+    from dnmf_tpu.models import dnmf as M
+    from dnmf_tpu.ops.basis import translation_beta
+    from dnmf_tpu.registration.motion_correct import rigid_correct_frames
+    from dnmf_tpu.utils.metrics import trace_correlations
+
+    size, k = (512, 512, 20), 500
+    t = frames
+    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
+                        shape_std=3.0)
+    key = jax.random.PRNGKey(0)
+    k_pos, k_sim, k_init = jax.random.split(key, 3)
+    pos_gt = 20.0 + jax.random.uniform(k_pos, (k, 3)) * (
+        jnp.asarray(size, jnp.float32) - 40.0
+    )
+    sigma_gt = jnp.full((k,), model.shape_std)
+    t0 = time.time()
+    betas_gt, c_gt, video = synthesize(model, pos_gt, sigma_gt, k_sim)
+    _ = float(jnp.sum(video[0]))
+    synth_s = time.time() - t0
+
+    # Registration seed (shifts only, device-resident).
+    template = jnp.mean(video[:8].reshape((8,) + size), axis=0)
+
+    @jax.jit
+    def block_shifts(fr):
+        return rigid_correct_frames(
+            fr.reshape((-1,) + size), template, (16, 16, 3),
+            upsample_factor=10, border_nan=True)[1]
+
+    t0 = time.time()
+    shifts = jnp.concatenate([
+        block_shifts(video[s:min(s + 8, t)]) for s in range(0, t, 8)
+    ])
+    corr_s = shifts - shifts[0:1]
+    _ = float(jnp.sum(shifts))
+    reg_s = time.time() - t0
+    beta0 = translation_beta(corr_s, size,
+                             scaling=model.deformation.basis_scaling)
+
+    optimizer = M.make_motion_optimizer(OptimizerConfig(learning_rate=1e-3))
+    state = M.init_state(model, optimizer, positions=pos_gt, key=k_init,
+                         beta0=beta0)
+    use_pallas = jax.default_backend() == "tpu"
+    round_times = []
+    for _r in range(rounds):
+        t0 = time.time()
+        for _e in range(epochs):
+            state, m = M.motion_epoch_parallel(
+                state, video, model, optimizer, gamma=0.1,
+                frame_block=4, use_pallas=use_pallas)
+        grams, c1 = M.compute_grams(state, video, model, frame_block=4,
+                                    use_pallas=use_pallas)
+        state = M.footprint_update(state, grams, c1, iters=mu_iters)
+        _ = float(jnp.sum(state.c[0])) + float(m["recon_mse"])
+        round_times.append(time.time() - t0)
+    corr = trace_correlations(np.asarray(state.c), np.asarray(c_gt))
+    steady = sorted(round_times[1:])[len(round_times[1:]) // 2] \
+        if len(round_times) > 1 else round_times[0]
+    out = {
+        "config": 4,
+        "workload": f"512x512x20 K=500 T={t} (device-synthesized; "
+                    "tunnel cannot stream config-4 IO — see docstring)",
+        "protocol": f"{rounds}x({epochs} epochs + {mu_iters} MU), "
+                    "rigid-seeded",
+        "synth_s": round(synth_s, 1),
+        "registration_seed_s": round(reg_s, 1),
+        "trace_corr_mean": round(float(np.mean(corr)), 4),
+        "trace_corr_min": round(float(np.min(corr)), 4),
+        "warp_err_px": round(
+            warp_error_px(state.beta, betas_gt, pos_gt, model), 3),
+        "round_s_steady": round(steady, 2),
+        "frames_per_sec_full_round": round(t / steady, 2),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def run_config5(recordings: int = 4, t: int = 32):
+    from dnmf_tpu.config import ModelConfig, OptimizerConfig
+    from dnmf_tpu.models import dnmf as M
+    from dnmf_tpu.parallel.batched import batched_round, stack_states
+
+    size, k = (128, 128, 8), 50
+    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
+                        shape_std=3.0)
+    optimizer = M.make_motion_optimizer(OptimizerConfig(learning_rate=1e-3))
+    p = size[0] * size[1] * size[2]
+    keys = jax.random.split(jax.random.PRNGKey(0), recordings)
+    states, videos = [], []
+    for i, kk in enumerate(keys):
+        pos = 10.0 + jax.random.uniform(kk, (k, 3)) * (
+            jnp.asarray(size, jnp.float32) - 20.0)
+        states.append(M.init_state(model, optimizer, positions=pos,
+                                   key=kk))
+        videos.append(jax.random.uniform(jax.random.fold_in(kk, 1),
+                                         (t, p)))
+    batched = stack_states(states)
+    videos_b = jnp.stack(videos)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def one_round_single(state, video):
+        state, m = M.motion_epoch_parallel(
+            state, video, model, optimizer, gamma=0.1, frame_block=8,
+            use_pallas=use_pallas)
+        g, c1 = M.compute_grams(state, video, model, frame_block=8,
+                                use_pallas=use_pallas)
+        return M.footprint_update(state, g, c1, iters=50), m
+
+    def timed(fn, fence):
+        fn()
+        _ = fence()
+        ts = []
+        for _i in range(3):
+            t0 = time.time()
+            fn()
+            _ = fence()
+            ts.append(time.time() - t0)
+        return sorted(ts)[1]
+
+    box = {}
+
+    def single():
+        box["s"], box["m"] = one_round_single(states[0], videos[0])
+
+    single_s = timed(single, lambda: float(jnp.sum(box["s"].c[0])))
+
+    def batch():
+        box["b"], box["bm"] = batched_round(
+            batched, videos_b, model, optimizer, gamma=0.1, mu_iters=50,
+            frame_block=8)
+
+    batch_s = timed(batch, lambda: float(jnp.sum(box["b"].c[0])))
+    ratio = (recordings * single_s) / batch_s
+    out = {
+        "config": 5,
+        "workload": f"{recordings} recordings x 128x128x8 K={k} T={t}, "
+                    "vmapped alternation round, single chip",
+        "single_recording_round_s": round(single_s, 3),
+        "batched_round_s": round(batch_s, 3),
+        "throughput_vs_serial": round(ratio, 2),
+        "frames_per_sec_batched": round(recordings * t / batch_s, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config4", action="store_true")
+    ap.add_argument("--config5", action="store_true")
+    ap.add_argument("--frames", type=int, default=48)
+    args = ap.parse_args()
+    if not (args.config4 or args.config5):
+        args.config4 = args.config5 = True
+    if args.config5:
+        run_config5()
+    if args.config4:
+        run_config4(frames=args.frames)
