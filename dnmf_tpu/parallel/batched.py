@@ -6,9 +6,11 @@ batch of recordings demixes as one program: states and videos carry a
 leading recordings axis and every update step is ``vmap``-ed — on a mesh
 with a ``"batch"`` axis the recordings dimension shards across devices.
 
-All recordings must share (size, K, T).  Uses the XLA compute path
-(the fused Pallas kernels are grid-per-frame-block and are not vmapped
-across recordings).
+All recordings must share (size, K, T).  With ``use_pallas=True`` the
+fused Pallas kernels run under ``vmap`` — pallas_call's batching rule
+prepends the recordings axis as an outer grid dimension, which measured
+bit-exact vs per-recording dispatches and ~1.7x serial-Pallas
+throughput at R=4 (BASELINE.md config 5).
 """
 
 from __future__ import annotations
@@ -43,7 +45,8 @@ def unstack_states(batched: model_lib.DNMFState):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "optimizer", "gamma", "mu_iters",
-                     "mu_gamma", "frame_block"),
+                     "mu_gamma", "frame_block", "use_pallas",
+                     "pallas_interpret"),
 )
 def batched_round(
     states: model_lib.DNMFState,
@@ -54,6 +57,8 @@ def batched_round(
     mu_iters: int,
     mu_gamma: float = 0.0,
     frame_block: int = 8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[model_lib.DNMFState, dict]:
     """One alternation round over a batch of recordings.
 
@@ -68,10 +73,12 @@ def batched_round(
     def one(state, video):
         state, metrics = model_lib.motion_epoch_parallel(
             state, video, model, optimizer, gamma,
-            frame_block=frame_block,
+            frame_block=frame_block, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
         )
         grams, c1 = model_lib.compute_grams(
-            state, video, model, frame_block=frame_block
+            state, video, model, frame_block=frame_block,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         state = model_lib.footprint_update(
             state, grams, c1, iters=mu_iters, gamma=mu_gamma

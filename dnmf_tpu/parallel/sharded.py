@@ -261,3 +261,64 @@ def sharded_footprint_update(
         out_specs=specs,
     )
     return f(state, grams, c1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "mesh", "rounds", "epochs", "mu_iters",
+                     "learning_rate", "prior", "frame_block"),
+)
+def sharded_refined_rounds(
+    state: model_lib.DNMFState,
+    video_flat: jnp.ndarray,
+    model: ModelConfig,
+    mesh: Mesh,
+    rounds: int = 2,
+    epochs: int = 20,
+    mu_iters: int = 30,
+    learning_rate: float = 0.05,
+    prior: float = 1e-3,
+    frame_block: int = 16,
+    pos_t: jnp.ndarray = None,
+):
+    """Frame-sharded per-frame position refinement + tracked-Gram MU.
+
+    Each frame's position problem is independent and its tracked Gram
+    reduces over that frame's own voxels, and the MU trace update here
+    runs without temporal smoothing — so the whole phase is
+    zero-communication: the single-device :func:`models.refine.
+    refined_rounds` runs verbatim on each shard's local frames (Adam is
+    elementwise, anchors/sigma replicate).  Only the per-frame
+    ``recon_mse`` metric comes back time-sharded.
+
+    Requires a time-only mesh (``pixel`` axis of size 1): the refinement
+    loss reduces over whole frames.
+    """
+    from dnmf_tpu.models import refine as refine_lib
+
+    if _pixel_size(mesh) > 1:
+        raise ValueError(
+            "sharded_refined_rounds requires a time-only mesh "
+            "(pixel axis must have size 1)"
+        )
+    specs = _state_specs(state)
+    t = video_flat.shape[0]
+    if pos_t is None:
+        pos_t = jnp.broadcast_to(state.pos[None], (t,) + state.pos.shape)
+
+    def local_fn(state_loc, video_loc, pos_loc):
+        st, p_t, metrics = refine_lib.refined_rounds(
+            state_loc, video_loc, model, rounds=rounds, epochs=epochs,
+            mu_iters=mu_iters, learning_rate=learning_rate, prior=prior,
+            frame_block=frame_block, pos_t=pos_loc,
+        )
+        return st, p_t, metrics
+
+    f = jax.shard_map(
+        local_fn, mesh=mesh,
+        # Time-only mesh (checked above) — a pixel-axis video spec would
+        # mark the MU carry pixel-varying and break the scan's vma match.
+        in_specs=(specs, P(TIME_AXIS), P(TIME_AXIS)),
+        out_specs=(specs, P(TIME_AXIS), {"recon_mse": P(TIME_AXIS)}),
+    )
+    return f(state, video_flat, pos_t)

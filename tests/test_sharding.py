@@ -139,6 +139,59 @@ def test_batched_multi_recording_round():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_refined_rounds_matches_single_device():
+    """Frame-sharded position refinement == single-device (zero-comm)."""
+    from dnmf_tpu.models.refine import refined_rounds
+    from dnmf_tpu.parallel.mesh import make_mesh
+    from dnmf_tpu.parallel.sharded import sharded_refined_rounds
+
+    model, optimizer, state, video = _setup()
+    ref_state, ref_pos, ref_m = refined_rounds(
+        state, video, model, rounds=2, epochs=4, mu_iters=5
+    )
+    mesh = make_mesh(num_time=8, num_batch=1)
+    sh_state, sh_pos, sh_m = sharded_refined_rounds(
+        shard_state(state, mesh), shard_video(video, mesh), model, mesh,
+        rounds=2, epochs=4, mu_iters=5,
+    )
+    np.testing.assert_allclose(np.asarray(sh_pos), np.asarray(ref_pos),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_state.c),
+                               np.asarray(ref_state.c),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_m["recon_mse"]),
+                               np.asarray(ref_m["recon_mse"]),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_batched_round_pallas_matches_xla():
+    """Fused kernels under vmap (recordings axis) == XLA batched path.
+
+    pallas_call's batching rule prepends the recordings axis as an
+    outer grid dimension; on the real chip this measured bit-exact vs
+    per-recording dispatches (BASELINE.md config 5).
+    """
+    from dnmf_tpu.parallel.batched import batched_round, stack_states
+
+    model, optimizer, state0, video0 = _setup()
+    key = jax.random.PRNGKey(12)
+    state1 = M.init_state(model, optimizer,
+                          positions=state0.pos + 0.5, key=key)
+    video1 = jax.random.uniform(key, video0.shape)
+    batched = stack_states([state0, state1])
+    videos = jnp.stack([video0, video1])
+
+    ref, _ = batched_round(batched, videos, model, optimizer, gamma=0.1,
+                           mu_iters=5, frame_block=4)
+    got, _ = batched_round(batched, videos, model, optimizer, gamma=0.1,
+                           mu_iters=5, frame_block=4, use_pallas=True,
+                           pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got.beta), np.asarray(ref.beta),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_engine_with_mesh_matches_single_device():
     """DeformableNMF with RuntimeConfig(mesh_time=8) == single device."""
     from dnmf_tpu.config import (

@@ -34,7 +34,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
-def run_config4(frames: int = 48, rounds: int = 3, epochs: int = 4,
+def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
                 mu_iters: int = 50):
     from wb_recovery import synthesize, warp_error_px
 
@@ -106,6 +106,7 @@ def run_config4(frames: int = 48, rounds: int = 3, epochs: int = 4,
         "synth_s": round(synth_s, 1),
         "registration_seed_s": round(reg_s, 1),
         "trace_corr_mean": round(float(np.mean(corr)), 4),
+        "trace_corr_p10": round(float(np.percentile(corr, 10)), 4),
         "trace_corr_min": round(float(np.min(corr)), 4),
         "warp_err_px": round(
             warp_error_px(state.beta, betas_gt, pos_gt, model), 3),
@@ -117,7 +118,7 @@ def run_config4(frames: int = 48, rounds: int = 3, epochs: int = 4,
     return out
 
 
-def run_config5(recordings: int = 4, t: int = 32):
+def run_config5(recordings: int = 4, t: int = 128):
     from dnmf_tpu.config import ModelConfig, OptimizerConfig
     from dnmf_tpu.models import dnmf as M
     from dnmf_tpu.parallel.batched import batched_round, stack_states
@@ -169,14 +170,15 @@ def run_config5(recordings: int = 4, t: int = 32):
     def batch():
         box["b"], box["bm"] = batched_round(
             batched, videos_b, model, optimizer, gamma=0.1, mu_iters=50,
-            frame_block=8)
+            frame_block=8, use_pallas=use_pallas)
 
     batch_s = timed(batch, lambda: float(jnp.sum(box["b"].c[0])))
     ratio = (recordings * single_s) / batch_s
     out = {
         "config": 5,
         "workload": f"{recordings} recordings x 128x128x8 K={k} T={t}, "
-                    "vmapped alternation round, single chip",
+                    "vmapped alternation round (fused kernels), "
+                    "single chip",
         "single_recording_round_s": round(single_s, 3),
         "batched_round_s": round(batch_s, 3),
         "throughput_vs_serial": round(ratio, 2),
