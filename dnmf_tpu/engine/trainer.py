@@ -338,20 +338,31 @@ class DeformableNMF:
         """
         from dnmf_tpu.models import refine as refine_lib
 
-        if self._mesh is not None:
+        if self._mesh is not None and (self.runtime.mesh_pixel or 1) > 1:
             raise NotImplementedError(
-                "position refinement is single-device (per-frame "
-                "independent — shard over time externally if needed)"
+                "position refinement reduces over whole frames — "
+                "unsupported on a pixel-sharded mesh (use mesh_time)"
             )
         video_flat = self._video_flat(video)
         t0 = time.time()
-        self.state, pos_t, m = refine_lib.refined_rounds(
-            self.state, video_flat, self.model, rounds=rounds,
-            epochs=epochs, mu_iters=mu_iters,
-            learning_rate=learning_rate, prior=prior,
-            frame_block=self.runtime.frame_block,
-            pos_t=getattr(self, "pos_t", None),
-        )
+        if self._mesh is not None:
+            from dnmf_tpu.parallel.sharded import sharded_refined_rounds
+
+            self.state, pos_t, m = sharded_refined_rounds(
+                self.state, video_flat, self.model, self._mesh,
+                rounds=rounds, epochs=epochs, mu_iters=mu_iters,
+                learning_rate=learning_rate, prior=prior,
+                frame_block=self.runtime.frame_block,
+                pos_t=getattr(self, "pos_t", None),
+            )
+        else:
+            self.state, pos_t, m = refine_lib.refined_rounds(
+                self.state, video_flat, self.model, rounds=rounds,
+                epochs=epochs, mu_iters=mu_iters,
+                learning_rate=learning_rate, prior=prior,
+                frame_block=self.runtime.frame_block,
+                pos_t=getattr(self, "pos_t", None),
+            )
         self.pos_t = pos_t
         self._check_finite("refine")
         entry = {

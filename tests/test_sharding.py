@@ -222,6 +222,16 @@ def test_engine_with_mesh_matches_single_device():
     np.testing.assert_allclose(eng_8.traces, eng_1.traces,
                                rtol=1e-4, atol=1e-6)
 
+    # Position-refinement polish routes through the sharded variant on
+    # the mesh engine and must agree with the single-device engine.
+    for eng in (eng_1, eng_8):
+        eng.refine(video, rounds=1, epochs=3, mu_iters=3)
+    np.testing.assert_allclose(np.asarray(eng_8.pos_t),
+                               np.asarray(eng_1.pos_t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(eng_8.traces, eng_1.traces,
+                               rtol=1e-4, atol=1e-6)
+
 
 def test_sharded_with_pallas_interpret_matches():
     """Pallas kernels inside shard_map (interpret mode on the CPU mesh)."""
