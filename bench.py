@@ -240,7 +240,12 @@ def _registration_run():
 
     if jax.default_backend() != "tpu":
         return None
-    b = 2
+    # Measure at the production registration frame block (16 frames per
+    # dispatch, RegistrationConfig.frame_block default): 2-frame
+    # dispatches carried ~14 ms of per-dispatch overhead through the
+    # tunneled backend, half of it billed to each frame — batch-16
+    # amortizes it exactly like the production template iteration does.
+    b = 16
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((b,) + WB_SIZE, dtype=np.float32))
     template = jnp.asarray(rng.random(WB_SIZE, dtype=np.float32))
@@ -258,18 +263,22 @@ def _registration_run():
     rigid_ms = timed(lambda: rigid_correct_frames(
         frames, template, (6, 6, 2), upsample_factor=10,
         border_nan=False))
-    pw = jax.jit(lambda: jax.vmap(
+    # frames/template must be jit ARGUMENTS: closing over them embeds
+    # the 16-frame block (~336 MB) as HLO constants and the tunneled
+    # remote_compile rejects the upload with HTTP 413.
+    pw = jax.jit(lambda fr, tmpl: jax.vmap(
         lambda f: tile_and_correct(
-            f, template, (128, 128, 10), (32, 32, 0), (6, 6, 2),
+            f, tmpl, (128, 128, 10), (32, 32, 0), (6, 6, 2),
             max_deviation_rigid=3, upsample_factor_grid=4,
             upsample_factor_fft=10, use_remap=True,
             remap_mode="separable", border_nan=False, rigid_decimate=4,
-        ))(frames))
-    pw_ms = timed(pw)
+        ))(fr))
+    pw_ms = timed(lambda: pw(frames, template))
     return {
         "rigid_est_apply_ms_per_frame": round(rigid_ms, 2),
         "pwrigid_est_apply_ms_per_frame": round(pw_ms, 2),
-        "pwrigid_config": "4x4x2 patches, sep remap, rigid_decimate=4",
+        "pwrigid_config": "4x4x2 patches, sep remap, rigid_decimate=4, "
+                          "16-frame dispatches",
     }
 
 

@@ -112,38 +112,38 @@ def _block_footprint(psi, pos_ref, lo, kb):
 
 def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
                         g_ref, c1_ref, g_acc, c1_acc, *scr, size,
-                        scaling, tile_p, p_count, n_tiles, kb, nkb, f,
-                        dot_mode):
-    tile = pl.program_id(1)
+                        scaling, tile_p, p_count, n_steps, kb, nkb, f,
+                        dot_mode, tps):
+    step = pl.program_id(1)
 
-    @pl.when(tile == 0)
+    @pl.when(step == 0)
     def _():
         g_acc[:] = jnp.zeros_like(g_acc)
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
-    # Per-step cost structure (whole-brain 512x512x20, K=200, measured
-    # by leveled probe kernels): [1, tile_p] row machinery (coordinate
-    # divmods, basis rows, warp polynomial, fade) ~4.5 ms/frame, exp +
-    # bf16 split ~2.2, pair dots ~2.8 — parts sum to the total, i.e.
-    # execution is serial.  Two rewrites that "should" amortize the row
-    # half both measured SLOWER end-to-end and were reverted: (a) an
-    # XLA-side psi precompute (its ~1 GB/call HBM round-trip plus XLA's
-    # memory-bound elementwise codegen costs as much as the in-kernel
-    # rows it replaces — 10.3 vs 9.9 ms/frame), and (b) F frames per
-    # grid step sharing the rows (F=4: 17.0, F=8: 16.5 vs 9.9 — the
-    # [F, K_pad, K_pad] accumulator + F-row video blocks blow the VMEM
-    # working set and break pipelining, reproducing the round-1
-    # finding).  Hence frames_per_step defaults to 1; the loop below
-    # degenerates to the single-frame form.
+    # Per-step cost structure (whole-brain 512x512x20, K=200): round-3
+    # leveled ablations showed an EMPTY body (streaming y, maintaining
+    # accumulators, computing nothing) costs the same as the full kernel
+    # — the binding constraint is ~2.2 us of per-grid-step pipeline
+    # overhead (DMA issue latency + buffer rotation + step dispatch),
+    # with the body compute hidden under it.  Three rewrites that
+    # "should" beat it all measured SLOWER and default off: (a) an
+    # XLA-side psi precompute (its ~1 GB/call HBM round-trip plus four
+    # extra DMA issues per step cost more than the removed rows — 7.1
+    # vs 5.9 ms/frame), (b) F frames per grid step beyond 2 (the
+    # [F, K_pad, K_pad] accumulator blows the VMEM working set; F=4:
+    # 14.3), and (c) ``tps`` (tiles_per_step) — streaming one
+    # [F, tps * tile_p] video block per step and iterating the body
+    # over tile_p-wide sub-tiles divides the step count by tps without
+    # growing any compute shape, yet measured ~2x SLOWER (F=2: 6.1 ->
+    # 13.1/12.5/12.2 ms/frame at tps=2/4/8, identical in sub-tile-major
+    # and flat lane-offset layouts).  The overhead is therefore NOT a
+    # fixed per-step cost that amortizes: with several sub-tiles of
+    # body per step there is only one block-DMA in flight and the
+    # compute serializes against it, where the tps=1 pipeline hides
+    # each tile's body under the next tile's fetch.  The grid-step
+    # pipelining IS the win; see docs/DESIGN.md "measured ceiling".
     off = off_ref[0, 0]
-    idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
-    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
-    w = _fade_row(psi, size) * (idx < off + p_count).astype(jnp.float32)
-    # Culling bounds are the union over the step's F frames: one
-    # cross-lane reduce instead of F, and per-frame deformed ranges
-    # differ by at most the warp spread, so selectivity is ~unchanged.
-    t_lo = jnp.min(psi[0])
-    t_hi = jnp.max(psi[0])
 
     # Split mode keeps only the 2-term bf16 decomposition in scratch
     # (reused frame-by-frame within the step) — no f32 footprint buffer;
@@ -155,20 +155,6 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
     else:
         (a_scr,) = scr
 
-    actives = []
-    pair_actives = {}
-    for i in range(nkb):
-        actives.append(
-            (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
-        )
-        for j in range(i, nkb):
-            # Pair-interval cull: G entries between blocks i and j are
-            # nonzero only if some neuron pair sits within 2*reach in m,
-            # i.e. the +-reach intervals overlap (blocks sorted by m, so
-            # for j >= i that is "j starts before i ends").
-            pair_actives[(i, j)] = (blocks_ref[j, 0]
-                                    <= blocks_ref[i, 1])
-
     hi_prec = jax.lax.Precision.HIGHEST
     dims = (((1,), (1,)), ((), ()))
     bf_dot = functools.partial(
@@ -176,52 +162,89 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    for fi in range(f):
-        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
-        w_f = w[fi:fi + 1, :]
-        for i in range(nkb):
-            @pl.when(actives[i])
-            def _(i=i):
-                sl = slice(i * kb, (i + 1) * kb)
-                a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
-                if split:
-                    hi, lo = pk._split_bf16(a)
-                    ahi_scr[sl, :] = hi
-                    alo_scr[sl, :] = lo
-                else:
-                    a_scr[sl, :] = a
-        for i in range(nkb):
-            @pl.when(actives[i])
-            def _(i=i):
-                sl = slice(i * kb, (i + 1) * kb)
-                ai = (ahi_scr[sl, :].astype(jnp.float32)
-                      + alo_scr[sl, :].astype(jnp.float32)) if split \
-                    else a_scr[sl, :]
-                c1_acc[fi, sl, :] += jax.lax.dot_general(
-                    ai, y_ref[fi:fi + 1, :], dims,
-                    preferred_element_type=jnp.float32,
-                    precision=hi_prec,
-                )
-            for j in range(i, nkb):
-                @pl.when(actives[i] & actives[j] & pair_actives[(i, j)])
-                def _(i=i, j=j):
-                    si = slice(i * kb, (i + 1) * kb)
-                    sj = slice(j * kb, (j + 1) * kb)
-                    if split:
-                        # 3 single-pass bf16 products vs 6-pass HIGHEST;
-                        # the dropped lo@lo term is O(2^-18) relative.
-                        gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
-                               + bf_dot(ahi_scr[si, :], alo_scr[sj, :])
-                               + bf_dot(alo_scr[si, :], ahi_scr[sj, :]))
-                    else:
-                        gij = jax.lax.dot_general(
-                            a_scr[si, :], a_scr[sj, :], dims,
-                            preferred_element_type=jnp.float32,
-                            precision=hi_prec,
-                        )
-                    g_acc[fi, si, sj] += gij
 
-    @pl.when(tile == n_tiles - 1)
+    for sub in range(tps):
+        base = off + (step * tps + sub) * tile_p
+        idx, mi, ni, zi = _coord_rows(base, size, tile_p)
+        psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
+        w = _fade_row(psi, size) * (
+            idx < off + p_count
+        ).astype(jnp.float32)
+        # Culling bounds are the union over the step's F frames: one
+        # cross-lane reduce instead of F, and per-frame deformed ranges
+        # differ by at most the warp spread, so selectivity is
+        # ~unchanged.  Bounds are per sub-tile (tighter than per step).
+        t_lo = jnp.min(psi[0])
+        t_hi = jnp.max(psi[0])
+
+        actives = []
+        pair_actives = {}
+        for i in range(nkb):
+            actives.append(
+                (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+            )
+            for j in range(i, nkb):
+                # Pair-interval cull: G entries between blocks i and j
+                # are nonzero only if some neuron pair sits within
+                # 2*reach in m, i.e. the +-reach intervals overlap
+                # (blocks sorted by m, so for j >= i that is "j starts
+                # before i ends").
+                pair_actives[(i, j)] = (blocks_ref[j, 0]
+                                        <= blocks_ref[i, 1])
+
+        for fi in range(f):
+            psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+            w_f = w[fi:fi + 1, :]
+            for i in range(nkb):
+                @pl.when(actives[i])
+                def _(i=i, psi_f=psi_f, w_f=w_f):
+                    sl = slice(i * kb, (i + 1) * kb)
+                    a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
+                    if split:
+                        hi, lo = pk._split_bf16(a)
+                        ahi_scr[sl, :] = hi
+                        alo_scr[sl, :] = lo
+                    else:
+                        a_scr[sl, :] = a
+            for i in range(nkb):
+                @pl.when(actives[i])
+                def _(i=i, fi=fi, sub=sub):
+                    sl = slice(i * kb, (i + 1) * kb)
+                    ai = (ahi_scr[sl, :].astype(jnp.float32)
+                          + alo_scr[sl, :].astype(jnp.float32)) if split \
+                        else a_scr[sl, :]
+                    yrow = (y_ref[fi:fi + 1,
+                                  sub * tile_p:(sub + 1) * tile_p]
+                            if tps > 1 else y_ref[fi:fi + 1, :])
+                    c1_acc[fi, sl, :] += jax.lax.dot_general(
+                        ai, yrow, dims,
+                        preferred_element_type=jnp.float32,
+                        precision=hi_prec,
+                    )
+                for j in range(i, nkb):
+                    @pl.when(actives[i] & actives[j]
+                             & pair_actives[(i, j)])
+                    def _(i=i, j=j, fi=fi):
+                        si = slice(i * kb, (i + 1) * kb)
+                        sj = slice(j * kb, (j + 1) * kb)
+                        if split:
+                            # 3 single-pass bf16 products vs 6-pass
+                            # HIGHEST; the dropped lo@lo term is
+                            # O(2^-18) relative.
+                            gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
+                                   + bf_dot(ahi_scr[si, :],
+                                            alo_scr[sj, :])
+                                   + bf_dot(alo_scr[si, :],
+                                            ahi_scr[sj, :]))
+                        else:
+                            gij = jax.lax.dot_general(
+                                a_scr[si, :], a_scr[sj, :], dims,
+                                preferred_element_type=jnp.float32,
+                                precision=hi_prec,
+                            )
+                        g_acc[fi, si, sj] += gij
+
+    @pl.when(step == n_steps - 1)
     def _():
         c1_ref[:] = c1_acc[:]
         # Mirror the strictly-upper blocks into the lower triangle.
@@ -238,7 +261,8 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
-                     "frames_per_step", "psi_source", "interpret"),
+                     "frames_per_step", "tiles_per_step", "psi_source",
+                     "interpret"),
 )
 def gram_block_culled(
     betas: jnp.ndarray,
@@ -251,6 +275,7 @@ def gram_block_culled(
     kblock: int = 64,
     dot_mode: str = "highest",
     frames_per_step: int = 1,
+    tiles_per_step: int = 1,
     psi_source: str = "kernel",
     p_offset=None,
     interpret: bool = False,
@@ -260,9 +285,13 @@ def gram_block_culled(
     ``dot_mode="split"`` runs the block-pair Gram dots as 3 single-pass
     bf16 products instead of the 6-pass HIGHEST emulation (~2x cheaper
     dots; see ``pallas_kernels._gram_dot``); error vs float64 is ~3e-6
-    relative.  ``frames_per_step`` frames can share one grid step's
-    coordinate/warp/fade rows, but 1 is the measured whole-brain
-    optimum — see the kernel comment.
+    relative.  ``frames_per_step`` frames share one grid step's
+    coordinate/warp/fade rows (2 is the measured whole-brain optimum).
+    ``tiles_per_step`` streams one ``[F, tps * tile_p]`` video block per
+    grid step and iterates the body over ``tile_p``-wide sub-tiles,
+    dividing the grid-step count by ``tps`` — a documented NEGATIVE
+    result (~2x slower at whole-brain scale; see the kernel comment):
+    kept at 1 in production, exposed for reproducibility.
 
     ``p_offset`` (traced): pixel-sharded/TP path — ``y`` covers global
     voxels ``[p_offset, p_offset + y.shape[1])``; returned Grams are
@@ -282,12 +311,14 @@ def gram_block_culled(
     nkb = -(-k // kb)
     k_pad = nkb * kb
     p_count = y.shape[1]
-    p_pad = _round_up(p_count, tile_p)
+    tps = int(tiles_per_step)
+    step_p = tile_p * tps
+    p_pad = _round_up(p_count, step_p)
     perm, params, blocks = _sorted_params(pos, sigma, kb, nkb)
     off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
         jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
 
-    n_tiles = p_pad // tile_p
+    n_steps = p_pad // step_p
     f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
     # Pad frames by replicating the last real beta: padded frames' psi
     # joins the per-step culling union, so a copy keeps it tight (their
@@ -296,10 +327,10 @@ def gram_block_culled(
         [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
         axis=0,
     ) if b_pad > bsz else betas
-    y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
+    y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, step_p, p_count)
 
     common = dict(
-        grid=(b_pad // f_eff, n_tiles),
+        grid=(b_pad // f_eff, n_steps),
         out_specs=[
             pl.BlockSpec((f_eff, k_pad, k_pad),
                          lambda bi, ti: (bi, 0, 0),
@@ -325,7 +356,7 @@ def gram_block_culled(
         ),
         interpret=interpret,
     )
-    row_spec = pl.BlockSpec((None, None, f_eff, tile_p),
+    row_spec = pl.BlockSpec((None, None, f_eff, step_p),
                             lambda bi, ti: (bi, ti, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -336,16 +367,21 @@ def gram_block_culled(
                 "shards pass their local voxel basis through the "
                 "kernel-side path)"
             )
+        if tps != 1:
+            raise ValueError(
+                "psi_source='stream' (a documented negative result) "
+                "supports tiles_per_step=1 only"
+            )
         psi, w_fade = _xla_psi_rows(betas_pad, tuple(size), scaling)
         rows = [
-            pk._frame_major(psi[:, :, d], b_pad, f_eff, n_tiles, tile_p,
+            pk._frame_major(psi[:, :, d], b_pad, f_eff, n_steps, tile_p,
                             p_count)
             for d in range(3)
-        ] + [pk._frame_major(w_fade, b_pad, f_eff, n_tiles, tile_p,
+        ] + [pk._frame_major(w_fade, b_pad, f_eff, n_steps, tile_p,
                              p_count)]
         g, c1 = pl.pallas_call(
             functools.partial(
-                _gram_kernel_streamed, tile_p=tile_p, n_tiles=n_tiles,
+                _gram_kernel_streamed, tile_p=tile_p, n_tiles=n_steps,
                 kb=kb, nkb=nkb, f=f_eff, dot_mode=dot_mode,
             ),
             in_specs=[
@@ -362,8 +398,8 @@ def gram_block_culled(
         g, c1 = pl.pallas_call(
             functools.partial(
                 _gram_kernel_culled, size=tuple(size), scaling=scaling,
-                tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
-                nkb=nkb, f=f_eff, dot_mode=dot_mode,
+                tile_p=tile_p, p_count=p_count, n_steps=n_steps, kb=kb,
+                nkb=nkb, f=f_eff, dot_mode=dot_mode, tps=tps,
             ),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),

@@ -182,6 +182,31 @@ def test_gram_culled_multiframe_steps_match(rng, f):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("tps", [2, 4])
+@pytest.mark.parametrize("f", [1, 2])
+def test_gram_culled_tiles_per_step_match(rng, f, tps):
+    """tiles_per_step streams one [F, tps * tile_p] video block per grid
+    step and iterates the body over tile_p-wide sub-tiles (the step-count
+    amortization lever); outputs must be identical to tps=1, including
+    the padded pixel tail (P=640 with tile_p=128: tps=2 pads 128 voxels,
+    tps=4 pads 384)."""
+    pos, sigma, betas, y, c = _setup(rng, t=3)
+    g1, c11 = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=f, tiles_per_step=1,
+                                   interpret=True)
+    gt, c1t = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=f, tiles_per_step=tps,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1t), np.asarray(c11),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("f", [1, 2])
 def test_gram_streamed_psi_matches_kernel_psi(rng, f):
     """psi_source='stream' (XLA-generated psi/fade rows DMA'd into the
