@@ -155,6 +155,17 @@ class RegistrationConfig:
     # Keep the corrected movie (host-resident).  False => shifts +
     # templates only; memory does not scale with T.
     return_mc: bool = True
+    # Per-patch correlation engine for pw-rigid frame blocks:
+    # "auto" (fused Pallas kernel for 3-D remap blocks on TPU, XLA
+    # matrix-DFT otherwise), "fused", or "xla"
+    # (dnmf_tpu/ops/pallas_phasecorr.py; measured 8.7 -> 4.9 ms/frame
+    # at 512x512x20 / 32 patches).
+    phasecorr_impl: str = "auto"
+    # DFT dot precision inside the fused kernel: "highest" (6-pass f32
+    # emulation), "high" (bf16x3, ~1e-6 relative — default), "default"
+    # (single-pass bf16, ~0.4% — integer peaks still exact on noise
+    # fixtures, subpixel slightly perturbed).
+    dft_precision: str = "high"
 
     def resolved_splits(self, phase: str) -> int:
         """Per-phase chunk count (``phase`` in {"rig", "els"})."""

@@ -75,32 +75,45 @@ def _dft_matrix_np(n: int, inverse: bool):
     return w.astype(np.complex64)
 
 
-def matrix_dftn(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+# DFT-matrix contraction precision.  HIGHEST (6-pass f32 emulation) is
+# the safe default: correlation surfaces carry large canceling terms
+# and TPU matmuls default to single-pass bf16 (~0.4% error — enough to
+# perturb subpixel peaks).  HIGH (3-pass bf16x3, ~1e-6 relative) halves
+# the dominant matmul cost; exposed as a measured option via
+# ``dft_precision``.
+_DFT_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def matrix_dftn(x: jnp.ndarray, inverse: bool = False,
+                precision: str = "highest") -> jnp.ndarray:
     """N-D DFT as per-axis MXU matrix products (standard axis order).
 
     XLA's TPU FFT is a memory-bound multi-pass butterfly on the VPU — at
     512x512x20-scale patch stacks it measured 21.6 ms/frame, the single
     largest cost of piecewise-rigid registration.  The O(n^2) DFT-matrix
-    contraction runs on the MXU instead.  HIGHEST-precision dots:
-    correlation surfaces carry large canceling terms and TPU matmuls
-    default to bf16 passes (~0.4% error — enough to perturb subpixel
-    peaks).
+    contraction runs on the MXU instead (see ``_DFT_PRECISIONS`` for the
+    dot-precision trade).
 
     NOTE: for 3-D volumes with a thin minor (z) axis prefer
     :func:`matrix_dft3_mzn` — arrays laid out ``[.., z]`` use z/128 of
     the vector lanes, which made this order-preserving form (and XLA's
     FFT) ~5x slower than the permuted-layout pipeline.
     """
+    prec = _DFT_PRECISIONS[precision]
     out = x if jnp.iscomplexobj(x) else x.astype(jnp.complex64)
     for ax in range(x.ndim):
         w = jnp.asarray(_dft_matrix_np(x.shape[ax], inverse))
-        out = jnp.tensordot(w, out, axes=[[1], [ax]],
-                            precision=jax.lax.Precision.HIGHEST)
+        out = jnp.tensordot(w, out, axes=[[1], [ax]], precision=prec)
         out = jnp.moveaxis(out, 0, ax)
     return out
 
 
-def matrix_dft3_mzn(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+def matrix_dft3_mzn(x: jnp.ndarray, inverse: bool = False,
+                    precision: str = "highest") -> jnp.ndarray:
     """3-D matrix DFT with lane-friendly layouts: ``[m, n, z]`` in,
     ``[m, z, n]`` (frequency) out — and the reverse when ``inverse``.
 
@@ -118,7 +131,7 @@ def matrix_dft3_mzn(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     the caller's magnitude/mask/argmax also avoid the thin minor axis
     (indices map back via the permutation).
     """
-    hi = jax.lax.Precision.HIGHEST
+    hi = _DFT_PRECISIONS[precision]
     if not inverse:
         m, n, z = x.shape
         out = x if jnp.iscomplexobj(x) else x.astype(jnp.complex64)
@@ -216,6 +229,7 @@ def phase_cross_correlation(
     target_is_freq: bool = False,
     use_rfft: bool = True,
     fft_impl: str = "auto",
+    dft_precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Subpixel FFT registration of ``src`` against ``target``.
 
@@ -261,24 +275,29 @@ def phase_cross_correlation(
         # matrix-DFT spectrum" (mzn layout for 3-D inputs).
         shape = src_image.shape
         if src_image.ndim == 3:
-            src_freq = matrix_dft3_mzn(src_image)          # [m, z, n]
+            src_freq = matrix_dft3_mzn(
+                src_image, precision=dft_precision)        # [m, z, n]
             target_freq = (
                 target_image if target_is_freq
-                else matrix_dft3_mzn(target_image)
+                else matrix_dft3_mzn(target_image,
+                                     precision=dft_precision)
             )
             image_product = src_freq * jnp.conj(target_freq)
             prod_layout = (0, 2, 1)
-            cross_correlation = matrix_dft3_mzn(image_product,
-                                                inverse=True)  # [z, m, n]
+            cross_correlation = matrix_dft3_mzn(
+                image_product, inverse=True,
+                precision=dft_precision)                   # [z, m, n]
             cc_layout = (2, 0, 1)
         else:
-            src_freq = matrix_dftn(src_image)
+            src_freq = matrix_dftn(src_image, precision=dft_precision)
             target_freq = (
                 target_image if target_is_freq
-                else matrix_dftn(target_image)
+                else matrix_dftn(target_image,
+                                 precision=dft_precision)
             )
             image_product = src_freq * jnp.conj(target_freq)
-            cross_correlation = matrix_dftn(image_product, inverse=True)
+            cross_correlation = matrix_dftn(image_product, inverse=True,
+                                            precision=dft_precision)
         magnitude = jnp.abs(cross_correlation)
         product_half = None
     elif use_rfft:
@@ -340,38 +359,67 @@ def phase_cross_correlation(
     ccmax = cross_correlation.reshape(-1)[flat_idx]
 
     if upsample_factor > 1:
-        usf = int(upsample_factor)
-        shifts = jnp.round(shifts * usf) / usf
-        region_size = int(np.ceil(usf * 1.5))
-        dftshift = float(np.fix(region_size / 2.0))
-        sample_region_offset = dftshift - shifts * usf
         if image_product is None:
             image_product = _hermitian_full(product_half, shape)
-        if prod_layout is not None:
-            sample_region_offset = jnp.take(
-                sample_region_offset, jnp.asarray(prod_layout)
-            )
-        cc_up = jnp.conj(
-            _upsampled_dft(
-                jnp.conj(image_product), region_size, usf,
-                sample_region_offset,
-            )
-        ) / (float(np.prod(shape)) * usf**2)
-        up_idx = jnp.argmax(jnp.abs(cc_up))
-        up_maxima_l = jnp.unravel_index(up_idx, cc_up.shape)
-        if prod_layout is None:
-            up_maxima = jnp.stack(up_maxima_l).astype(jnp.float32)
-        else:
-            up_maxima = jnp.stack(
-                [up_maxima_l[prod_layout.index(d)] for d in range(ndim)]
-            ).astype(jnp.float32)
-        shifts = shifts + (up_maxima - dftshift) / usf
-        ccmax = cc_up.reshape(-1)[up_idx]
+        shifts, ccmax = subpixel_refine(
+            image_product, shifts, upsample_factor, shape,
+            prod_layout=prod_layout,
+        )
 
     # Singleton axes carry no shift information (reference :1020-1022).
     shifts = jnp.where(sizes == 1, 0.0, shifts)
     phasediff = jnp.arctan2(jnp.imag(ccmax), jnp.real(ccmax))
     return shifts, src_freq, phasediff
+
+
+def subpixel_refine(
+    image_product: jnp.ndarray,
+    shifts: jnp.ndarray,
+    upsample_factor: int,
+    shape,
+    prod_layout=None,
+):
+    """Refine integer ``shifts`` to ``1/upsample_factor`` resolution via
+    the Guizar-Sicairos matrix-multiply DFT around the coarse peak
+    (reference ``:987-1016``).
+
+    Args:
+      image_product: full complex cross-power spectrum; its axes map to
+        the spatial dims of ``shape`` via ``prod_layout`` (data axis
+        ``d`` holds shape dim ``prod_layout[d]``; None = identity).
+      shifts: ``[ndim]`` coarse signed shifts in ``shape``-dim order.
+
+    Returns:
+      ``(shifts, ccmax)``: refined shifts and the complex correlation
+      value at the refined peak (feeds the phase-difference output).
+    """
+    ndim = len(shape)
+    usf = int(upsample_factor)
+    shifts = jnp.round(shifts * usf) / usf
+    region_size = int(np.ceil(usf * 1.5))
+    dftshift = float(np.fix(region_size / 2.0))
+    sample_region_offset = dftshift - shifts * usf
+    if prod_layout is not None:
+        sample_region_offset = jnp.take(
+            sample_region_offset, jnp.asarray(prod_layout)
+        )
+    cc_up = jnp.conj(
+        _upsampled_dft(
+            jnp.conj(image_product), region_size, usf,
+            sample_region_offset,
+        )
+    ) / (float(np.prod(shape)) * usf**2)
+    up_idx = jnp.argmax(jnp.abs(cc_up))
+    up_maxima_l = jnp.unravel_index(up_idx, cc_up.shape)
+    if prod_layout is None:
+        up_maxima = jnp.stack(up_maxima_l).astype(jnp.float32)
+    else:
+        up_maxima = jnp.stack(
+            [up_maxima_l[prod_layout.index(d)] for d in range(ndim)]
+        ).astype(jnp.float32)
+    shifts = shifts + (up_maxima - dftshift) / usf
+    ccmax = cc_up.reshape(-1)[up_idx]
+    return shifts, ccmax
 
 
 def apply_shifts_fourier(

@@ -205,6 +205,92 @@ def high_pass_filter_space(img: jnp.ndarray, gSig_filt) -> jnp.ndarray:
     return out[0, 0]
 
 
+def _rigid_estimate(reg_img, template, max_shifts, upsample_factor_fft,
+                    rigid_decimate):
+    """Global rigid shift of one frame (bounds the per-patch search)."""
+    nd = reg_img.ndim
+    if rigid_decimate > 1:
+        # The global rigid estimate only bounds the per-patch search
+        # (lb/ub below); a 2x/4x anti-aliased downsample in x/y keeps
+        # ~0.1-0.2 px accuracy — far inside max_deviation_rigid — at
+        # 1/d^2 the FFT cost (the full-frame FFT otherwise rivals the
+        # entire patch stack).
+        d = int(rigid_decimate)
+
+        def pool(x):
+            m, n = x.shape[0] // d, x.shape[1] // d
+            rest = x.shape[2:]
+            return x[:m * d, :n * d].reshape(
+                (m, d, n, d) + rest).mean(axis=(1, 3))
+
+        dec_ms = tuple(max(1.0, float(ms) / d)
+                       for ms in max_shifts[:2]) + tuple(max_shifts[2:])
+        rigid_dec, _, _ = fft_reg.phase_cross_correlation(
+            pool(reg_img), pool(template),
+            upsample_factor=upsample_factor_fft, max_shifts=dec_ms,
+        )
+        scale = jnp.asarray((float(d), float(d)) + (1.0,) * (nd - 2))
+        return rigid_dec * scale
+    rigid_shts, _, _ = fft_reg.phase_cross_correlation(
+        reg_img, template, upsample_factor=upsample_factor_fft,
+        max_shifts=max_shifts,
+    )
+    return rigid_shts
+
+
+def _apply_remap_field(img, rigid_shts, patch_shifts, grid_shape,
+                       remap_mode, max_shifts, max_deviation_rigid):
+    """Upsample the patch shift field and resample one frame at
+    ``x + shift(x)`` (the reference's ``shifts_opencv`` remap path)."""
+    dims = img.shape
+    nd = len(dims)
+    # Dense interpolated shift field; sample img at x + shift(x).
+    fields = [
+        _upsample_field(patch_shifts[:, d], grid_shape, dims)
+        for d in range(nd)
+    ]
+    dims3 = dims if nd == 3 else dims + (1,)
+    vol = img.reshape(dims3)
+    if remap_mode == "separable":
+        from dnmf_tpu.ops.resample import separable_warp
+
+        # The field deviates at most max_deviation_rigid (+0.75
+        # subpixel + cubic-upsample overshoot < 0.5) from the rigid
+        # shift, so warp relative to the traced rigid base: the
+        # offset loop covers only the residual range instead of
+        # max_shifts + deviation (28 -> 12 passes/axis at defaults).
+        rb = int(max_deviation_rigid) + 2
+        bound = (rb,) * nd + ((0,) if nd == 2 else ())
+        base = jnp.concatenate(
+            [rigid_shts, jnp.zeros((3 - nd,))]
+        ) if nd == 2 else rigid_shts
+        base_bound = tuple(
+            int(np.ceil(ms)) + 1 for ms in max_shifts[:nd]
+        ) + ((0,) if nd == 2 else ())
+        shifts4 = jnp.stack(
+            [f.reshape(dims3) for f in fields]
+            + ([jnp.zeros(dims3)] if nd == 2 else []),
+            axis=-1,
+        )
+        corrected = separable_warp(vol, shifts4, bound, base=base,
+                                   base_bound=base_bound)
+    elif remap_mode == "exact":
+        from dnmf_tpu.ops.basis import voxel_grid
+        from dnmf_tpu.ops.resample import trilinear_resample
+
+        grid = voxel_grid(dims3)
+        shift_flat = jnp.stack(
+            [f.reshape(-1) for f in fields]
+            + ([jnp.zeros(grid.shape[0])] if nd == 2 else []),
+            axis=-1,
+        )
+        coords = grid + shift_flat
+        corrected = trilinear_resample(vol, coords, padding="edge")
+    else:
+        raise ValueError(f"unknown remap_mode: {remap_mode!r}")
+    return corrected.reshape(dims)
+
+
 # ----------------------------------------------------------------------
 # Per-frame correction
 # ----------------------------------------------------------------------
@@ -337,33 +423,10 @@ def tile_and_correct(
     else:
         reg_img = img
 
-    if rigid_decimate > 1:
-        # The global rigid estimate only bounds the per-patch search
-        # (lb/ub below); a 2x/4x anti-aliased downsample in x/y keeps
-        # ~0.1-0.2 px accuracy — far inside max_deviation_rigid — at
-        # 1/d^2 the FFT cost (the full-frame FFT otherwise rivals the
-        # entire patch stack).
-        d = int(rigid_decimate)
-
-        def pool(x):
-            m, n = x.shape[0] // d, x.shape[1] // d
-            rest = x.shape[2:]
-            return x[:m * d, :n * d].reshape(
-                (m, d, n, d) + rest).mean(axis=(1, 3))
-
-        dec_ms = tuple(max(1.0, float(ms) / d)
-                       for ms in max_shifts[:2]) + tuple(max_shifts[2:])
-        rigid_dec, _, _ = fft_reg.phase_cross_correlation(
-            pool(reg_img), pool(template),
-            upsample_factor=upsample_factor_fft, max_shifts=dec_ms,
-        )
-        scale = jnp.asarray((float(d), float(d)) + (1.0,) * (nd - 2))
-        rigid_shts = rigid_dec * scale
-    else:
-        rigid_shts, _, _ = fft_reg.phase_cross_correlation(
-            reg_img, template, upsample_factor=upsample_factor_fft,
-            max_shifts=max_shifts,
-        )
+    rigid_shts = _rigid_estimate(
+        reg_img, template, max_shifts, upsample_factor_fft,
+        rigid_decimate,
+    )
 
     starts, grid_shape, window = patch_grid(dims, overlaps, strides)
     tmpl_patches = _extract_patches(template, starts, window)
@@ -384,51 +447,10 @@ def tile_and_correct(
     )  # [n_patches, nd], [n_patches]
 
     if use_remap:
-        # Dense interpolated shift field; sample img at x + shift(x).
-        fields = [
-            _upsample_field(patch_shifts[:, d], grid_shape, dims)
-            for d in range(nd)
-        ]
-        dims3 = dims if nd == 3 else dims + (1,)
-        vol = img.reshape(dims3)
-        if remap_mode == "separable":
-            from dnmf_tpu.ops.resample import separable_warp
-
-            # The field deviates at most max_deviation_rigid (+0.75
-            # subpixel + cubic-upsample overshoot < 0.5) from the rigid
-            # shift, so warp relative to the traced rigid base: the
-            # offset loop covers only the residual range instead of
-            # max_shifts + deviation (28 -> 12 passes/axis at defaults).
-            rb = int(max_deviation_rigid) + 2
-            bound = (rb,) * nd + ((0,) if nd == 2 else ())
-            base = jnp.concatenate(
-                [rigid_shts, jnp.zeros((3 - nd,))]
-            ) if nd == 2 else rigid_shts
-            base_bound = tuple(
-                int(np.ceil(ms)) + 1 for ms in max_shifts[:nd]
-            ) + ((0,) if nd == 2 else ())
-            shifts4 = jnp.stack(
-                [f.reshape(dims3) for f in fields]
-                + ([jnp.zeros(dims3)] if nd == 2 else []),
-                axis=-1,
-            )
-            corrected = separable_warp(vol, shifts4, bound, base=base,
-                                       base_bound=base_bound)
-        elif remap_mode == "exact":
-            from dnmf_tpu.ops.basis import voxel_grid
-            from dnmf_tpu.ops.resample import trilinear_resample
-
-            grid = voxel_grid(dims3)
-            shift_flat = jnp.stack(
-                [f.reshape(-1) for f in fields]
-                + ([jnp.zeros(grid.shape[0])] if nd == 2 else []),
-                axis=-1,
-            )
-            coords = grid + shift_flat
-            corrected = trilinear_resample(vol, coords, padding="edge")
-        else:
-            raise ValueError(f"unknown remap_mode: {remap_mode!r}")
-        corrected = corrected.reshape(dims)
+        corrected = _apply_remap_field(
+            img, rigid_shts, patch_shifts, grid_shape, remap_mode,
+            max_shifts, max_deviation_rigid,
+        )
         return corrected - add_to_movie, -patch_shifts
 
     # DFT path: upsampled patch grid, per-patch Fourier shifts, blending.
@@ -488,6 +510,124 @@ def tile_and_correct(
 
     corrected = _blend_patches(shifted, weights, new_starts, new_window,
                                dims)
+    return corrected - add_to_movie, -patch_shifts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "strides", "overlaps", "max_shifts", "max_deviation_rigid",
+        "upsample_factor_grid", "upsample_factor_fft", "use_remap",
+        "remap_mode", "border_nan", "gSig_filt", "rigid_decimate",
+        "phasecorr_impl", "dft_precision",
+    ),
+)
+def tile_and_correct_block(
+    frames: jnp.ndarray,
+    template: jnp.ndarray,
+    strides,
+    overlaps,
+    max_shifts,
+    max_deviation_rigid: int = 3,
+    upsample_factor_grid: int = 4,
+    upsample_factor_fft: int = 10,
+    use_remap: bool = True,
+    remap_mode: str = "exact",
+    border_nan=True,
+    add_to_movie: float = 0.0,
+    gSig_filt=None,
+    rigid_decimate: int = 1,
+    phasecorr_impl: str = "auto",
+    dft_precision: str = "high",
+):
+    """Piecewise-rigid correction of a ``[B, ...spatial]`` frame block.
+
+    Semantics match ``vmap(tile_and_correct)`` over the block; the win is
+    the per-patch correlation stage, which (when ``phasecorr_impl``
+    resolves to ``"fused"``) runs as ONE fused Pallas kernel over the
+    whole ``[B, n_patches]`` grid — patch DFT, cross-power product,
+    inverse, shift-window mask and argmax all in VMEM
+    (:mod:`dnmf_tpu.ops.pallas_phasecorr`; measured 8.7 -> 4.9 ms/frame
+    at 512x512x20 / 32 patches vs the per-patch XLA matrix-DFT chain).
+
+    ``phasecorr_impl``: ``"fused"`` | ``"xla"`` | ``"auto"`` (fused for
+    3-D remap-mode blocks on a TPU backend, XLA otherwise).
+    ``dft_precision`` (fused path): ``"highest"`` (6-pass f32) |
+    ``"high"`` (bf16x3, ~1e-6 relative — the default) | ``"default"``
+    (single-pass bf16).
+    """
+    dims = frames.shape[1:]
+    nd = len(dims)
+    impl = phasecorr_impl
+    if impl == "auto":
+        impl = ("fused" if nd == 3 and use_remap
+                and jax.default_backend() == "tpu" else "xla")
+    if impl != "fused" or not use_remap:
+        def one(f):
+            return tile_and_correct(
+                f, template, strides, overlaps, max_shifts,
+                max_deviation_rigid=max_deviation_rigid,
+                upsample_factor_grid=upsample_factor_grid,
+                upsample_factor_fft=upsample_factor_fft,
+                use_remap=use_remap, remap_mode=remap_mode,
+                border_nan=border_nan, add_to_movie=add_to_movie,
+                gSig_filt=gSig_filt, rigid_decimate=rigid_decimate,
+            )
+        return jax.vmap(one)(frames)
+    if nd != 3:
+        raise ValueError("fused phase correlation is 3-D only")
+
+    from dnmf_tpu.ops import pallas_phasecorr as pp
+
+    frames = frames + add_to_movie
+    template = template + add_to_movie
+    reg_frames = frames  # gSig_filt is 2-D-only; fused path is 3-D
+
+    rigid_shts = jax.vmap(
+        lambda f: _rigid_estimate(
+            f, template, max_shifts, upsample_factor_fft,
+            rigid_decimate)
+    )(reg_frames)  # [B, 3]
+
+    starts, grid_shape, window = patch_grid(dims, overlaps, strides)
+    wm, wn, wz = window
+    tre, tim = pp.patch_spectra(_extract_patches(template, starts,
+                                                 window))
+    pats = jax.vmap(
+        lambda f: pp.to_zm_n(_extract_patches(f, starts, window))
+    )(reg_frames)  # [B, NP, z*m, n]
+
+    lb = jnp.ceil(rigid_shts - max_deviation_rigid)
+    ub = jnp.floor(rigid_shts + max_deviation_rigid)
+    bounds = jnp.concatenate(
+        [lb, ub, jnp.zeros((frames.shape[0], 2))], axis=1
+    ).astype(jnp.float32)  # [B, 8]
+
+    sh_int, pre, pim = pp.phase_corr_block(
+        pats, tre, tim, bounds, z=wz, precision=dft_precision,
+        interpret=jax.default_backend() != "tpu",
+    )
+    if upsample_factor_fft > 1:
+        prod = (pre + 1j * pim).reshape(pre.shape[:2] + (wz, wm, wn))
+
+        def refine(pr, s):
+            sf, _ = fft_reg.subpixel_refine(
+                pr, s, upsample_factor_fft, window,
+                prod_layout=(2, 0, 1),
+            )
+            return sf
+        patch_shifts = jax.vmap(jax.vmap(refine))(prod, sh_int)
+    else:
+        patch_shifts = sh_int
+    # Singleton axes carry no shift information (reference :1020-1022).
+    sizes = jnp.asarray(window, dtype=jnp.float32)
+    patch_shifts = jnp.where(sizes == 1, 0.0, patch_shifts)
+
+    corrected = jax.vmap(
+        lambda f, rs, ps: _apply_remap_field(
+            f, rs, ps, grid_shape, remap_mode, max_shifts,
+            max_deviation_rigid)
+    )(frames, rigid_shts, patch_shifts)
     return corrected - add_to_movie, -patch_shifts
 
 
@@ -887,9 +1027,8 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
 
     def correct_block_factory(templ):
         def correct_block(frames):
-            return jax.vmap(
-                lambda f: tile_and_correct(
-                    f, templ, strides, overlaps, cfg.max_shifts,
+            return tile_and_correct_block(
+                    frames, templ, strides, overlaps, cfg.max_shifts,
                     max_deviation_rigid=cfg.max_deviation_rigid,
                     upsample_factor_grid=cfg.upsample_factor_grid,
                     upsample_factor_fft=cfg.upsample_factor_fft,
@@ -897,9 +1036,10 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
                     remap_mode=cfg.remap_mode,
                     border_nan=cfg.border_nan,
                     add_to_movie=add_to_movie, gSig_filt=cfg.gSig_filt,
+                    phasecorr_impl=cfg.phasecorr_impl,
+                    dft_precision=cfg.dft_precision,
                     rigid_decimate=cfg.rigid_decimate,
                 )
-            )(frames)
         return correct_block
 
     new_templ = template

@@ -387,3 +387,65 @@ def test_rigid_decimate_bounds_match(rng):
                                np.asarray(full.x_shifts_els), atol=0.3)
     np.testing.assert_allclose(np.asarray(dec.y_shifts_els),
                                np.asarray(full.y_shifts_els), atol=0.3)
+
+
+def test_tile_and_correct_block_fused_matches_vmapped(rng):
+    """The fused-Pallas block path (interpret mode on CPU) matches
+    vmap(tile_and_correct) — shifts to subpixel-grid tolerance, frames
+    to interpolation tolerance."""
+    from dnmf_tpu.registration.motion_correct import (
+        tile_and_correct_block,
+    )
+
+    m, n, z = 32, 32, 4
+    tmpl3 = gaussian_filter(
+        rng.normal(size=(m, n, z)), (2.0, 2.0, 0.5)
+    ).astype(np.float32)
+    video = np.stack([
+        np.roll(tmpl3, (2, -1, 1), axis=(0, 1, 2)),
+        np.roll(tmpl3, (-1, 2, 0), axis=(0, 1, 2)),
+        np.roll(tmpl3, (0, -2, -1), axis=(0, 1, 2)),
+    ]).astype(np.float32)
+    kw = dict(strides=(16, 16, 4), overlaps=(8, 8, 0),
+              max_shifts=(4, 4, 2), max_deviation_rigid=2,
+              use_remap=True, remap_mode="separable", border_nan=True)
+    c_ref, s_ref = tile_and_correct_block(
+        jnp.asarray(video), jnp.asarray(tmpl3), phasecorr_impl="xla",
+        **kw
+    )
+    c_fused, s_fused = tile_and_correct_block(
+        jnp.asarray(video), jnp.asarray(tmpl3), phasecorr_impl="fused",
+        **kw
+    )
+    # Integer-peak agreement is exact; subpixel refinement runs the same
+    # code on spectra that differ only by DFT-precision rounding.
+    np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
+                               atol=0.11)
+    np.testing.assert_allclose(np.asarray(c_fused), np.asarray(c_ref),
+                               atol=0.05)
+
+
+def test_tile_and_correct_block_xla_matches_per_frame(rng):
+    """phasecorr_impl="xla" block path is exactly vmapped
+    tile_and_correct."""
+    from dnmf_tpu.registration.motion_correct import (
+        tile_and_correct_block,
+    )
+
+    tmpl = _template(rng, (40, 40))
+    video = _rolled_video(tmpl, [(2, -1), (-1, 2)])
+    kw = dict(strides=(24, 24), overlaps=(8, 8), max_shifts=(4, 4),
+              max_deviation_rigid=2, use_remap=True,
+              remap_mode="separable", border_nan=True)
+    c_blk, s_blk = tile_and_correct_block(
+        jnp.asarray(video), jnp.asarray(tmpl), phasecorr_impl="xla",
+        **kw
+    )
+    for i in range(2):
+        c1, s1 = tile_and_correct(
+            jnp.asarray(video[i]), jnp.asarray(tmpl), **kw
+        )
+        np.testing.assert_allclose(np.asarray(s_blk[i]), np.asarray(s1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_blk[i]), np.asarray(c1),
+                                   atol=1e-6)

@@ -56,7 +56,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sections", type=str, default="all",
+                    help="comma list from {main,probes,prec,fused,apply}")
     args = ap.parse_args()
+    sections = (set(args.sections.split(","))
+                if args.sections != "all"
+                else {"main", "probes", "prec", "fused", "apply"})
 
     b = args.frames
     rng = np.random.default_rng(0)
@@ -76,29 +81,37 @@ def main():
     def rigid(fr):
         return rigid_correct_frames(fr, template, MAX_SHIFTS,
                                     upsample_factor=10, border_nan=False)
-    report("rigid est+apply", timeit(rigid, frames, reps=args.reps))
 
-    # 2. full pw-rigid, separable remap, at each rigid-decimate level
-    def make_pw(dec, est_only):
+    # 2. full pw-rigid, separable remap, at each rigid-decimate level —
+    # through the production block entry (tile_and_correct_block: fused
+    # Pallas phase correlation on TPU, XLA fallback selectable).
+    from dnmf_tpu.registration.motion_correct import (
+        tile_and_correct_block,
+    )
+
+    def make_pw(dec, est_only, impl="auto"):
         def pw(fr):
-            out = jax.vmap(
-                lambda f: tile_and_correct(
-                    f, template, STRIDES, OVERLAPS, MAX_SHIFTS,
-                    max_deviation_rigid=3, upsample_factor_grid=4,
-                    upsample_factor_fft=10, use_remap=True,
-                    remap_mode="separable", border_nan=False,
-                    rigid_decimate=dec)
-            )(fr)
+            out = tile_and_correct_block(
+                fr, template, STRIDES, OVERLAPS, MAX_SHIFTS,
+                max_deviation_rigid=3, upsample_factor_grid=4,
+                upsample_factor_fft=10, use_remap=True,
+                remap_mode="separable", border_nan=False,
+                rigid_decimate=dec, phasecorr_impl=impl)
             return out[1] if est_only else out
         return jax.jit(pw)
 
-    for dec in (1, 2, 4):
-        report(f"pw-rigid est+apply (sep, dec={dec})",
-               timeit(make_pw(dec, False), frames, reps=args.reps))
-    report("pw-rigid estimate only (dec=1)",
-           timeit(make_pw(1, True), frames, reps=args.reps))
-    report("pw-rigid estimate only (dec=4)",
-           timeit(make_pw(4, True), frames, reps=args.reps))
+    if "main" in sections:
+        report("rigid est+apply", timeit(rigid, frames, reps=args.reps))
+        for dec in (1, 2, 4):
+            report(f"pw-rigid est+apply (sep, dec={dec})",
+                   timeit(make_pw(dec, False), frames, reps=args.reps))
+        report("pw-rigid est+apply (dec=4, xla pc)",
+               timeit(make_pw(4, False, impl="xla"), frames,
+                      reps=args.reps))
+        report("pw-rigid estimate only (dec=1)",
+               timeit(make_pw(1, True), frames, reps=args.reps))
+        report("pw-rigid estimate only (dec=4)",
+               timeit(make_pw(4, True), frames, reps=args.reps))
 
     # 3b. estimation-stage probes
     from dnmf_tpu.ops import fft_reg
@@ -114,11 +127,12 @@ def main():
             cc = jnp.fft.irfftn(half, s=window, axes=(1, 2, 3))
             return jnp.sum(cc)
         return jax.vmap(one)(fr)
-    report("probe: patch rfft+irfft only",
+    if "probes" in sections:
+        report("probe: patch rfft+irfft only",
            timeit(jax.jit(patch_ffts), frames, reps=args.reps))
 
-    def patch_reg(fr, usf):
-        tmpl_pats = _extract_patches(template, starts, window)
+    def patch_reg(fr, tmpl, usf):
+        tmpl_pats = _extract_patches(tmpl, starts, window)
         def one(f):
             pats = _extract_patches(f, starts, window)
             s, _, _ = jax.vmap(
@@ -129,12 +143,172 @@ def main():
             )(pats, tmpl_pats)
             return s
         return jax.vmap(one)(fr)
-    report("probe: patch registration usf=1",
-           timeit(jax.jit(lambda fr: patch_reg(fr, 1)), frames,
-                  reps=args.reps))
-    report("probe: patch registration usf=10",
-           timeit(jax.jit(lambda fr: patch_reg(fr, 10)), frames,
-                  reps=args.reps))
+    if "probes" in sections:
+        report("probe: patch registration usf=1",
+               timeit(jax.jit(lambda fr, t: patch_reg(fr, t, 1)),
+                      frames, template, reps=args.reps))
+        report("probe: patch registration usf=10",
+               timeit(jax.jit(lambda fr, t: patch_reg(fr, t, 10)),
+                      frames, template, reps=args.reps))
+
+    # 3c. correlation-stage isolation probes on the production patch
+    # stack (32 patches x window, matrix-DFT path) — what the fused
+    # Pallas phase-correlation kernel would have to beat.
+    def dft_fwd(fr):
+        def one(f):
+            pats = _extract_patches(f, starts, window)
+            sp = jax.vmap(fft_reg.matrix_dft3_mzn)(pats)
+            return jnp.sum(jnp.real(sp))
+        return jax.vmap(one)(fr)
+    if "probes" in sections:
+        report("probe: patch matrix-DFT fwd only",
+           timeit(jax.jit(dft_fwd), frames, reps=args.reps))
+
+    # Template spectrum passed as a jit ARGUMENT: closed-over device
+    # arrays embed as HLO constants, which this backend rejects
+    # (UNIMPLEMENTED from the MLIR constant handler).
+    tmpl_freq = jax.jit(
+        lambda t: jax.vmap(fft_reg.matrix_dft3_mzn)(
+            _extract_patches(t, starts, window))
+    )(template)
+
+    def dft_corr(fr, tf):
+        def one(f):
+            pats = _extract_patches(f, starts, window)
+            sp = jax.vmap(fft_reg.matrix_dft3_mzn)(pats)
+            prod = sp * jnp.conj(tf)
+            cc = jax.vmap(
+                lambda p: fft_reg.matrix_dft3_mzn(p, inverse=True)
+            )(prod)
+            return jnp.sum(jnp.real(cc))
+        return jax.vmap(one)(fr)
+    if "probes" in sections:
+        report("probe: fwd+product+inverse",
+               timeit(jax.jit(dft_corr), frames, tmpl_freq,
+                      reps=args.reps))
+
+    def make_reg_probe(usf):
+        def probe(fr, tf):
+            def one(f):
+                pats = _extract_patches(f, starts, window)
+                s, _, _ = jax.vmap(
+                    lambda ip, tp: fft_reg.phase_cross_correlation(
+                        ip, tp, upsample_factor=usf, target_is_freq=True,
+                        shifts_lb=jnp.asarray([-6.0, -6.0, -2.0]),
+                        shifts_ub=jnp.asarray([6.0, 6.0, 2.0]))
+                )(pats, tf)
+                return s
+            return jax.vmap(one)(fr)
+        return jax.jit(probe)
+    if "probes" in sections:
+        report("probe: + mask/argmax (usf=1, tmpl preFFT)",
+               timeit(make_reg_probe(1), frames, tmpl_freq,
+                      reps=args.reps))
+        report("probe: + subpixel usf=10 (tmpl preFFT)",
+               timeit(make_reg_probe(10), frames, tmpl_freq,
+                      reps=args.reps))
+
+    # 3d. DFT dot-precision trade: HIGH (3-pass bf16x3) halves the
+    # dominant matmul cost vs HIGHEST (6-pass); measure both the time
+    # and the recovered-shift error on a known-subpixel-shift fixture
+    # (every patch of a rigidly shifted template must recover the
+    # global shift).
+    if "prec" in sections:
+        gt_shift = np.array([2.3, -1.7, 0.6], dtype=np.float32)
+        shifted = jax.jit(
+            lambda t: fft_reg.apply_shifts_fourier(
+                t, jnp.asarray(gt_shift), border_nan="copy")
+        )(template)
+        shifted_b = jnp.broadcast_to(shifted, (b,) + SIZE)
+
+        def patch_reg_prec(fr, tmpl, prec):
+            tmpl_pats = _extract_patches(tmpl, starts, window)
+            def one(f):
+                pats = _extract_patches(f, starts, window)
+                s, _, _ = jax.vmap(
+                    lambda ip, tp: fft_reg.phase_cross_correlation(
+                        ip, tp, upsample_factor=10,
+                        shifts_lb=jnp.asarray([-6.0, -6.0, -2.0]),
+                        shifts_ub=jnp.asarray([6.0, 6.0, 2.0]),
+                        dft_precision=prec)
+                )(pats, tmpl_pats)
+                return s
+            return jax.vmap(one)(fr)
+
+        for prec in ("highest", "high", "default"):
+            fn = jax.jit(
+                lambda fr, tmpl, p=prec: patch_reg_prec(fr, tmpl, p))
+            secs = timeit(fn, frames, template, reps=args.reps)
+            # recovered shift = displacement of src content; gt applied
+            # to the source means recovery = +gt_shift
+            rec = np.asarray(fn(shifted_b, template))
+            err = float(np.max(np.abs(rec - gt_shift[None, None, :])))
+            report(f"probe: patch reg usf=10 prec={prec}", secs)
+            print(f"    max |shift err| vs known shift: {err:.4f} px",
+                  flush=True)
+            results[f"prec_{prec}_max_shift_err_px"] = err
+
+    # 3e. fused Pallas phase-correlation kernel: extraction + in-VMEM
+    # fwd/product/inverse/masked-argmax + XLA subpixel, one jit.
+    if "fused" in sections:
+        from dnmf_tpu.ops import pallas_phasecorr as pp
+
+        wm, wn, wz = window
+        brow = np.zeros((b, 8), np.float32)
+        brow[:, :3] = [-6.0, -6.0, -2.0]
+        brow[:, 3:6] = [6.0, 6.0, 2.0]
+        brow_j = jnp.asarray(brow)
+        tre, tim = jax.jit(
+            lambda t: pp.patch_spectra(
+                _extract_patches(t, starts, window))
+        )(template)
+
+        def make_fused(prec):
+            def fused(fr, tre, tim, bnds):
+                pats = jax.vmap(
+                    lambda f: pp.to_zm_n(
+                        _extract_patches(f, starts, window))
+                )(fr)
+                sh_int, pre, pim = pp.phase_corr_block(
+                    pats, tre, tim, bnds, z=wz, precision=prec)
+                prod = (pre + 1j * pim).reshape(
+                    pre.shape[:2] + (wz, wm, wn))
+
+                def refine(pr, s):
+                    sf, _ = fft_reg.subpixel_refine(
+                        pr, s, 10, window, prod_layout=(2, 0, 1))
+                    return sf
+                return jax.vmap(jax.vmap(refine))(prod, sh_int)
+            return jax.jit(fused)
+
+        gt_shift = np.array([2.3, -1.7, 0.6], dtype=np.float32)
+        shifted = jax.jit(
+            lambda t: fft_reg.apply_shifts_fourier(
+                t, jnp.asarray(gt_shift), border_nan="copy")
+        )(template)
+        shifted_b = jnp.broadcast_to(shifted, (b,) + SIZE)
+        for prec in ("highest", "high", "default"):
+            fn = make_fused(prec)
+            secs = timeit(fn, frames, tre, tim, brow_j,
+                          reps=args.reps)
+            rec = np.asarray(fn(shifted_b, tre, tim, brow_j))
+            err = float(np.max(np.abs(rec - gt_shift[None, None, :])))
+            report(f"probe: FUSED patch reg usf=10 prec={prec}", secs)
+            print(f"    max |shift err| vs known shift: {err:.4f} px",
+                  flush=True)
+            results[f"fused_{prec}_max_shift_err_px"] = err
+
+        def fused_int(fr, tre, tim, bnds):
+            pats = jax.vmap(
+                lambda f: pp.to_zm_n(
+                    _extract_patches(f, starts, window))
+            )(fr)
+            sh_int, _, _ = pp.phase_corr_block(
+                pats, tre, tim, bnds, z=wz)
+            return sh_int
+        report("probe: FUSED integer stage only",
+               timeit(jax.jit(fused_int), frames, tre, tim, brow_j,
+                      reps=args.reps))
 
     def field_up(shifts_p):
         return [
@@ -143,7 +317,8 @@ def main():
         ]
     shifts_p = jnp.asarray(rng.random((starts.shape[0], 3),
                                       dtype=np.float32))
-    report("probe: field upsample x3 (1 frame)",
+    if "probes" in sections:
+        report("probe: field upsample x3 (1 frame)",
            timeit(jax.jit(field_up), shifts_p, reps=args.reps) * b)
 
     # 4. separable apply alone (fixed smooth field)
@@ -157,8 +332,9 @@ def main():
 
     def apply_sep(fr):
         return jax.vmap(lambda f: separable_warp(f, shift_field, bound))(fr)
-    report("separable apply alone",
-           timeit(jax.jit(apply_sep), frames, reps=args.reps))
+    if "apply" in sections:
+        report("separable apply alone",
+               timeit(jax.jit(apply_sep), frames, reps=args.reps))
 
     print(json.dumps({"reg_bench_ms_per_frame": results}), flush=True)
 
