@@ -266,19 +266,23 @@ def _registration_run():
     # frames/template must be jit ARGUMENTS: closing over them embeds
     # the 16-frame block (~336 MB) as HLO constants and the tunneled
     # remote_compile rejects the upload with HTTP 413.
-    pw = jax.jit(lambda fr, tmpl: jax.vmap(
-        lambda f: tile_and_correct(
-            f, tmpl, (128, 128, 10), (32, 32, 0), (6, 6, 2),
-            max_deviation_rigid=3, upsample_factor_grid=4,
-            upsample_factor_fft=10, use_remap=True,
-            remap_mode="separable", border_nan=False, rigid_decimate=4,
-        ))(fr))
+    from dnmf_tpu.registration.motion_correct import (
+        tile_and_correct_block,
+    )
+
+    pw = jax.jit(lambda fr, tmpl: tile_and_correct_block(
+        fr, tmpl, (128, 128, 10), (32, 32, 0), (6, 6, 2),
+        max_deviation_rigid=3, upsample_factor_grid=4,
+        upsample_factor_fft=10, use_remap=True,
+        remap_mode="separable", border_nan=False, rigid_decimate=4,
+    ))
     pw_ms = timed(lambda: pw(frames, template))
     return {
         "rigid_est_apply_ms_per_frame": round(rigid_ms, 2),
         "pwrigid_est_apply_ms_per_frame": round(pw_ms, 2),
         "pwrigid_config": "4x4x2 patches, sep remap, rigid_decimate=4, "
-                          "16-frame dispatches",
+                          "16-frame dispatches, fused Pallas "
+                          "phase-correlation (bf16x3)",
     }
 
 

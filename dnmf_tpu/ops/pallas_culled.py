@@ -110,6 +110,99 @@ def _block_footprint(psi, pos_ref, lo, kb):
     return jnp.exp2(-d2 * pos_ref[lo:lo + kb, 3:4])
 
 
+def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
+                      c1_acc, a_scr, ahi_scr, alo_scr, *, off, size,
+                      scaling, tile_p, p_count, kb, nkb, f, split):
+    """One voxel tile's culled Gram/c1 accumulation (shared by the
+    grid-pipelined and manually-pipelined kernels).
+
+    ``yget(fi) -> [1, tile_p]`` fetches frame ``fi``'s video row for
+    this tile from whichever buffer the caller staged it in.
+    """
+    hi_prec = jax.lax.Precision.HIGHEST
+    dims = (((1,), (1,)), ((), ()))
+    bf_dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    idx, mi, ni, zi = _coord_rows(base, size, tile_p)
+    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
+    w = _fade_row(psi, size) * (
+        idx < off + p_count
+    ).astype(jnp.float32)
+    # Culling bounds are the union over the step's F frames: one
+    # cross-lane reduce instead of F, and per-frame deformed ranges
+    # differ by at most the warp spread, so selectivity is
+    # ~unchanged.  Bounds are per sub-tile (tighter than per step).
+    t_lo = jnp.min(psi[0])
+    t_hi = jnp.max(psi[0])
+
+    actives = []
+    pair_actives = {}
+    for i in range(nkb):
+        actives.append(
+            (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+        )
+        for j in range(i, nkb):
+            # Pair-interval cull: G entries between blocks i and j
+            # are nonzero only if some neuron pair sits within
+            # 2*reach in m, i.e. the +-reach intervals overlap
+            # (blocks sorted by m, so for j >= i that is "j starts
+            # before i ends").
+            pair_actives[(i, j)] = (blocks_ref[j, 0]
+                                    <= blocks_ref[i, 1])
+
+    for fi in range(f):
+        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+        w_f = w[fi:fi + 1, :]
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i, psi_f=psi_f, w_f=w_f):
+                sl = slice(i * kb, (i + 1) * kb)
+                a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
+                if split:
+                    hi, lo = pk._split_bf16(a)
+                    ahi_scr[sl, :] = hi
+                    alo_scr[sl, :] = lo
+                else:
+                    a_scr[sl, :] = a
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i, fi=fi):
+                sl = slice(i * kb, (i + 1) * kb)
+                ai = (ahi_scr[sl, :].astype(jnp.float32)
+                      + alo_scr[sl, :].astype(jnp.float32)) if split \
+                    else a_scr[sl, :]
+                c1_acc[fi, sl, :] += jax.lax.dot_general(
+                    ai, yget(fi), dims,
+                    preferred_element_type=jnp.float32,
+                    precision=hi_prec,
+                )
+            for j in range(i, nkb):
+                @pl.when(actives[i] & actives[j]
+                         & pair_actives[(i, j)])
+                def _(i=i, j=j, fi=fi):
+                    si = slice(i * kb, (i + 1) * kb)
+                    sj = slice(j * kb, (j + 1) * kb)
+                    if split:
+                        # 3 single-pass bf16 products vs 6-pass
+                        # HIGHEST; the dropped lo@lo term is
+                        # O(2^-18) relative.
+                        gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
+                               + bf_dot(ahi_scr[si, :],
+                                        alo_scr[sj, :])
+                               + bf_dot(alo_scr[si, :],
+                                        ahi_scr[sj, :]))
+                    else:
+                        gij = jax.lax.dot_general(
+                            a_scr[si, :], a_scr[sj, :], dims,
+                            preferred_element_type=jnp.float32,
+                            precision=hi_prec,
+                        )
+                    g_acc[fi, si, sj] += gij
+
+
 def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
                         g_ref, c1_ref, g_acc, c1_acc, *scr, size,
                         scaling, tile_p, p_count, n_steps, kb, nkb, f,
@@ -154,95 +247,21 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         a_scr = None
     else:
         (a_scr,) = scr
-
-    hi_prec = jax.lax.Precision.HIGHEST
-    dims = (((1,), (1,)), ((), ()))
-    bf_dot = functools.partial(
-        jax.lax.dot_general, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
+        ahi_scr = alo_scr = None
 
     for sub in range(tps):
         base = off + (step * tps + sub) * tile_p
-        idx, mi, ni, zi = _coord_rows(base, size, tile_p)
-        psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
-        w = _fade_row(psi, size) * (
-            idx < off + p_count
-        ).astype(jnp.float32)
-        # Culling bounds are the union over the step's F frames: one
-        # cross-lane reduce instead of F, and per-frame deformed ranges
-        # differ by at most the warp spread, so selectivity is
-        # ~unchanged.  Bounds are per sub-tile (tighter than per step).
-        t_lo = jnp.min(psi[0])
-        t_hi = jnp.max(psi[0])
-
-        actives = []
-        pair_actives = {}
-        for i in range(nkb):
-            actives.append(
-                (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
-            )
-            for j in range(i, nkb):
-                # Pair-interval cull: G entries between blocks i and j
-                # are nonzero only if some neuron pair sits within
-                # 2*reach in m, i.e. the +-reach intervals overlap
-                # (blocks sorted by m, so for j >= i that is "j starts
-                # before i ends").
-                pair_actives[(i, j)] = (blocks_ref[j, 0]
-                                        <= blocks_ref[i, 1])
-
-        for fi in range(f):
-            psi_f = tuple(p[fi:fi + 1, :] for p in psi)
-            w_f = w[fi:fi + 1, :]
-            for i in range(nkb):
-                @pl.when(actives[i])
-                def _(i=i, psi_f=psi_f, w_f=w_f):
-                    sl = slice(i * kb, (i + 1) * kb)
-                    a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
-                    if split:
-                        hi, lo = pk._split_bf16(a)
-                        ahi_scr[sl, :] = hi
-                        alo_scr[sl, :] = lo
-                    else:
-                        a_scr[sl, :] = a
-            for i in range(nkb):
-                @pl.when(actives[i])
-                def _(i=i, fi=fi, sub=sub):
-                    sl = slice(i * kb, (i + 1) * kb)
-                    ai = (ahi_scr[sl, :].astype(jnp.float32)
-                          + alo_scr[sl, :].astype(jnp.float32)) if split \
-                        else a_scr[sl, :]
-                    yrow = (y_ref[fi:fi + 1,
-                                  sub * tile_p:(sub + 1) * tile_p]
-                            if tps > 1 else y_ref[fi:fi + 1, :])
-                    c1_acc[fi, sl, :] += jax.lax.dot_general(
-                        ai, yrow, dims,
-                        preferred_element_type=jnp.float32,
-                        precision=hi_prec,
-                    )
-                for j in range(i, nkb):
-                    @pl.when(actives[i] & actives[j]
-                             & pair_actives[(i, j)])
-                    def _(i=i, j=j, fi=fi):
-                        si = slice(i * kb, (i + 1) * kb)
-                        sj = slice(j * kb, (j + 1) * kb)
-                        if split:
-                            # 3 single-pass bf16 products vs 6-pass
-                            # HIGHEST; the dropped lo@lo term is
-                            # O(2^-18) relative.
-                            gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
-                                   + bf_dot(ahi_scr[si, :],
-                                            alo_scr[sj, :])
-                                   + bf_dot(alo_scr[si, :],
-                                            ahi_scr[sj, :]))
-                        else:
-                            gij = jax.lax.dot_general(
-                                a_scr[si, :], a_scr[sj, :], dims,
-                                preferred_element_type=jnp.float32,
-                                precision=hi_prec,
-                            )
-                        g_acc[fi, si, sj] += gij
+        yget = (
+            (lambda fi, sub=sub: y_ref[fi:fi + 1,
+                                       sub * tile_p:(sub + 1) * tile_p])
+            if tps > 1 else (lambda fi: y_ref[fi:fi + 1, :])
+        )
+        _culled_tile_body(
+            base, yget, beta_ref, blocks_ref, pos_ref, g_acc, c1_acc,
+            a_scr, ahi_scr, alo_scr, off=off, size=size,
+            scaling=scaling, tile_p=tile_p, p_count=p_count, kb=kb,
+            nkb=nkb, f=f, split=split,
+        )
 
     @pl.when(step == n_steps - 1)
     def _():
@@ -418,6 +437,171 @@ def gram_block_culled(
 
     # Undo the sort: sorted index i holds original neuron perm[i], so the
     # original-order Gram is G_sorted[inv][:, inv] with inv = argsort(perm).
+    inv = jnp.argsort(perm)
+    g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
+    c1 = c1[:bsz, :k, 0][:, inv]
+    return g, c1
+
+
+def _gram_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
+                      g_ref, c1_ref, g_acc, c1_acc, ybuf, sems, *scr,
+                      size, scaling, tile_p, p_count, n_steps, kb, nkb,
+                      f, dot_mode, nbuf):
+    """Manually-pipelined culled Gram kernel: ONE grid step per frame
+    group; the voxel-tile loop runs as a ``fori_loop`` with ``nbuf``-deep
+    hand-rolled DMA rotation from HBM (``y_any`` stays in ANY memory).
+
+    Motivation (docs/DESIGN.md "measured ceiling"): the grid-pipelined
+    kernel is bound by ~per-grid-step machinery, not body compute — an
+    empty body costs the same 5.9 ms/frame.  Replacing 1280 grid steps
+    per frame pair with one step + an in-kernel chunk loop removes that
+    machinery; the explicit multi-buffer DMA keeps compute overlapped
+    with the video stream the way the grid pipeline did.
+    """
+    bi = pl.program_id(0)
+    off = off_ref[0, 0]
+    g_acc[:] = jnp.zeros_like(g_acc)
+    c1_acc[:] = jnp.zeros_like(c1_acc)
+    split = dot_mode == "split"
+    if split:
+        ahi_scr, alo_scr = scr
+        a_scr = None
+    else:
+        (a_scr,) = scr
+        ahi_scr = alo_scr = None
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            y_any.at[bi, ci], ybuf.at[slot], sems.at[slot]
+        )
+
+    for s in range(min(nbuf - 1, n_steps)):
+        dma(s, s).start()
+
+    def loop_body(ci, carry):
+        slot = jax.lax.rem(ci, nbuf)
+        nxt = ci + nbuf - 1
+
+        @pl.when(nxt < n_steps)
+        def _():
+            dma(jax.lax.rem(nxt, nbuf), nxt).start()
+
+        dma(slot, ci).wait()
+        yrows = ybuf[slot]  # [F, tile_p]
+        _culled_tile_body(
+            off + ci * tile_p, lambda fi: yrows[fi:fi + 1, :],
+            beta_ref, blocks_ref, pos_ref, g_acc, c1_acc,
+            a_scr, ahi_scr, alo_scr, off=off, size=size,
+            scaling=scaling, tile_p=tile_p, p_count=p_count, kb=kb,
+            nkb=nkb, f=f, split=split,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_steps, loop_body, 0)
+
+    c1_ref[:] = c1_acc[:]
+    lower_mask = jax.lax.broadcasted_iota(
+        jnp.int32, (f,) + g_acc.shape[1:], 1
+    ) // kb > jax.lax.broadcasted_iota(
+        jnp.int32, (f,) + g_acc.shape[1:], 2
+    ) // kb
+    g_full = g_acc[:]
+    g_ref[:] = jnp.where(lower_mask,
+                         jnp.transpose(g_full, (0, 2, 1)), g_full)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
+                     "frames_per_step", "nbuf", "interpret"),
+)
+def gram_block_pipelined(
+    betas: jnp.ndarray,
+    pos: jnp.ndarray,
+    sigma: jnp.ndarray,
+    y: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    tile_p: int = 4096,
+    kblock: int = 40,
+    dot_mode: str = "split",
+    frames_per_step: int = 2,
+    nbuf: int = 4,
+    p_offset=None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled MU statistics via the manually-pipelined kernel.
+
+    Same contract as :func:`gram_block_culled`; see
+    :func:`_gram_kernel_pipe` for why this variant exists.  ``nbuf`` is
+    the DMA rotation depth (the video chunk for tile ``i + nbuf - 1``
+    starts copying while tile ``i`` computes).
+    """
+    bsz = betas.shape[0]
+    k = pos.shape[0]
+    kb = min(kblock, _round_up(k, SUBLANE))
+    nkb = -(-k // kb)
+    k_pad = nkb * kb
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
+    perm, params, blocks = _sorted_params(pos, sigma, kb, nkb)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
+
+    n_steps = p_pad // tile_p
+    f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
+    betas_pad = jnp.concatenate(
+        [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
+        axis=0,
+    ) if b_pad > bsz else betas
+    y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, tile_p, p_count)
+    beta_rows = pk._beta_warp_matrix(betas_pad, f_eff)
+
+    g, c1 = pl.pallas_call(
+        functools.partial(
+            _gram_kernel_pipe, size=tuple(size), scaling=scaling,
+            tile_p=tile_p, p_count=p_count, n_steps=n_steps, kb=kb,
+            nkb=nkb, f=f_eff, dot_mode=dot_mode, nbuf=nbuf,
+        ),
+        grid=(b_pad // f_eff,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3 * f_eff, 10), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkb, 2), lambda bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_pad, 8), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((f_eff, k_pad, k_pad), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_eff, k_pad, 1), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f_eff, k_pad, k_pad), jnp.float32),
+            pltpu.VMEM((f_eff, k_pad, 1), jnp.float32),
+            pltpu.VMEM((nbuf, f_eff, tile_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ] + ([
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+        ] if dot_mode == "split" else [
+            pltpu.VMEM((k_pad, tile_p), jnp.float32),
+        ]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off, beta_rows, blocks, params, y_blk)
+
     inv = jnp.argsort(perm)
     g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
     c1 = c1[:bsz, :k, 0][:, inv]

@@ -207,6 +207,30 @@ def test_gram_culled_tiles_per_step_match(rng, f, tps):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("nbuf", [2, 3])
+@pytest.mark.parametrize("f", [1, 2])
+def test_gram_pipelined_matches_grid(rng, f, nbuf):
+    """The manually-pipelined kernel (one grid step per frame group,
+    fori_loop over voxel tiles with hand-rolled nbuf-deep DMA rotation
+    from ANY memory) must match the grid-pipelined kernel exactly,
+    including the padded pixel tail (P=640 at tile_p=128) and padded
+    frames (t=3 with F=2)."""
+    pos, sigma, betas, y, c = _setup(rng, t=3)
+    g1, c11 = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=f, interpret=True)
+    gp, c1p = pc.gram_block_pipelined(betas, pos, sigma, y, SIZE,
+                                      scaling="normalized", tile_p=128,
+                                      kblock=8, dot_mode="split",
+                                      frames_per_step=f, nbuf=nbuf,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1p), np.asarray(c11),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("f", [1, 2])
 def test_gram_streamed_psi_matches_kernel_psi(rng, f):
     """psi_source='stream' (XLA-generated psi/fade rows DMA'd into the

@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--tps", type=int, nargs="*",
                     default=[1, 2, 4, 8, 16])
     ap.add_argument("--fps", type=int, nargs="*", default=[2])
+    ap.add_argument("--impl", type=str, default="grid",
+                    help="grid | pipe (manually-pipelined kernel; "
+                         "--tps values are reused as nbuf depths)")
     args = ap.parse_args()
 
     b, k = args.frames, args.k
@@ -82,6 +85,13 @@ def main():
     for fps in args.fps:
         for tps in args.tps:
             def run(fps=fps, tps=tps):
+                if args.impl == "pipe":
+                    return pc.gram_block_pipelined(
+                        betas_j, pos_j, sigma_j, y_j, SIZE,
+                        tile_p=args.tile_p, kblock=args.kblock,
+                        dot_mode="split", frames_per_step=fps,
+                        nbuf=tps,
+                    )
                 return pc.gram_block_culled(
                     betas_j, pos_j, sigma_j, y_j, SIZE,
                     tile_p=args.tile_p, kblock=args.kblock,
