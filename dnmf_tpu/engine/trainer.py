@@ -354,6 +354,7 @@ class DeformableNMF:
                 learning_rate=learning_rate, prior=prior,
                 frame_block=self.runtime.frame_block,
                 pos_t=getattr(self, "pos_t", None),
+                use_pallas=self._use_pallas,
             )
         else:
             self.state, pos_t, m = refine_lib.refined_rounds(
@@ -362,6 +363,7 @@ class DeformableNMF:
                 learning_rate=learning_rate, prior=prior,
                 frame_block=self.runtime.frame_block,
                 pos_t=getattr(self, "pos_t", None),
+                use_pallas=self._use_pallas,
             )
         self.pos_t = pos_t
         self._check_finite("refine")

@@ -24,8 +24,14 @@ frames) in place.
 
 Per-frame problems are independent — the epoch vmaps over frames and
 scans over frame blocks, exactly like the parallel deformation epoch.
-XLA analytic-footprint path (the fused Pallas kernels compute dbeta,
-not dpos; this phase is O(epochs) at the cost of one XLA motion epoch).
+With ``use_pallas`` the data term + dpos gradient and the tracked MU
+Grams come from fused neuron-culled kernels
+(:func:`dnmf_tpu.ops.pallas_culled.refine_block_culled`,
+:func:`~dnmf_tpu.ops.pallas_culled.gram_block_tracked`) that never
+materialize the ``[P, K]`` footprint stack — at whole-brain scale the
+XLA autodiff path's per-frame [5.2M, K] residency makes refinement
+memory-bound, exactly the wall the dbeta kernels removed for the
+deformation fit.
 """
 
 from __future__ import annotations
@@ -58,9 +64,16 @@ def _tracked_frame_footprints(beta_t, pos_t, sigma, model, vb):
     )
 
 
+def _refine_tuning(num_neurons: int):
+    """kblock/tile_p for the fused refinement kernels (same sweep optima
+    as the dbeta kernels — see ``models.dnmf._CulledShim``)."""
+    return (40 if num_neurons <= 320 else 64), 4096
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "epochs", "frame_block"),
+    static_argnames=("model", "epochs", "frame_block", "use_pallas",
+                     "pallas_interpret"),
 )
 def refine_positions(
     state: DNMFState,
@@ -71,6 +84,8 @@ def refine_positions(
     learning_rate: float = 0.05,
     prior: float = 1e-3,
     frame_block: int = 16,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Fit per-frame neuron positions by Adam against the reconstruction.
 
@@ -83,16 +98,50 @@ def refine_positions(
       learning_rate: Adam lr in PIXELS (positions live in pixel space).
       prior: weight of ``mean(|pos_t - anchor|^2)`` per frame, in units
         of the (dimensionless) data MSE per squared pixel.
+      use_pallas: data term + gradient via the fused culled kernel
+        (:func:`dnmf_tpu.ops.pallas_culled.refine_block_culled`) —
+        required at whole-brain scale, where XLA autodiff materializes
+        the per-frame ``[P, K]`` footprint stack.
 
     Returns:
       ``(pos_t [T, K, 3], {"recon_mse": [T]})``.
     """
     t, p = video_flat.shape
+    k = state.pos.shape[0]
     anchors = state.pos
     if pos_t is None:
         pos_t = jnp.broadcast_to(anchors[None], (t,) + anchors.shape)
     vb = model_voxel_basis(model)
     optimizer = optax.adam(learning_rate)
+
+    if use_pallas:
+        if model.deformation.footprint_mode != "analytic":
+            raise ValueError("fused refinement requires analytic "
+                             "footprints")
+        from dnmf_tpu.ops import pallas_culled as pc
+
+        kb, tp = _refine_tuning(k)
+        c_t = state.c.T  # [T, K]
+
+        def epoch_fused(carry, _):
+            pos_all, opt_state = carry
+            mses, dpos = pc.refine_block_culled(
+                state.beta, pos_all, state.sigma, c_t, video_flat,
+                model.size, scaling=model.deformation.basis_scaling,
+                tile_p=tp, kblock=kb, interpret=pallas_interpret,
+            )
+            # Anchor-tether gradient: d/dpos mean_k |pos - anchor|^2.
+            g_all = dpos + (2.0 * prior / k) * (pos_all - anchors[None])
+            updates, opt_state = optimizer.update(g_all, opt_state,
+                                                  pos_all)
+            return (optax.apply_updates(pos_all, updates),
+                    opt_state), mses
+
+        opt_state = optimizer.init(pos_t)
+        (pos_out, _), mses = jax.lax.scan(
+            epoch_fused, (pos_t, opt_state), None, length=epochs
+        )
+        return pos_out, {"recon_mse": mses[-1]}
 
     def frame_loss(pos_f, beta_f, y_f, c_f):
         a = _tracked_frame_footprints(beta_f, pos_f, state.sigma, model,
@@ -138,18 +187,35 @@ def refine_positions(
     return pos_out[:t], {"recon_mse": mses[-1].reshape(-1)[:t]}
 
 
-@functools.partial(jax.jit, static_argnames=("model", "frame_block"))
+@functools.partial(jax.jit, static_argnames=("model", "frame_block",
+                                              "use_pallas",
+                                              "pallas_interpret"))
 def tracked_grams(
     state: DNMFState,
     pos_t: jnp.ndarray,
     video_flat: jnp.ndarray,
     model: ModelConfig,
     frame_block: int = 16,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU statistics ``(G [T,K,K], c1 [T,K])`` with per-frame
     positions (the tracked analog of ``dnmf.compute_grams``)."""
     t, p = video_flat.shape
     vb = model_voxel_basis(model)
+
+    if use_pallas:
+        if model.deformation.footprint_mode != "analytic":
+            raise ValueError("fused tracked Grams require analytic "
+                             "footprints")
+        from dnmf_tpu.ops import pallas_culled as pc
+
+        kb, tp = _refine_tuning(state.pos.shape[0])
+        return pc.gram_block_tracked(
+            state.beta, pos_t, state.sigma, video_flat, model.size,
+            scaling=model.deformation.basis_scaling, tile_p=tp,
+            kblock=kb, dot_mode="split", interpret=pallas_interpret,
+        )
 
     def one(beta_f, pos_f, y_f):
         a = _tracked_frame_footprints(beta_f, pos_f, state.sigma, model,
@@ -191,6 +257,8 @@ def refined_rounds(
     prior: float = 1e-3,
     frame_block: int = 16,
     pos_t: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[DNMFState, jnp.ndarray, dict]:
     """Alternate position refinement with tracked-Gram MU trace updates.
 
@@ -202,10 +270,13 @@ def refined_rounds(
         pos_t, metrics = refine_positions(
             state, pos_t, video_flat, model, epochs=epochs,
             learning_rate=learning_rate, prior=prior,
-            frame_block=frame_block,
+            frame_block=frame_block, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
         )
         g, c1 = tracked_grams(state, pos_t, video_flat, model,
-                              frame_block=frame_block)
+                              frame_block=frame_block,
+                              use_pallas=use_pallas,
+                              pallas_interpret=pallas_interpret)
         c = mu_ops.run_mu_temporal(state.c, g, c1, iters=mu_iters)
         state = state._replace(c=c)
     return state, pos_t, metrics

@@ -101,6 +101,52 @@ def _sorted_params(pos, sigma, kb, nkb, c_block=None):
     return perm, out, blocks, w2
 
 
+def _sorted_params_tracked(pos_t, sigma, kb, nkb, c_block=None):
+    """Per-frame variant of :func:`_sorted_params` for tracked positions.
+
+    ``pos_t [B, K, 3]`` holds each frame's own neuron centers (the
+    position-refinement model, :mod:`dnmf_tpu.models.refine`).  The sort
+    permutation keys on the per-neuron MEAN m over frames (refined
+    positions deviate from their anchors by at most a few pixels, so one
+    shared block structure stays tight), and each block's cull interval
+    is the min/max over ALL frames of its members' m, padded by reach.
+
+    Returns ``(perm, params [B, K_pad, 8], blocks [nkb, 2])`` with
+    params cols ``(pos_m, pos_n, pos_z, inv_s2 * log2e, c, 0, 0, 0)``
+    (col 4 only when ``c_block [B, K]`` is given).
+    """
+    bsz, k = pos_t.shape[0], pos_t.shape[1]
+    k_pad = nkb * kb
+    perm = jnp.argsort(jnp.mean(pos_t[:, :, 0], axis=0))
+    pos_s = pos_t[:, perm]  # [B, K, 3]
+    sigma_s = sigma[perm]
+    inv_s2 = 1.0 / (sigma_s**2)
+
+    params = jnp.zeros((bsz, k_pad, 8), dtype=jnp.float32)
+    params = params.at[:, :, :3].set(
+        jnp.pad(pos_s, ((0, 0), (0, k_pad - k), (0, 0)),
+                constant_values=1e4)
+    )
+    params = params.at[:, :k, 3].set(inv_s2[None, :] * pk.LOG2E)
+    params = params.at[:, k:, 3].set(1.0)
+    if c_block is not None:
+        params = params.at[:, :k, 4].set(c_block[:, perm])
+
+    m_all = pos_s[:, :, 0]  # [B, K]
+    m_pad = jnp.pad(jnp.min(m_all, axis=0), (0, k_pad - k),
+                    constant_values=jnp.inf).reshape(nkb, kb)
+    m_pad_neg = jnp.pad(jnp.max(m_all, axis=0), (0, k_pad - k),
+                        constant_values=-jnp.inf).reshape(nkb, kb)
+    s_pad = jnp.pad(sigma_s, (0, k_pad - k)).reshape(nkb, kb)
+    reach = REACH_SIGMAS * jnp.max(s_pad, axis=1)
+    blocks = jnp.stack(
+        [jnp.min(m_pad, axis=1) - reach,
+         jnp.max(m_pad_neg, axis=1) + reach],
+        axis=1,
+    )  # [nkb, 2]
+    return perm, params, blocks
+
+
 def _block_footprint(psi, pos_ref, lo, kb):
     # Col 3 = inv_s2 * log2(e): exp2 form of the Gaussian (see
     # pallas_kernels._footprint_tile).
@@ -112,12 +158,17 @@ def _block_footprint(psi, pos_ref, lo, kb):
 
 def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
                       c1_acc, a_scr, ahi_scr, alo_scr, *, off, size,
-                      scaling, tile_p, p_count, kb, nkb, f, split):
+                      scaling, tile_p, p_count, kb, nkb, f, split,
+                      posget=None):
     """One voxel tile's culled Gram/c1 accumulation (shared by the
     grid-pipelined and manually-pipelined kernels).
 
     ``yget(fi) -> [1, tile_p]`` fetches frame ``fi``'s video row for
     this tile from whichever buffer the caller staged it in.
+
+    ``posget(fi)``, when given, returns frame ``fi``'s own ``[K_pad, 8]``
+    neuron parameters (the tracked-positions path — see
+    :func:`gram_block_tracked`); default is the shared ``pos_ref``.
     """
     hi_prec = jax.lax.Precision.HIGHEST
     dims = (((1,), (1,)), ((), ()))
@@ -156,11 +207,12 @@ def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
     for fi in range(f):
         psi_f = tuple(p[fi:fi + 1, :] for p in psi)
         w_f = w[fi:fi + 1, :]
+        pos_f = pos_ref if posget is None else posget(fi)
         for i in range(nkb):
             @pl.when(actives[i])
-            def _(i=i, psi_f=psi_f, w_f=w_f):
+            def _(i=i, psi_f=psi_f, w_f=w_f, pos_f=pos_f):
                 sl = slice(i * kb, (i + 1) * kb)
-                a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
+                a = _block_footprint(psi_f, pos_f, i * kb, kb) * w_f
                 if split:
                     hi, lo = pk._split_bf16(a)
                     ahi_scr[sl, :] = hi
@@ -206,7 +258,7 @@ def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
 def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
                         g_ref, c1_ref, g_acc, c1_acc, *scr, size,
                         scaling, tile_p, p_count, n_steps, kb, nkb, f,
-                        dot_mode, tps):
+                        dot_mode, tps, tracked=False):
     step = pl.program_id(1)
 
     @pl.when(step == 0)
@@ -261,6 +313,7 @@ def _gram_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
             a_scr, ahi_scr, alo_scr, off=off, size=size,
             scaling=scaling, tile_p=tile_p, p_count=p_count, kb=kb,
             nkb=nkb, f=f, split=split,
+            posget=(lambda fi: pos_ref[fi]) if tracked else None,
         )
 
     @pl.when(step == n_steps - 1)
@@ -606,6 +659,310 @@ def gram_block_pipelined(
     g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
     c1 = c1[:bsz, :k, 0][:, inv]
     return g, c1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
+                     "frames_per_step", "interpret"),
+)
+def gram_block_tracked(
+    betas: jnp.ndarray,
+    pos_t: jnp.ndarray,
+    sigma: jnp.ndarray,
+    y: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    tile_p: int = 4096,
+    kblock: int = 40,
+    dot_mode: str = "split",
+    frames_per_step: int = 2,
+    p_offset=None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled MU statistics with PER-FRAME neuron positions: ``(G, c1)``.
+
+    The tracked analog of :func:`gram_block_culled` for the
+    position-refinement phase (:mod:`dnmf_tpu.models.refine`):
+    ``pos_t [B, K, 3]`` holds each frame's own anchors, so
+    ``A_t[p, k] = exp(-|psi_t(p) - pos_t[k]|^2 / sigma_k^2)``.  Same
+    kernel body; the per-neuron parameter block carries one row set per
+    frame and culling intervals take the min/max over frames (see
+    :func:`_sorted_params_tracked`).
+    """
+    bsz = betas.shape[0]
+    k = pos_t.shape[1]
+    kb = min(kblock, _round_up(k, SUBLANE))
+    nkb = -(-k // kb)
+    k_pad = nkb * kb
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
+
+    n_steps = p_pad // tile_p
+    f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
+    if b_pad > bsz:
+        betas = jnp.concatenate(
+            [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
+            axis=0,
+        )
+        pos_t = jnp.concatenate(
+            [pos_t,
+             jnp.broadcast_to(pos_t[-1:], (b_pad - bsz,) + pos_t.shape[1:])],
+            axis=0,
+        )
+    perm, params, blocks = _sorted_params_tracked(pos_t, sigma, kb, nkb)
+    y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, tile_p, p_count)
+    beta_rows = pk._beta_warp_matrix(betas, f_eff)
+
+    g, c1 = pl.pallas_call(
+        functools.partial(
+            _gram_kernel_culled, size=tuple(size), scaling=scaling,
+            tile_p=tile_p, p_count=p_count, n_steps=n_steps, kb=kb,
+            nkb=nkb, f=f_eff, dot_mode=dot_mode, tps=1, tracked=True,
+        ),
+        grid=(b_pad // f_eff, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3 * f_eff, 10),
+                         lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((f_eff, k_pad, 8), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, f_eff, tile_p),
+                         lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((f_eff, k_pad, k_pad),
+                         lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_eff, k_pad, 1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f_eff, k_pad, k_pad), jnp.float32),
+            pltpu.VMEM((f_eff, k_pad, 1), jnp.float32),
+        ] + ([
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+        ] if dot_mode == "split" else [
+            pltpu.VMEM((k_pad, tile_p), jnp.float32),
+        ]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off, beta_rows, blocks, params, y_blk)
+
+    inv = jnp.argsort(perm)
+    g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
+    c1 = c1[:bsz, :k, 0][:, inv]
+    return g, c1
+
+
+def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
+                          sse_ref, dp_ref, sse_acc, dp_acc, a_scr,
+                          s_scr, *, size, scaling, tile_p, p_count,
+                          n_tiles, kb, nkb, f):
+    """Data term + raw position-gradient moments, per-frame positions.
+
+    Per frame: ``recon = w * sum_k c_k A_k`` with
+    ``A_k = exp(-|psi - pos_k|^2 / s_k^2)`` at the frame's OWN positions
+    (``pos_ref [F, K_pad, 8]``, col 4 = c).  Outputs the masked SSE and
+    the raw moments ``dp[k, d] = sum_p r_p w_p A_pk psi_pd`` (d < 3) and
+    ``dp[k, 3] = sum_p r_p w_p A_pk``; the wrapper assembles
+    ``dL/dpos_kd = (4 c_k / s_k^2 / P) (dp[k, d] - pos_kd dp[k, 3])``.
+    Unlike the beta gradient there is no fade-derivative term — the fade
+    depends on psi only, not on the neuron positions.
+    """
+    tile = pl.program_id(1)
+
+    @pl.when(tile == 0)
+    def _():
+        sse_acc[:] = jnp.zeros_like(sse_acc)
+        dp_acc[:] = jnp.zeros_like(dp_acc)
+
+    off = off_ref[0, 0]
+    idx, mi, ni, zi = _coord_rows(off + tile * tile_p, size, tile_p)
+    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
+    valid = (idx < off + p_count).astype(jnp.float32)
+    w = _fade_row(psi, size) * valid  # [F, tp]
+    t_lo = jnp.min(psi[0])
+    t_hi = jnp.max(psi[0])
+    actives = [
+        (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
+        for i in range(nkb)
+    ]
+    hi_prec = jax.lax.Precision.HIGHEST
+    dims = (((1,), (1,)), ((), ()))
+
+    rs = []
+    for fi in range(f):
+        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
+        w_f = w[fi:fi + 1, :]
+        pos_f = pos_ref[fi]  # [K_pad, 8]
+        # Pass A: per-block footprints into scratch + the recon row
+        # (culled blocks contribute exact f32 zeros — 6-sigma reach).
+        s_scr[:] = jnp.zeros_like(s_scr)
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i, psi_f=psi_f, pos_f=pos_f):
+                sl = slice(i * kb, (i + 1) * kb)
+                a = _block_footprint(psi_f, pos_f, i * kb, kb)
+                a_scr[sl, :] = a
+                s_scr[:] += jax.lax.dot_general(
+                    pos_f[sl, 4:5], a, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=hi_prec,
+                )
+        r = (w_f * s_scr[:] - y_ref[fi:fi + 1, :] * valid) * valid
+        rs.append(r)
+        # Pass B: moment dots against (psi_m, psi_n, psi_z, 1).
+        rw = r * w_f
+        mrows = jnp.concatenate(
+            [psi_f[0], psi_f[1], psi_f[2], jnp.ones_like(rw)], axis=0
+        )  # [4, tp]
+        for i in range(nkb):
+            @pl.when(actives[i])
+            def _(i=i, fi=fi, rw=rw, mrows=mrows):
+                sl = slice(i * kb, (i + 1) * kb)
+                dp_acc[fi, sl, :] += jax.lax.dot_general(
+                    a_scr[sl, :] * rw, mrows, dims,
+                    preferred_element_type=jnp.float32,
+                    precision=hi_prec,
+                )
+    r_all = jnp.concatenate(rs, axis=0)  # [F, tp]
+    sse_acc[:] += jnp.sum(r_all * r_all, axis=1, keepdims=True)
+
+    @pl.when(tile == n_tiles - 1)
+    def _():
+        sse_ref[:] = sse_acc[:]
+        dp_ref[:] = dp_acc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "scaling", "tile_p", "kblock",
+                     "frames_per_step", "interpret"),
+)
+def refine_block_culled(
+    betas: jnp.ndarray,
+    pos_t: jnp.ndarray,
+    sigma: jnp.ndarray,
+    c_block: jnp.ndarray,
+    y: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    tile_p: int = 4096,
+    kblock: int = 40,
+    frames_per_step: int = 8,
+    p_offset=None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled data term + analytic PER-FRAME-POSITION gradient.
+
+    The fused-kernel engine for position refinement
+    (:func:`dnmf_tpu.models.refine.refine_positions`): per frame ``t``,
+    ``mse_t = mean_p (w sum_k c_kt A_tk - y_t)^2`` with footprints
+    anchored at that frame's own ``pos_t [B, K, 3]``, and its gradient
+    wrt those positions.  Matches ``jax.grad`` of the XLA analytic path
+    (data term only — the anchor tether is added by the caller, where it
+    is O(K) work).  Returns ``(mse [B], dpos [B, K, 3])``.
+
+    ``p_offset`` (traced): pixel-sharded path — mse/dpos are local-voxel
+    sums scaled by the LOCAL count; ``psum`` then global-rescale applies
+    as for :func:`motion_block_culled`.
+    """
+    bsz = betas.shape[0]
+    k = pos_t.shape[1]
+    kb = min(kblock, _round_up(k, SUBLANE))
+    nkb = -(-k // kb)
+    k_pad = nkb * kb
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
+
+    n_tiles = p_pad // tile_p
+    f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
+    if b_pad > bsz:
+        betas = jnp.concatenate(
+            [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
+            axis=0,
+        )
+        pos_t = jnp.concatenate(
+            [pos_t,
+             jnp.broadcast_to(pos_t[-1:], (b_pad - bsz,) + pos_t.shape[1:])],
+            axis=0,
+        )
+        c_block = jnp.pad(c_block, ((0, b_pad - bsz), (0, 0)))
+    perm, params, blocks = _sorted_params_tracked(pos_t, sigma, kb, nkb,
+                                                  c_block=c_block)
+    y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
+
+    sse, dp = pl.pallas_call(
+        functools.partial(
+            _refine_kernel_culled, size=tuple(size), scaling=scaling,
+            tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
+            nkb=nkb, f=f_eff,
+        ),
+        grid=(b_pad // f_eff, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3 * f_eff, 10),
+                         lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((f_eff, k_pad, 8), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, f_eff, tile_p),
+                         lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, f_eff, 1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_eff, k_pad, 4), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad // f_eff, f_eff, 1),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_pad, 4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f_eff, 1), jnp.float32),
+            pltpu.VMEM((f_eff, k_pad, 4), jnp.float32),
+            pltpu.VMEM((k_pad, tile_p), jnp.float32),
+            pltpu.VMEM((1, tile_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off, pk._beta_warp_matrix(betas, f_eff), blocks, params, y_blk)
+
+    mse = sse.reshape(b_pad)[:bsz] / p_count
+    dp = dp[:bsz]  # [B, K_pad, 4], sorted order
+    pos_s = params[:bsz, :, :3]
+    inv_s2_log2e = params[:bsz, :, 3]  # inv_s2 * log2(e) (pad rows: 1)
+    c_s = params[:bsz, :, 4]
+    coeff = 4.0 * c_s * (inv_s2_log2e / pk.LOG2E) / p_count
+    dpos_s = coeff[:, :, None] * (dp[:, :, :3]
+                                  - pos_s * dp[:, :, 3:4])
+    inv = jnp.argsort(perm)
+    return mse, dpos_s[:, :k][:, inv]
 
 
 def _gram_kernel_streamed(blocks_ref, pos_ref, psim_ref, psin_ref,

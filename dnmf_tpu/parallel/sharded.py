@@ -266,7 +266,8 @@ def sharded_footprint_update(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "mesh", "rounds", "epochs", "mu_iters",
-                     "learning_rate", "prior", "frame_block"),
+                     "learning_rate", "prior", "frame_block",
+                     "use_pallas", "pallas_interpret"),
 )
 def sharded_refined_rounds(
     state: model_lib.DNMFState,
@@ -280,6 +281,8 @@ def sharded_refined_rounds(
     prior: float = 1e-3,
     frame_block: int = 16,
     pos_t: jnp.ndarray = None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Frame-sharded per-frame position refinement + tracked-Gram MU.
 
@@ -311,6 +314,7 @@ def sharded_refined_rounds(
             state_loc, video_loc, model, rounds=rounds, epochs=epochs,
             mu_iters=mu_iters, learning_rate=learning_rate, prior=prior,
             frame_block=frame_block, pos_t=pos_loc,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         return st, p_t, metrics
 

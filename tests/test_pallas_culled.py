@@ -231,6 +231,64 @@ def test_gram_pipelined_matches_grid(rng, f, nbuf):
                                rtol=1e-5, atol=1e-6)
 
 
+def _tracked_setup(rng, t=3):
+    pos, sigma, betas, y, c = _setup(rng, t=t)
+    jitter = jnp.asarray(
+        rng.normal(size=(t,) + pos.shape).astype(np.float32)
+    ) * jnp.asarray([0.5, 0.3, 0.1])
+    pos_t = pos[None] + jitter  # [T, K, 3]
+    return pos_t, sigma, betas, y, c
+
+
+@pytest.mark.parametrize("f", [1, 2])
+def test_gram_tracked_matches_xla(rng, f):
+    """Per-frame-position Grams (the tracked-refinement MU statistics)
+    vs the XLA analytic path, frame by frame."""
+    pos_t, sigma, betas, y, c = _tracked_setup(rng)
+    g, c1 = pc.gram_block_tracked(betas, pos_t, sigma, y, SIZE,
+                                  scaling="normalized", tile_p=128,
+                                  kblock=8, dot_mode="split",
+                                  frames_per_step=f, interpret=True)
+    vb = B.voxel_basis_normalized(SIZE)
+    for ti in range(betas.shape[0]):
+        psi = B.warp_voxel_coords(vb, betas[ti], SIZE, "normalized")
+        a = FP.evaluate_footprints(psi, pos_t[ti], sigma, size=SIZE)
+        g_ref, c1_ref = MU.mu_grams(a, y[ti])
+        np.testing.assert_allclose(np.asarray(g[ti]),
+                                   np.asarray(g_ref), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c1[ti]),
+                                   np.asarray(c1_ref), rtol=1e-4,
+                                   atol=1e-5)
+
+
+@pytest.mark.parametrize("f", [1, 2])
+def test_refine_kernel_matches_xla_grad(rng, f):
+    """The fused refinement kernel's (mse, dpos) vs jax.grad of the XLA
+    analytic data term at per-frame positions."""
+    pos_t, sigma, betas, y, c = _tracked_setup(rng)
+    vb = B.voxel_basis_normalized(SIZE)
+
+    def frame_loss(pos_f, beta_f, y_f, c_f):
+        psi = B.warp_voxel_coords(vb, beta_f, SIZE, "normalized")
+        a = FP.evaluate_footprints(psi, pos_f, sigma, size=SIZE)
+        recon = jnp.dot(a, c_f, precision=jax.lax.Precision.HIGHEST)
+        return jnp.mean((recon - y_f) ** 2)
+
+    mse_ref = jax.vmap(frame_loss)(pos_t, betas, y, c)
+    dpos_ref = jax.vmap(jax.grad(frame_loss))(pos_t, betas, y, c)
+    mse, dpos = pc.refine_block_culled(betas, pos_t, sigma, c, y, SIZE,
+                                       scaling="normalized", tile_p=128,
+                                       kblock=8, frames_per_step=f,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(mse), np.asarray(mse_ref),
+                               rtol=1e-5, atol=1e-7)
+    scale = float(jnp.max(jnp.abs(dpos_ref)))
+    np.testing.assert_allclose(np.asarray(dpos) / scale,
+                               np.asarray(dpos_ref) / scale,
+                               atol=2e-5)
+
+
 @pytest.mark.parametrize("f", [1, 2])
 def test_gram_streamed_psi_matches_kernel_psi(rng, f):
     """psi_source='stream' (XLA-generated psi/fade rows DMA'd into the

@@ -42,6 +42,45 @@ def test_tracked_grams_match_compute_grams_at_anchor_positions():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_refine_fused_path_matches_xla():
+    """use_pallas refinement (fused culled dpos kernel + tracked-Gram
+    kernel, interpret mode) must track the XLA autodiff path: same Adam
+    trajectory to float tolerance and same MU statistics."""
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    pos = jnp.asarray([[5.0, 5.0, 1.0], [14.0, 6.0, 1.0],
+                       [8.0, 14.0, 1.0]])
+    state = _state(model, pos)
+    state = state._replace(
+        c=jax.random.uniform(jax.random.PRNGKey(5), (K, T)) + 0.1
+    )
+    video = jax.random.uniform(jax.random.PRNGKey(6),
+                               (T, SIZE[0] * SIZE[1] * SIZE[2]))
+
+    pos_ref, m_ref = refine.refine_positions(
+        state, None, video, model, epochs=8, learning_rate=0.05,
+        prior=1e-4, frame_block=4)
+    pos_fus, m_fus = refine.refine_positions(
+        state, None, video, model, epochs=8, learning_rate=0.05,
+        prior=1e-4, frame_block=4, use_pallas=True,
+        pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(pos_fus), np.asarray(pos_ref),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(m_fus["recon_mse"]),
+                               np.asarray(m_ref["recon_mse"]),
+                               rtol=1e-4)
+
+    g_ref, c1_ref = refine.tracked_grams(state, pos_ref, video, model,
+                                         frame_block=4)
+    g_fus, c1_fus = refine.tracked_grams(state, pos_ref, video, model,
+                                         frame_block=4, use_pallas=True,
+                                         pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1_fus), np.asarray(c1_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_refine_recovers_per_neuron_jitter():
     """Neurons jittered independently per frame (inexpressible as a
     global warp): refinement must recover the true positions to a
