@@ -174,6 +174,20 @@ def _whole_brain_run():
 
     mu_sec = time_op(run_mu, lambda: float(jnp.sum(mu_box["s"].c[0])))
 
+    # One fused position-refinement Adam epoch (per-frame dpos kernel;
+    # the accuracy-polish phase — see dnmf_tpu/models/refine.py).
+    from dnmf_tpu.models import refine as refine_lib
+
+    ref_box = {}
+
+    def run_refine():
+        ref_box["p"], ref_box["m"] = refine_lib.refine_positions(
+            state, None, video, model, epochs=1, use_pallas=True,
+        )
+
+    r_sec = time_op(run_refine,
+                    lambda: float(jnp.sum(ref_box["p"][0])))
+
     gram_ms = g_sec / WB_T * 1e3
     motion_ms = m_sec / WB_T * 1e3
     mu_ms = mu_sec / WB_T * 1e3  # per frame share of the 50-iter update
@@ -189,6 +203,7 @@ def _whole_brain_run():
         "gram_ms_per_frame": round(gram_ms, 2),
         "motion_ms_per_frame": round(motion_ms, 2),
         "mu50_ms_per_frame": round(mu_ms, 3),
+        "refine_epoch_ms_per_frame": round(r_sec / WB_T * 1e3, 2),
         "round_frames_per_sec": round(1e3 / frame_ms, 1),
         "gram_mfu_algorithmic": round(mfu, 3),
     }
