@@ -324,5 +324,6 @@ def sharded_refined_rounds(
         # mark the MU carry pixel-varying and break the scan's vma match.
         in_specs=(specs, P(TIME_AXIS), P(TIME_AXIS)),
         out_specs=(specs, P(TIME_AXIS), {"recon_mse": P(TIME_AXIS)}),
+        check_vma=not use_pallas,  # pallas_call outputs carry no vma
     )
     return f(state, video_flat, pos_t)

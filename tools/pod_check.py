@@ -276,6 +276,27 @@ def run_all(n_devices: int | None = None, compiled_pallas: bool = False,
                                    rtol=1e-4, atol=1e-6)
     check("sharded position refinement (== single)", _refine)
 
+    # 10. Same phase through the fused dpos / tracked-Gram kernels
+    #     (Pallas-under-shard_map, per-frame-position variants).
+    def _refine_pallas():
+        from dnmf_tpu.models.refine import refined_rounds
+        from dnmf_tpu.parallel.sharded import sharded_refined_rounds
+
+        ref_state, ref_pos, _ = refined_rounds(
+            state, video, model, rounds=1, epochs=3, mu_iters=3)
+        mesh_t = make_mesh(num_time=n)
+        sh_state, sh_pos, _ = sharded_refined_rounds(
+            shard_state(state, mesh_t), shard_video(video, mesh_t),
+            model, mesh_t, rounds=1, epochs=3, mu_iters=3,
+            use_pallas=True, pallas_interpret=not compiled_pallas)
+        np.testing.assert_allclose(np.asarray(sh_pos),
+                                   np.asarray(ref_pos),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sh_state.c),
+                                   np.asarray(ref_state.c),
+                                   rtol=1e-3, atol=1e-5)
+    check("sharded fused refinement (== single XLA)", _refine_pallas)
+
     if verbose:
         status = "ALL PASS" if not failures else f"{len(failures)} FAILED"
         print(f"pod_check: {status} "
