@@ -332,7 +332,8 @@ def _pipeline_recovery_run():
         jnp.asarray(size, jnp.float32) - 40.0
     )
     sigma_gt = jnp.full((k,), model.shape_std)
-    betas_gt, c_gt, video = synthesize(model, pos_gt, sigma_gt, k_sim)
+    betas_gt, c_gt, video, _ = synthesize(model, pos_gt, sigma_gt,
+                                          k_sim)
     _ = float(jnp.sum(video[0]))
 
     # Register (shifts only, device-resident) -> seed beta.

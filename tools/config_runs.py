@@ -55,7 +55,8 @@ def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
     )
     sigma_gt = jnp.full((k,), model.shape_std)
     t0 = time.time()
-    betas_gt, c_gt, video = synthesize(model, pos_gt, sigma_gt, k_sim)
+    betas_gt, c_gt, video, _ = synthesize(model, pos_gt, sigma_gt,
+                                          k_sim)
     _ = float(jnp.sum(video[0]))
     synth_s = time.time() - t0
 
