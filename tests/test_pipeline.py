@@ -180,7 +180,7 @@ def test_wb_recovery_components(rng):
                         shape_std=2.0)
     pos = jnp.asarray(rng.uniform(3, 9, (k, 3)).astype(np.float32))
     sigma = jnp.full((k,), 2.0)
-    betas_gt, c_gt, video = synthesize(model, pos, sigma,
+    betas_gt, c_gt, video, _ = synthesize(model, pos, sigma,
                                        jax.random.PRNGKey(1),
                                        noise_rel=0.0)
     assert video.shape == (t, 16 * 12 * 4)
@@ -197,6 +197,18 @@ def test_wb_recovery_components(rng):
     shifted = betas_gt.at[:, 0, 0].add(2.0 / max(size[0] - 1, 1))
     err = warp_error_px(shifted, betas_gt, pos, model)
     np.testing.assert_allclose(err, 1.0, rtol=1e-4)
+
+    # Per-neuron jitter mode: frame-0 positions are the anchors, the
+    # walk has ~jitter_px RMS scale, and the render uses the per-frame
+    # centers (differs from the no-jitter render).
+    _, _, video_j, pos_t = synthesize(model, pos, sigma,
+                                      jax.random.PRNGKey(1),
+                                      noise_rel=0.0, jitter_px=1.0)
+    assert pos_t.shape == (t, k, 3)
+    np.testing.assert_allclose(np.asarray(pos_t[0]), np.asarray(pos))
+    dev = np.linalg.norm(np.asarray(pos_t - pos[None]), axis=-1)
+    assert 0.1 < dev[1:].mean() < 3.0, dev.mean()
+    assert float(jnp.max(jnp.abs(video_j - video))) > 1e-4
 
 
 def test_translation_seeding_rescues_large_drift(rng):
@@ -227,7 +239,7 @@ def test_translation_seeding_rescues_large_drift(rng):
         jnp.zeros(t),
     ], axis=-1)
     betas_gt = translation_beta(drift, size, scaling="normalized")
-    _, c_gt, video = synthesize(model, pos, sigma, jax.random.PRNGKey(1),
+    _, c_gt, video, _ = synthesize(model, pos, sigma, jax.random.PRNGKey(1),
                                 noise_rel=0.02)
     # overwrite the random-walk warp with the drift warp
     from dnmf_tpu.models.dnmf import reconstruct, model_voxel_basis
