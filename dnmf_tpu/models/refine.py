@@ -65,9 +65,11 @@ def _tracked_frame_footprints(beta_t, pos_t, sigma, model, vb):
 
 
 def _refine_tuning(num_neurons: int):
-    """kblock/tile_p for the fused refinement kernels (same sweep optima
-    as the dbeta kernels — see ``models.dnmf._CulledShim``)."""
-    return (40 if num_neurons <= 320 else 64), 4096
+    """kblock/tile_p for the fused refinement kernels — the dbeta
+    kernels' sweep optima, shared so a re-tune applies everywhere."""
+    from dnmf_tpu.models.dnmf import _CulledShim
+
+    return _CulledShim._tuning(num_neurons)
 
 
 @functools.partial(

@@ -156,6 +156,37 @@ def _block_footprint(psi, pos_ref, lo, kb):
     return jnp.exp2(-d2 * pos_ref[lo:lo + kb, 3:4])
 
 
+def _pad_frame_group(b_pad, betas, pos_t=None, c_block=None):
+    """Replicated-last-frame padding up to the frame-group multiple.
+
+    Padded frames' psi joins the per-step culling union, so a copy of
+    the last real frame keeps it tight; their video rows are
+    zero-padded and their outputs are sliced off by the caller.
+    """
+    bsz = betas.shape[0]
+    if b_pad > bsz:
+        betas = jnp.concatenate(
+            [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
+            axis=0,
+        )
+        if pos_t is not None:
+            pos_t = jnp.concatenate(
+                [pos_t, jnp.broadcast_to(
+                    pos_t[-1:], (b_pad - bsz,) + pos_t.shape[1:])],
+                axis=0,
+            )
+        if c_block is not None:
+            c_block = jnp.pad(c_block, ((0, b_pad - bsz), (0, 0)))
+    return betas, pos_t, c_block
+
+
+def _unpermute_grams(g, c1, perm, bsz, k):
+    """Undo the m-sort: sorted index i holds original neuron perm[i], so
+    the original-order Gram is G_sorted[inv][:, inv], inv=argsort(perm)."""
+    inv = jnp.argsort(perm)
+    return g[:bsz, :k, :k][:, inv, :][:, :, inv], c1[:bsz, :k, 0][:, inv]
+
+
 def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
                       c1_acc, a_scr, ahi_scr, alo_scr, *, off, size,
                       scaling, tile_p, p_count, kb, nkb, f, split,
@@ -392,13 +423,7 @@ def gram_block_culled(
 
     n_steps = p_pad // step_p
     f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
-    # Pad frames by replicating the last real beta: padded frames' psi
-    # joins the per-step culling union, so a copy keeps it tight (their
-    # y is zero-padded and their outputs are sliced off below).
-    betas_pad = jnp.concatenate(
-        [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
-        axis=0,
-    ) if b_pad > bsz else betas
+    betas_pad, _, _ = _pad_frame_group(b_pad, betas)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, step_p, p_count)
 
     common = dict(
@@ -488,12 +513,7 @@ def gram_block_culled(
             **common,
         )(off, beta_rows, blocks, params, y_blk)
 
-    # Undo the sort: sorted index i holds original neuron perm[i], so the
-    # original-order Gram is G_sorted[inv][:, inv] with inv = argsort(perm).
-    inv = jnp.argsort(perm)
-    g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
-    c1 = c1[:bsz, :k, 0][:, inv]
-    return g, c1
+    return _unpermute_grams(g, c1, perm, bsz, k)
 
 
 def _gram_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
@@ -603,10 +623,7 @@ def gram_block_pipelined(
 
     n_steps = p_pad // tile_p
     f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
-    betas_pad = jnp.concatenate(
-        [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
-        axis=0,
-    ) if b_pad > bsz else betas
+    betas_pad, _, _ = _pad_frame_group(b_pad, betas)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, tile_p, p_count)
     beta_rows = pk._beta_warp_matrix(betas_pad, f_eff)
 
@@ -655,10 +672,7 @@ def gram_block_pipelined(
         interpret=interpret,
     )(off, beta_rows, blocks, params, y_blk)
 
-    inv = jnp.argsort(perm)
-    g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
-    c1 = c1[:bsz, :k, 0][:, inv]
-    return g, c1
+    return _unpermute_grams(g, c1, perm, bsz, k)
 
 
 @functools.partial(
@@ -702,16 +716,7 @@ def gram_block_tracked(
 
     n_steps = p_pad // tile_p
     f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
-    if b_pad > bsz:
-        betas = jnp.concatenate(
-            [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
-            axis=0,
-        )
-        pos_t = jnp.concatenate(
-            [pos_t,
-             jnp.broadcast_to(pos_t[-1:], (b_pad - bsz,) + pos_t.shape[1:])],
-            axis=0,
-        )
+    betas, pos_t, _ = _pad_frame_group(b_pad, betas, pos_t=pos_t)
     perm, params, blocks = _sorted_params_tracked(pos_t, sigma, kb, nkb)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, tile_p, p_count)
     beta_rows = pk._beta_warp_matrix(betas, f_eff)
@@ -763,10 +768,7 @@ def gram_block_tracked(
         interpret=interpret,
     )(off, beta_rows, blocks, params, y_blk)
 
-    inv = jnp.argsort(perm)
-    g = g[:bsz, :k, :k][:, inv, :][:, :, inv]
-    c1 = c1[:bsz, :k, 0][:, inv]
-    return g, c1
+    return _unpermute_grams(g, c1, perm, bsz, k)
 
 
 def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
@@ -894,17 +896,9 @@ def refine_block_culled(
 
     n_tiles = p_pad // tile_p
     f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
-    if b_pad > bsz:
-        betas = jnp.concatenate(
-            [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
-            axis=0,
-        )
-        pos_t = jnp.concatenate(
-            [pos_t,
-             jnp.broadcast_to(pos_t[-1:], (b_pad - bsz,) + pos_t.shape[1:])],
-            axis=0,
-        )
-        c_block = jnp.pad(c_block, ((0, b_pad - bsz), (0, 0)))
+    betas, pos_t, c_block = _pad_frame_group(b_pad, betas,
+                                             pos_t=pos_t,
+                                             c_block=c_block)
     perm, params, blocks = _sorted_params_tracked(pos_t, sigma, kb, nkb,
                                                   c_block=c_block)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
@@ -1252,14 +1246,8 @@ def motion_block_culled(
         jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
     n_tiles = p_pad // tile_p
     f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
-    if b_pad > bsz:
-        # Replicated-last-frame padding keeps the per-step culling union
-        # tight; padded outputs are sliced off below.
-        betas = jnp.concatenate(
-            [betas, jnp.broadcast_to(betas[-1:], (b_pad - bsz, 10, 3))],
-            axis=0,
-        )
-        c_block = jnp.pad(c_block, ((0, b_pad - bsz), (0, 0)))
+    betas, _, c_block = _pad_frame_group(b_pad, betas,
+                                         c_block=c_block)
     perm, params, blocks, w2 = _sorted_params(pos, sigma, kb, nkb,
                                               c_block=c_block)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)

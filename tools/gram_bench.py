@@ -57,6 +57,7 @@ def main():
                     default=[1, 2, 4, 8, 16])
     ap.add_argument("--fps", type=int, nargs="*", default=[2])
     ap.add_argument("--impl", type=str, default="grid",
+                    choices=["grid", "pipe"],
                     help="grid | pipe (manually-pipelined kernel; "
                          "--tps values are reused as nbuf depths)")
     args = ap.parse_args()
