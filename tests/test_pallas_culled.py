@@ -231,6 +231,61 @@ def test_gram_pipelined_matches_grid(rng, f, nbuf):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_gram_pipelined_pixel_shards_sum(rng):
+    """TP contract: two pixel shards' pipelined Grams (``p_offset``-
+    anchored) must sum to the full-volume Gram — the property the
+    pixel-sharded MU path psums over (parallel/sharded.py)."""
+    pos, sigma, betas, y, c = _setup(rng)
+    g0, c10 = pc.gram_block_culled(betas, pos, sigma, y, SIZE,
+                                   scaling="normalized", tile_p=128,
+                                   kblock=8, dot_mode="split",
+                                   frames_per_step=2, interpret=True)
+    half = P // 2
+    ga, c1a = pc.gram_block_pipelined(betas, pos, sigma, y[:, :half],
+                                      SIZE, scaling="normalized",
+                                      tile_p=128, kblock=8,
+                                      dot_mode="split",
+                                      frames_per_step=2, nbuf=2,
+                                      p_offset=jnp.int32(0),
+                                      interpret=True)
+    gb, c1b = pc.gram_block_pipelined(betas, pos, sigma, y[:, half:],
+                                      SIZE, scaling="normalized",
+                                      tile_p=128, kblock=8,
+                                      dot_mode="split",
+                                      frames_per_step=2, nbuf=2,
+                                      p_offset=jnp.int32(half),
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(ga + gb), np.asarray(g0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1a + c1b), np.asarray(c10),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gram_pipelined_under_vmap(rng):
+    """Config-5 contract: vmap over recordings must batch the manual-DMA
+    pipelined kernel (pallas batching prepends a grid axis; the ANY-space
+    video ref gains a leading dim indexed by the new grid axis) and match
+    per-recording dispatches."""
+    pos, sigma, betas, y, c = _setup(rng)
+    yb = jnp.stack([y, 0.5 * y])
+    bb = jnp.stack([betas, betas])
+
+    def one(b_, y_):
+        return pc.gram_block_pipelined(b_, pos, sigma, y_, SIZE,
+                                       scaling="normalized", tile_p=128,
+                                       kblock=8, dot_mode="split",
+                                       frames_per_step=2, nbuf=2,
+                                       interpret=True)
+
+    gv, c1v = jax.vmap(one)(bb, yb)
+    for r in range(2):
+        gr, c1r = one(bb[r], yb[r])
+        np.testing.assert_allclose(np.asarray(gv[r]), np.asarray(gr),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(c1v[r]), np.asarray(c1r),
+                                   rtol=0, atol=0)
+
+
 def _tracked_setup(rng, t=3):
     pos, sigma, betas, y, c = _setup(rng, t=t)
     jitter = jnp.asarray(
