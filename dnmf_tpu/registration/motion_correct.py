@@ -563,13 +563,17 @@ def tile_and_correct_block(
         impl = ("fused" if nd == 3 and use_remap
                 and jax.default_backend() == "tpu" else "xla")
     if impl != "fused" or not use_remap:
+        # The fused warp kernel rides the fused-phasecorr block path;
+        # per-frame fallback uses the semantically-matching XLA passes.
+        frame_remap = "separable" if remap_mode == "fused" else remap_mode
+
         def one(f):
             return tile_and_correct(
                 f, template, strides, overlaps, max_shifts,
                 max_deviation_rigid=max_deviation_rigid,
                 upsample_factor_grid=upsample_factor_grid,
                 upsample_factor_fft=upsample_factor_fft,
-                use_remap=use_remap, remap_mode=remap_mode,
+                use_remap=use_remap, remap_mode=frame_remap,
                 border_nan=border_nan, add_to_movie=add_to_movie,
                 gSig_filt=gSig_filt, rigid_decimate=rigid_decimate,
             )
@@ -623,11 +627,20 @@ def tile_and_correct_block(
     sizes = jnp.asarray(window, dtype=jnp.float32)
     patch_shifts = jnp.where(sizes == 1, 0.0, patch_shifts)
 
-    corrected = jax.vmap(
-        lambda f, rs, ps: _apply_remap_field(
-            f, rs, ps, grid_shape, remap_mode, max_shifts,
-            max_deviation_rigid)
-    )(frames, rigid_shts, patch_shifts)
+    if remap_mode == "fused":
+        from dnmf_tpu.ops.pallas_warp import fused_separable_warp
+
+        corrected = fused_separable_warp(
+            frames, patch_shifts, rigid_shts, grid_shape, dims,
+            max_shifts, max_deviation_rigid,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        corrected = jax.vmap(
+            lambda f, rs, ps: _apply_remap_field(
+                f, rs, ps, grid_shape, remap_mode, max_shifts,
+                max_deviation_rigid)
+        )(frames, rigid_shts, patch_shifts)
     return corrected - add_to_movie, -patch_shifts
 
 

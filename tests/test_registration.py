@@ -425,6 +425,40 @@ def test_tile_and_correct_block_fused_matches_vmapped(rng):
                                atol=0.05)
 
 
+def test_tile_and_correct_block_fused_remap_matches_separable(rng):
+    """remap_mode="fused" (the Pallas warp kernel, interpret mode on
+    CPU) must match remap_mode="separable" exactly given identical
+    shift estimates (same fused phase-correlation path)."""
+    from dnmf_tpu.registration.motion_correct import (
+        tile_and_correct_block,
+    )
+
+    m, n, z = 32, 32, 4
+    tmpl3 = gaussian_filter(
+        rng.normal(size=(m, n, z)), (2.0, 2.0, 0.5)
+    ).astype(np.float32)
+    video = np.stack([
+        np.roll(tmpl3, (2, -1, 1), axis=(0, 1, 2)),
+        np.roll(tmpl3, (-1, 2, 0), axis=(0, 1, 2)),
+    ]).astype(np.float32)
+    kw = dict(strides=(16, 16, 4), overlaps=(8, 8, 0),
+              max_shifts=(4, 4, 2), max_deviation_rigid=2,
+              use_remap=True, border_nan=True,
+              phasecorr_impl="fused")
+    c_sep, s_sep = tile_and_correct_block(
+        jnp.asarray(video), jnp.asarray(tmpl3),
+        remap_mode="separable", **kw
+    )
+    c_fus, s_fus = tile_and_correct_block(
+        jnp.asarray(video), jnp.asarray(tmpl3),
+        remap_mode="fused", **kw
+    )
+    np.testing.assert_allclose(np.asarray(s_fus), np.asarray(s_sep),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_fus), np.asarray(c_sep),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_tile_and_correct_block_xla_matches_per_frame(rng):
     """phasecorr_impl="xla" block path is exactly vmapped
     tile_and_correct."""
