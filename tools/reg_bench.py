@@ -11,6 +11,7 @@ Usage: python tools/reg_bench.py [--frames 4] [--reps 5]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -89,13 +90,13 @@ def main():
         tile_and_correct_block,
     )
 
-    def make_pw(dec, est_only, impl="auto"):
+    def make_pw(dec, est_only, impl="auto", remap="separable"):
         def pw(fr):
             out = tile_and_correct_block(
                 fr, template, STRIDES, OVERLAPS, MAX_SHIFTS,
                 max_deviation_rigid=3, upsample_factor_grid=4,
                 upsample_factor_fft=10, use_remap=True,
-                remap_mode="separable", border_nan=False,
+                remap_mode=remap, border_nan=False,
                 rigid_decimate=dec, phasecorr_impl=impl)
             return out[1] if est_only else out
         return jax.jit(pw)
@@ -108,6 +109,16 @@ def main():
         report("pw-rigid est+apply (dec=4, xla pc)",
                timeit(make_pw(4, False, impl="xla"), frames,
                       reps=args.reps))
+        report("pw-rigid est+apply (dec=4, FUSED warp)",
+               timeit(make_pw(4, False, remap="fused"), frames,
+                      reps=args.reps))
+        # Fused-warp correctness vs separable on the same shift field.
+        c_sep = make_pw(4, False)(frames)[0]
+        c_fus = make_pw(4, False, remap="fused")(frames)[0]
+        werr = float(jnp.max(jnp.abs(c_fus - c_sep)))
+        print(f"    fused-warp max |diff| vs separable: {werr:.2e}",
+              flush=True)
+        results["fused_warp_max_abs_diff"] = werr
         report("pw-rigid estimate only (dec=1)",
                timeit(make_pw(1, True), frames, reps=args.reps))
         report("pw-rigid estimate only (dec=4)",
@@ -335,6 +346,25 @@ def main():
     if "apply" in sections:
         report("separable apply alone",
                timeit(jax.jit(apply_sep), frames, reps=args.reps))
+
+        from dnmf_tpu.ops.pallas_warp import fused_separable_warp
+
+        ps_b = jnp.broadcast_to(shifts_p[None], (b,) + shifts_p.shape)
+        rig_b = jnp.zeros((b, 3))
+
+        def apply_fused(fr, ps, rg, tm=32, tn=128):
+            return fused_separable_warp(
+                fr, ps, rg, tuple(grid_shape), SIZE, MAX_SHIFTS, 3,
+                tm=tm, tn=tn)
+        for tm, tn in ((32, 128), (64, 128), (32, 256)):
+            try:
+                report(f"FUSED apply alone (tm={tm},tn={tn})",
+                       timeit(jax.jit(functools.partial(
+                           apply_fused, tm=tm, tn=tn)),
+                           frames, ps_b, rig_b, reps=args.reps))
+            except Exception as e:  # VMEM walls etc.
+                print(f"FUSED apply tm={tm},tn={tn}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
     print(json.dumps({"reg_bench_ms_per_frame": results}), flush=True)
 
