@@ -482,12 +482,56 @@ def _guard(fn):
         return {"error": str(e)[:200]}
 
 
+def _backend_preflight(retries=6, wait_s=60, probe_timeout=75):
+    """Bounded device-discovery probe in a killable subprocess.
+
+    When the tunnel is down, ``jax.devices()`` blocks FOREVER inside
+    ``make_c_api_client`` (NOTES.md) — probing in-process would stall
+    the whole benchmark run with no output.  Returns the platform name,
+    or None after ``retries`` failed probes (~13 min worst case, riding
+    out short tunnel blips).
+    """
+    import subprocess
+    import sys
+
+    code = "import jax; print(jax.devices()[0].platform)"
+    last = ""
+    for i in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=probe_timeout)
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip().splitlines()[-1]
+            last = (r.stderr or "probe failed").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            last = (f"device discovery timed out ({probe_timeout}s) — "
+                    "tunnel down?")
+        print(f"preflight {i + 1}/{retries}: {last}", file=sys.stderr,
+              flush=True)
+        if i + 1 < retries:
+            time.sleep(wait_s)
+    return None
+
+
 def main():
+    import sys
+
     import jax
 
     # Tunnel compiles are slow; persist across runs/sections.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    platform = _backend_preflight()
+    if platform is None:
+        print(json.dumps({
+            "metric": "frames/sec/chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "device backend unreachable (tunnel outage); "
+                     "no measurement possible this session",
+        }))
+        sys.exit(1)
 
     tpu = _tpu_run()
     wb = _whole_brain_run()

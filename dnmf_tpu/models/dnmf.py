@@ -115,22 +115,42 @@ class _CulledShim:
         return (40 if num_neurons <= 320 else 64), 4096
 
     @staticmethod
+    def _params(kernel: str, num_neurons: int) -> dict:
+        """Static heuristic, overridden by any measured cache entry
+        (``ops/tuning.py``; populated by ``tools/autotune.py``)."""
+        from dnmf_tpu.ops import tuning
+
+        kb, tp = _CulledShim._tuning(num_neurons)
+        params = {"kblock": kb, "tile_p": tp}
+        ent = tuning.lookup(kernel, k=int(num_neurons))
+        if ent:
+            params.update(ent)
+        return params
+
+    @staticmethod
     def gram_block(betas, pos, *args, **kwargs):
         from dnmf_tpu.ops import pallas_culled as pc
 
-        kb, tp = _CulledShim._tuning(pos.shape[0])
-        kwargs.setdefault("frames_per_step", 2)
-        return pc.gram_block_culled(betas, pos, *args, kblock=kb,
-                                    tile_p=tp, dot_mode="split",
-                                    **kwargs)
+        params = _CulledShim._params("culled_gram", pos.shape[0])
+        impl = params.pop("impl", "grid")
+        params.setdefault("frames_per_step", 2)
+        params.setdefault("dot_mode", "split")
+        for key, val in params.items():
+            kwargs.setdefault(key, val)
+        if impl == "pipelined":
+            kwargs.pop("tiles_per_step", None)  # grid-impl-only knob
+            return pc.gram_block_pipelined(betas, pos, *args, **kwargs)
+        kwargs.pop("nbuf", None)  # pipelined-only knob
+        return pc.gram_block_culled(betas, pos, *args, **kwargs)
 
     @staticmethod
     def motion_block(betas, pos, *args, **kwargs):
         from dnmf_tpu.ops import pallas_culled as pc
 
-        kb, tp = _CulledShim._tuning(pos.shape[0])
-        return pc.motion_block_culled(betas, pos, *args, kblock=kb,
-                                      tile_p=tp, **kwargs)
+        params = _CulledShim._params("culled_motion", pos.shape[0])
+        for key, val in params.items():
+            kwargs.setdefault(key, val)
+        return pc.motion_block_culled(betas, pos, *args, **kwargs)
 
 
 def _pick_pallas(num_neurons: int):

@@ -66,10 +66,16 @@ def _tracked_frame_footprints(beta_t, pos_t, sigma, model, vb):
 
 def _refine_tuning(num_neurons: int):
     """kblock/tile_p for the fused refinement kernels — the dbeta
-    kernels' sweep optima, shared so a re-tune applies everywhere."""
+    kernels' sweep optima, shared so a re-tune applies everywhere; a
+    measured ``culled_refine`` cache entry overrides both."""
     from dnmf_tpu.models.dnmf import _CulledShim
+    from dnmf_tpu.ops import tuning
 
-    return _CulledShim._tuning(num_neurons)
+    kb, tp = _CulledShim._tuning(num_neurons)
+    ent = tuning.lookup("culled_refine", k=int(num_neurons))
+    if ent:
+        return ent.get("kblock", kb), ent.get("tile_p", tp)
+    return kb, tp
 
 
 @functools.partial(

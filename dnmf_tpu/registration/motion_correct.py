@@ -628,11 +628,15 @@ def tile_and_correct_block(
     patch_shifts = jnp.where(sizes == 1, 0.0, patch_shifts)
 
     if remap_mode == "fused":
+        from dnmf_tpu.ops import tuning
         from dnmf_tpu.ops.pallas_warp import fused_separable_warp
 
+        tiles = tuning.lookup(
+            "fused_warp", m=dims[0], n=dims[1], z=dims[2]) or {}
         corrected = fused_separable_warp(
             frames, patch_shifts, rigid_shts, grid_shape, dims,
             max_shifts, max_deviation_rigid,
+            tm=tiles.get("tm", 32), tn=tiles.get("tn", 128),
             interpret=jax.default_backend() != "tpu",
         )
     else:

@@ -1,0 +1,220 @@
+"""On-chip kernel autotuner: sweep the Pallas tiling knobs at a given
+workload shape and record the winners in the tuning cache
+(``dnmf_tpu/ops/tuning.py``), which the production wrappers consult.
+
+Sweeps (each candidate is one compile — expect ~30 s-5 min per compile
+through the tunneled backend; run with a generous timeout):
+
+  gram    impl grid (frames_per_step x kblock) + pipelined (nbuf depths)
+  motion  kblock
+  refine  kblock (the fused dpos kernel)
+  warp    fused separable-warp (tm, tn) tiles
+
+Usage:
+  python tools/autotune.py --k 200 [--size 512 512 20] [--frames 16]
+         [--sections gram,motion,refine,warp] [--no-record]
+
+Winners are only recorded when they beat the current production
+selection by >2% (re-recording identical optima would churn the cache).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def fence_out(x):
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(leaf))
+
+
+def max_abs_diff(a, b):
+    import jax.numpy as jnp
+
+    la = __import__("jax").tree_util.tree_leaves(a)
+    lb = __import__("jax").tree_util.tree_leaves(b)
+    return max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(la, lb))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=200)
+    ap.add_argument("--size", type=int, nargs=3, default=[512, 512, 20])
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sections", type=str,
+                    default="gram,motion,refine,warp")
+    ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke mode (interpret-incapable kernels "
+                         "will fail and be skipped by the sweep)")
+    args = ap.parse_args()
+    sections = set(args.sections.split(","))
+
+    import jax
+
+    if args.cpu:
+        # Before any backend touch — the axon hook ignores the env var
+        # and a downed tunnel blocks device discovery forever (NOTES.md).
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    from dnmf_tpu.ops import pallas_culled as pc
+    from dnmf_tpu.ops import tuning
+    from dnmf_tpu.ops.pallas_warp import fused_separable_warp
+
+    size = tuple(args.size)
+    b, k = args.frames, args.k
+    p = int(np.prod(size))
+    dev = jax.devices()[0].device_kind
+
+    rng = np.random.default_rng(0)
+    betas = np.zeros((b, 10, 3), dtype=np.float32)
+    betas[:, 1, 0] = betas[:, 2, 1] = betas[:, 3, 2] = 1.0
+    betas += rng.normal(0, 0.01, betas.shape).astype(np.float32)
+    pos = np.stack([
+        rng.uniform(0.1 * s, 0.9 * s, k).astype(np.float32)
+        for s in size
+    ], axis=1)
+    sigma = np.full((k,), 3.0, dtype=np.float32)
+    y = rng.random((b, p), dtype=np.float32)
+
+    betas_j, pos_j = jnp.asarray(betas), jnp.asarray(pos)
+    sigma_j, y_j = jnp.asarray(sigma), jnp.asarray(y)
+    c_t = jnp.asarray(rng.random((b, k), dtype=np.float32))
+
+    def log(s):
+        print("   ", s, flush=True)
+
+    def run_section(name, kernel, key, candidates, build, current):
+        print(f"== {name} (key {key}) ==", flush=True)
+        t0 = time.time()
+        best, results = tuning.sweep(
+            candidates, build, fence_out, reps=args.reps,
+            check=max_abs_diff, log=log)
+        print(f"   sweep took {time.time() - t0:.0f} s", flush=True)
+        ms = {json.dumps(r["params"], sort_keys=True): r.get("ms")
+              for r in results}
+        cur_ms = ms.get(json.dumps(current, sort_keys=True))
+        best_ms = min((r["ms"] for r in results if "ms" in r),
+                      default=None)
+        if best is None or best_ms is None:
+            print("   no successful candidate", flush=True)
+            return results
+        if (cur_ms is not None and best_ms > 0.98 * cur_ms):
+            print(f"   production selection {current} holds "
+                  f"({cur_ms:.3f} vs best {best_ms:.3f} ms)", flush=True)
+            return results
+        print(f"   WINNER {best}: {best_ms:.3f} ms"
+              + ("" if args.no_record else " -> recorded"), flush=True)
+        if not args.no_record:
+            tuning.record(kernel, key, best, best_ms / b, dev,
+                          note=f"autotune b={b} size={size}")
+        return results
+
+    all_results = {}
+    from dnmf_tpu.models.dnmf import _CulledShim
+
+    kb0, tp0 = _CulledShim._tuning(k)
+
+    if "gram" in sections:
+        def build_gram(params):
+            params = dict(params)
+            impl = params.pop("impl")
+            def run():
+                if impl == "pipelined":
+                    return pc.gram_block_pipelined(
+                        betas_j, pos_j, sigma_j, y_j, size,
+                        dot_mode="split", **params)
+                return pc.gram_block_culled(
+                    betas_j, pos_j, sigma_j, y_j, size,
+                    dot_mode="split", **params)
+            return run
+
+        cands = []
+        for kb in sorted({40, 64, kb0}):
+            cands.append({"impl": "grid", "kblock": kb,
+                          "tile_p": 4096, "frames_per_step": 2})
+        cands.append({"impl": "grid", "kblock": kb0, "tile_p": 4096,
+                      "frames_per_step": 1})
+        for nb in (2, 3, 4):
+            cands.append({"impl": "pipelined", "kblock": kb0,
+                          "tile_p": 4096, "frames_per_step": 2,
+                          "nbuf": nb})
+        all_results["gram"] = run_section(
+            "gram", "culled_gram", {"k": k}, cands, build_gram,
+            {"impl": "grid", "kblock": kb0, "tile_p": 4096,
+             "frames_per_step": 2})
+
+    if "motion" in sections:
+        def build_motion(params):
+            def run():
+                return pc.motion_block_culled(
+                    betas_j, pos_j, sigma_j, c_t, y_j, size, **params)
+            return run
+
+        cands = [{"kblock": kb, "tile_p": 4096}
+                 for kb in sorted({40, 64, kb0})]
+        all_results["motion"] = run_section(
+            "motion", "culled_motion", {"k": k}, cands, build_motion,
+            {"kblock": kb0, "tile_p": 4096})
+
+    if "refine" in sections:
+        pos_all = jnp.broadcast_to(pos_j[None], (b, k, 3))
+
+        def build_refine(params):
+            def run():
+                return pc.refine_block_culled(
+                    betas_j, pos_all, sigma_j, c_t, y_j, size,
+                    **params)
+            return run
+
+        cands = [{"kblock": kb, "tile_p": 4096}
+                 for kb in sorted({40, 64, kb0})]
+        all_results["refine"] = run_section(
+            "refine", "culled_refine", {"k": k}, cands, build_refine,
+            {"kblock": kb0, "tile_p": 4096})
+
+    if "warp" in sections:
+        m, n, z = size
+        grid_shape = (4, 4, 2)
+        np_patches = int(np.prod(grid_shape))
+        frames4 = jnp.asarray(
+            rng.random((b, m, n, z), dtype=np.float32))
+        ps = jnp.asarray(rng.uniform(
+            -3, 3, (b, np_patches, 3)).astype(np.float32))
+        rs = jnp.asarray(rng.uniform(
+            -2, 2, (b, 3)).astype(np.float32))
+
+        def build_warp(params):
+            def run():
+                return fused_separable_warp(
+                    frames4, ps, rs, grid_shape, size, (6, 6, 2), 3,
+                    **params)
+            return run
+
+        cands = [{"tm": tm, "tn": tn}
+                 for tm, tn in ((32, 128), (64, 128), (32, 256),
+                                (16, 128))]
+        all_results["warp"] = run_section(
+            "warp", "fused_warp", {"m": m, "n": n, "z": z}, cands,
+            build_warp, {"tm": 32, "tn": 128})
+
+    print(json.dumps({"autotune": all_results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
