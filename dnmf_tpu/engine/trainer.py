@@ -37,6 +37,27 @@ class FitResult:
         return np.asarray(self.state.beta)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _positions_all_jit(pos, beta, iters, normalized, size):
+    """``[T, K, 3]`` apparent positions: ``warp_t^{-1}(pos)`` per frame
+    (module scope so jit compiles once across trainer instances)."""
+    from dnmf_tpu.ops.basis import (
+        denormalize_points,
+        invert_warp_points,
+        normalize_points,
+    )
+
+    if normalized:
+        p = normalize_points(pos, size)
+        inv = jax.vmap(
+            lambda b: invert_warp_points(p, b, iters=iters)
+        )(beta)
+        return denormalize_points(inv, size)
+    return jax.vmap(
+        lambda b: invert_warp_points(pos, b, iters=iters)
+    )(beta)
+
+
 class DeformableNMF:
     """Alternating optimizer over a device-resident video.
 
@@ -437,41 +458,28 @@ class DeformableNMF:
         warps; the old first-order ``2p - warp(p)`` estimate was biased
         for strong quadratic warps).
         """
-        from dnmf_tpu.ops.basis import (
-            denormalize_points,
-            invert_warp_points,
-            normalize_points,
-        )
-
         return np.asarray(self.positions_all(iters=iters)[frame])
 
     def positions_all(self, iters: int = 3) -> np.ndarray:
         """Deformed positions for EVERY frame in one jitted dispatch:
         ``[T, K, 3]`` (``invert_warp_points`` vmapped over beta frames —
         trajectory rendering used to loop :meth:`positions_at` per frame,
-        O(T) device dispatches)."""
-        from dnmf_tpu.ops.basis import (
-            denormalize_points,
-            invert_warp_points,
-            normalize_points,
-        )
-
-        pos = self.state.pos
+        O(T) device dispatches).  The host result is cached against the
+        current factors, so a per-frame :meth:`positions_at` loop costs
+        one dispatch total (and the jitted solver lives at module scope:
+        a per-call closure would defeat jax.jit's cache and recompile
+        every call — minutes per call on the tunneled backend)."""
+        cache = getattr(self, "_positions_cache", None)
+        if (cache is not None and cache[0] is self.state.beta
+                and cache[1] is self.state.pos and cache[2] == iters):
+            return cache[3]
         normalized = self.model.deformation.basis_scaling == "normalized"
-
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def all_frames(pos, beta, iters):
-            if normalized:
-                p = normalize_points(pos, self.model.size)
-                inv = jax.vmap(
-                    lambda b: invert_warp_points(p, b, iters=iters)
-                )(beta)
-                return denormalize_points(inv, self.model.size)
-            return jax.vmap(
-                lambda b: invert_warp_points(pos, b, iters=iters)
-            )(beta)
-
-        return np.asarray(all_frames(pos, self.state.beta, iters))
+        out = np.asarray(_positions_all_jit(
+            self.state.pos, self.state.beta, iters, normalized,
+            tuple(self.model.size)))
+        self._positions_cache = (self.state.beta, self.state.pos,
+                                 iters, out)
+        return out
 
 
 class StaticFootprintNMF:

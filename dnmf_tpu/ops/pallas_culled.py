@@ -190,9 +190,9 @@ def _unpermute_grams(g, c1, perm, bsz, k):
 def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
                       c1_acc, a_scr, ahi_scr, alo_scr, *, off, size,
                       scaling, tile_p, p_count, kb, nkb, f, split,
-                      posget=None):
+                      posget=None, psiget=None):
     """One voxel tile's culled Gram/c1 accumulation (shared by the
-    grid-pipelined and manually-pipelined kernels).
+    grid-pipelined, manually-pipelined, and streamed-psi kernels).
 
     ``yget(fi) -> [1, tile_p]`` fetches frame ``fi``'s video row for
     this tile from whichever buffer the caller staged it in.
@@ -200,6 +200,12 @@ def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
     ``posget(fi)``, when given, returns frame ``fi``'s own ``[K_pad, 8]``
     neuron parameters (the tracked-positions path — see
     :func:`gram_block_tracked`); default is the shared ``pos_ref``.
+
+    ``psiget()``, when given, returns precomputed ``(psi, w)`` rows
+    (each axis ``[F, tile_p]``; ``w`` must already carry the border
+    fade and tail-padding zeros) instead of deriving them from
+    ``beta_ref`` — the streamed-psi path, where ``base``/``off``/
+    ``size``/``scaling``/``p_count`` are unused.
     """
     hi_prec = jax.lax.Precision.HIGHEST
     dims = (((1,), (1,)), ((), ()))
@@ -208,11 +214,14 @@ def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    idx, mi, ni, zi = _coord_rows(base, size, tile_p)
-    psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
-    w = _fade_row(psi, size) * (
-        idx < off + p_count
-    ).astype(jnp.float32)
+    if psiget is None:
+        idx, mi, ni, zi = _coord_rows(base, size, tile_p)
+        psi, _ = _warp_rows_mf(beta_ref, mi, ni, zi, size, scaling, f)
+        w = _fade_row(psi, size) * (
+            idx < off + p_count
+        ).astype(jnp.float32)
+    else:
+        psi, w = psiget()
     # Culling bounds are the union over the step's F frames: one
     # cross-lane reduce instead of F, and per-frame deformed ranges
     # differ by at most the warp spread, so selectivity is
@@ -987,77 +996,22 @@ def _gram_kernel_streamed(blocks_ref, pos_ref, psim_ref, psin_ref,
         g_acc[:] = jnp.zeros_like(g_acc)
         c1_acc[:] = jnp.zeros_like(c1_acc)
 
-    psi = (psim_ref[:], psin_ref[:], psiz_ref[:])  # each [F, tp]
-    w = w_ref[:]
-    t_lo = jnp.min(psi[0])
-    t_hi = jnp.max(psi[0])
-
     split = dot_mode == "split"
     if split:
         ahi_scr, alo_scr = scr
         a_scr = None
     else:
         (a_scr,) = scr
+        ahi_scr = alo_scr = None
 
-    actives = []
-    pair_actives = {}
-    for i in range(nkb):
-        actives.append(
-            (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
-        )
-        for j in range(i, nkb):
-            pair_actives[(i, j)] = (blocks_ref[j, 0]
-                                    <= blocks_ref[i, 1])
-
-    hi_prec = jax.lax.Precision.HIGHEST
-    dims = (((1,), (1,)), ((), ()))
-    bf_dot = functools.partial(
-        jax.lax.dot_general, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+    _culled_tile_body(
+        None, lambda fi: y_ref[fi:fi + 1, :], None, blocks_ref,
+        pos_ref, g_acc, c1_acc, a_scr, ahi_scr, alo_scr, off=None,
+        size=None, scaling=None, tile_p=tile_p, p_count=None, kb=kb,
+        nkb=nkb, f=f, split=split,
+        psiget=lambda: ((psim_ref[:], psin_ref[:], psiz_ref[:]),
+                        w_ref[:]),
     )
-    for fi in range(f):
-        psi_f = tuple(p[fi:fi + 1, :] for p in psi)
-        w_f = w[fi:fi + 1, :]
-        for i in range(nkb):
-            @pl.when(actives[i])
-            def _(i=i):
-                sl = slice(i * kb, (i + 1) * kb)
-                a = _block_footprint(psi_f, pos_ref, i * kb, kb) * w_f
-                if split:
-                    hi, lo = pk._split_bf16(a)
-                    ahi_scr[sl, :] = hi
-                    alo_scr[sl, :] = lo
-                else:
-                    a_scr[sl, :] = a
-        for i in range(nkb):
-            @pl.when(actives[i])
-            def _(i=i):
-                sl = slice(i * kb, (i + 1) * kb)
-                ai = (ahi_scr[sl, :].astype(jnp.float32)
-                      + alo_scr[sl, :].astype(jnp.float32)) if split \
-                    else a_scr[sl, :]
-                c1_acc[fi, sl, :] += jax.lax.dot_general(
-                    ai, y_ref[fi:fi + 1, :], dims,
-                    preferred_element_type=jnp.float32,
-                    precision=hi_prec,
-                )
-            for j in range(i, nkb):
-                @pl.when(actives[i] & actives[j] & pair_actives[(i, j)])
-                def _(i=i, j=j):
-                    si = slice(i * kb, (i + 1) * kb)
-                    sj = slice(j * kb, (j + 1) * kb)
-                    if split:
-                        gij = (bf_dot(ahi_scr[si, :], ahi_scr[sj, :])
-                               + bf_dot(ahi_scr[si, :], alo_scr[sj, :])
-                               + bf_dot(alo_scr[si, :], ahi_scr[sj, :]))
-                    else:
-                        gij = jax.lax.dot_general(
-                            a_scr[si, :], a_scr[sj, :], dims,
-                            preferred_element_type=jnp.float32,
-                            precision=hi_prec,
-                        )
-                    g_acc[fi, si, sj] += gij
 
     @pl.when(tile == n_tiles - 1)
     def _():

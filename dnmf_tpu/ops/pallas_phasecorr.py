@@ -25,8 +25,11 @@ ops.  This kernel runs the whole chain per patch inside VMEM:
 * outputs: the integer signed shift per patch plus the product spectrum
   (for the XLA-side subpixel matrix-DFT refinement, which is cheap).
 
-Grid is ``(n_patches, n_frames)`` with frames innermost so the per-patch
-template spectrum block stays resident across the frame loop.
+Grid is ``(n_frames, n_patches)`` with patches innermost: each frame's
+``[NP, 8]`` shifts block is revisited across consecutive steps and
+written back once per frame, while the per-patch template spectrum
+blocks are refetched each step (~2 MB/step — negligible against the
+body; see the inline comment at the ``pallas_call``).
 """
 
 from __future__ import annotations

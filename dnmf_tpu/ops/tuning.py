@@ -118,9 +118,23 @@ def record(
     note: str = "",
 ) -> None:
     """Persist a measured winner (replaces any entry with the same
-    kernel + exact key).  Atomic write; concurrent recorders last-win
-    per entry, which is fine for a tuning cache."""
+    kernel + exact key).  The read-modify-write runs under an exclusive
+    flock so concurrent autotune runs (e.g. two shapes swept in
+    parallel) merge instead of erasing each other's entries; the final
+    rename is atomic for readers."""
+    import fcntl
+
     path = cache_path()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    lock = path.with_name(path.name + ".lock")
+    with open(lock, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        _record_locked(path, kernel, key, params, metric_ms, device,
+                       note)
+    _cache.clear()
+
+
+def _record_locked(path, kernel, key, params, metric_ms, device, note):
     try:
         data = json.loads(path.read_text())
     except (OSError, ValueError):
@@ -141,13 +155,11 @@ def record(
                                                         sort_keys=True)))
     data["entries"] = entries
     data["version"] = 1
-    path.parent.mkdir(parents=True, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=str(path.parent), suffix=".json")
     with os.fdopen(fd, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
         f.write("\n")
     os.replace(tmp, path)
-    _cache.clear()
 
 
 def sweep(

@@ -225,12 +225,26 @@ def _rigid_estimate(reg_img, template, max_shifts, upsample_factor_fft,
 
         dec_ms = tuple(max(1.0, float(ms) / d)
                        for ms in max_shifts[:2]) + tuple(max_shifts[2:])
+        # Symmetric integer window [-m, m], NOT the reference-parity
+        # asymmetric [-m, m-1] that max_shifts= would apply: after the
+        # d-x rescale that "-1" would cost d px of positive range
+        # (at d=4/max_shifts=6 every positive shift >= ~3 px saturated
+        # at ~2.8).  The decimated pre-estimate is our own lever with
+        # no reference analog, so symmetry is free; the clamp restores
+        # the |rigid| <= ceil(max_shifts)+1 bound downstream consumers
+        # (fused/separable warp bases) rely on, which the subpixel
+        # overshoot (+-0.75 decimated px -> +-0.75*d full-res) could
+        # otherwise exceed.
         rigid_dec, _, _ = fft_reg.phase_cross_correlation(
             pool(reg_img), pool(template),
-            upsample_factor=upsample_factor_fft, max_shifts=dec_ms,
+            upsample_factor=upsample_factor_fft,
+            shifts_lb=jnp.asarray([-m for m in dec_ms]),
+            shifts_ub=jnp.asarray([m + 1.0 for m in dec_ms]),
         )
         scale = jnp.asarray((float(d), float(d)) + (1.0,) * (nd - 2))
-        return rigid_dec * scale
+        bound = jnp.asarray([float(np.ceil(ms)) + 1.0
+                             for ms in max_shifts])
+        return jnp.clip(rigid_dec * scale, -bound, bound)
     rigid_shts, _, _ = fft_reg.phase_cross_correlation(
         reg_img, template, upsample_factor=upsample_factor_fft,
         max_shifts=max_shifts,
@@ -583,9 +597,15 @@ def tile_and_correct_block(
 
     from dnmf_tpu.ops import pallas_phasecorr as pp
 
+    if gSig_filt is not None:
+        # Match the per-frame path's loud failure (the reference's 1p
+        # high-pass is 2-D-only, :1262-1270) instead of silently
+        # registering unfiltered frames.
+        raise ValueError("gSig_filt high-pass filtering is 2-D only "
+                         "(got 3-D frames on the fused path)")
     frames = frames + add_to_movie
     template = template + add_to_movie
-    reg_frames = frames  # gSig_filt is 2-D-only; fused path is 3-D
+    reg_frames = frames
 
     rigid_shts = jax.vmap(
         lambda f: _rigid_estimate(

@@ -389,6 +389,25 @@ def test_rigid_decimate_bounds_match(rng):
                                np.asarray(full.y_shifts_els), atol=0.3)
 
 
+def test_rigid_decimate_4_reaches_positive_max_shifts(rng):
+    """Regression: the decimated pre-estimate must use a symmetric
+    integer window.  With the reference-parity asymmetric [-m, m-1]
+    window, the d-x rescale cost d px of positive range — at d=4 /
+    max_shifts=6 every positive shift >= ~3 px saturated at ~2.8,
+    systematically under-correcting those frames."""
+    from dnmf_tpu.registration.motion_correct import _rigid_estimate
+
+    tmpl = _template(rng, shape=(96, 96))
+    for true in ((5.0, -5.0), (-5.0, 5.0)):
+        img = jnp.roll(tmpl, (int(true[0]), int(true[1])), axis=(0, 1))
+        for dec in (2, 4):
+            est = np.asarray(_rigid_estimate(
+                img, tmpl, (6.0, 6.0), 10, dec))
+            np.testing.assert_allclose(est, true, atol=0.75)
+            # Downstream warp-base precondition.
+            assert np.all(np.abs(est) <= 7.0)
+
+
 def test_tile_and_correct_block_fused_matches_vmapped(rng):
     """The fused-Pallas block path (interpret mode on CPU) matches
     vmap(tile_and_correct) — shifts to subpixel-grid tolerance, frames
