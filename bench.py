@@ -154,6 +154,22 @@ def _whole_brain_run():
     g_sec = time_op(run_grams,
                     lambda: float(jnp.sum(grams_box["g"][0, 0])))
 
+    # Closed-form Grams + c1-only video pass (ops/gram_analytic.py) —
+    # the O(K^2) replacement for the 2PK^2 pixel reduction; also record
+    # its max deviation from the exact Grams as a correctness witness.
+    an_box = {}
+
+    def run_grams_analytic():
+        an_box["g"], an_box["c1"] = M.compute_grams(
+            state, video, model, frame_block=WB_FRAME_BLOCK,
+            use_pallas=True, gram_mode="analytic",
+        )
+
+    ga_sec = time_op(run_grams_analytic,
+                     lambda: float(jnp.sum(an_box["g"][0, 0])))
+    ga_err = float(jnp.max(jnp.abs(an_box["g"] - grams_box["g"]))
+                   / jnp.max(jnp.abs(grams_box["g"])))
+
     mot_box = {}
 
     def run_motion():
@@ -198,13 +214,18 @@ def _whole_brain_run():
     # MXU-bound, so the Gram dominates the FLOP model).
     gram_flops = 2.0 * p * WB_K * WB_K
     mfu = gram_flops / (g_sec / WB_T) / PRACTICAL_PEAK_FLOPS
+    ga_ms = ga_sec / WB_T * 1e3
+    frame_an_ms = ga_ms + motion_ms + mu_ms
     return {
         "workload": f"{WB_SIZE[0]}x{WB_SIZE[1]}x{WB_SIZE[2]} K={WB_K}",
         "gram_ms_per_frame": round(gram_ms, 2),
+        "gram_analytic_ms_per_frame": round(ga_ms, 2),
+        "gram_analytic_max_rel_err": round(ga_err, 6),
         "motion_ms_per_frame": round(motion_ms, 2),
         "mu50_ms_per_frame": round(mu_ms, 3),
         "refine_epoch_ms_per_frame": round(r_sec / WB_T * 1e3, 2),
         "round_frames_per_sec": round(1e3 / frame_ms, 1),
+        "round_analytic_frames_per_sec": round(1e3 / frame_an_ms, 1),
         "gram_mfu_algorithmic": round(mfu, 3),
     }
 

@@ -224,6 +224,11 @@ class RuntimeConfig:
     # accumulation (None = auto: on for TPU backends with analytic
     # footprints).
     use_pallas: Optional[bool] = None
+    # MU Gram computation: "exact" (the O(P K^2) pixel reduction) or
+    # "analytic" (closed form, O(K^2) — ops/gram_analytic.py; only the
+    # c1 video pass remains.  Requires analytic footprints; single
+    # device or time meshes, not pixel meshes).
+    gram_mode: str = "exact"
     # Raise on non-finite factors after each update phase (the analog of
     # the reference's hard NaN guards in MotionCorrect, SURVEY.md §5).
     check_finite: bool = False

@@ -278,6 +278,7 @@ class DeformableNMF:
                 self.state, video_flat, self.model,
                 frame_block=self.runtime.frame_block,
                 use_pallas=self._use_pallas,
+                gram_mode=self.runtime.gram_mode,
             )
         if self._mesh is not None:
             from dnmf_tpu.parallel import sharded_footprint_update
@@ -423,6 +424,7 @@ class DeformableNMF:
             mu_gamma=self.opt_config.gamma_traces,
             frame_block=self.runtime.frame_block,
             use_pallas=self._use_pallas,
+            gram_mode=self.runtime.gram_mode,
         )
         for r in range(rounds):
             self.metrics.append({

@@ -453,9 +453,16 @@ def grams_local(
     pallas_interpret: bool = False,
     vb: Optional[jnp.ndarray] = None,
     p_offset: Optional[jnp.ndarray] = None,
+    gram_mode: str = "exact",
 ):
     """Per-frame MU statistics for a (local) set of frames — the shared
     body behind ``compute_grams`` and the sharded/streamed variants.
+
+    ``gram_mode="analytic"`` evaluates ``G`` in closed form
+    (:mod:`dnmf_tpu.ops.gram_analytic` — O(K^2) instead of the
+    O(P K^2) pixel reduction) and runs only the ``c1`` video pass;
+    requires analytic footprints and whole-volume frames (the global
+    closed form cannot be pixel-sharded without double counting).
 
     Pixel-sharded (TP) inputs, analytic mode only: the XLA path takes
     ``vb`` (each shard's ``[P_local, 10]`` basis slice); the Pallas path
@@ -475,6 +482,21 @@ def grams_local(
             "pixel-sharded pallas Grams need p_offset (the fused "
             "kernels derive coordinates from the voxel offset, not vb)"
         )
+    analytic_g = gram_mode == "analytic"
+    if gram_mode not in ("exact", "analytic"):
+        raise ValueError(f"unknown gram_mode: {gram_mode!r}")
+    if analytic_g:
+        if pixel_local:
+            raise ValueError(
+                "gram_mode='analytic' computes the GLOBAL Gram in "
+                "closed form — pixel-sharded partial sums would "
+                "double-count under psum; use gram_mode='exact' on "
+                "pixel meshes"
+            )
+        if model.deformation.footprint_mode != "analytic":
+            raise ValueError(
+                "gram_mode='analytic' requires analytic footprints"
+            )
     if vb is None:
         vb = model_voxel_basis(model)
     stored_a = _maybe_stored_a(state, model, vb)
@@ -488,29 +510,71 @@ def grams_local(
     y_p = jnp.pad(video_loc, ((0, pad), (0, 0))) if pad else video_loc
     nb = (tl + pad) // fb
 
+    scaling = model.deformation.basis_scaling
+    if analytic_g:
+        from dnmf_tpu.ops import gram_analytic as ga
+
+        window = ga.default_window(model.shape_std)
+
+        def gram_fn(beta_blk):
+            return ga.analytic_grams(
+                beta_blk, state.pos, state.sigma, model.size,
+                scaling=scaling, window=window,
+            )
+
     if use_pallas:
         if model.deformation.footprint_mode != "analytic":
             raise ValueError("pallas path requires analytic footprints")
         pk = _pick_pallas(model.num_neurons)
 
-        def block(_, xs):
-            beta_blk, y_blk = xs
-            g, c1 = pk.gram_block(
-                beta_blk, state.pos, state.sigma, y_blk, model.size,
-                scaling=model.deformation.basis_scaling,
-                p_offset=p_offset, interpret=pallas_interpret,
-            )
-            return None, (g, c1)
+        if analytic_g:
+            from dnmf_tpu.ops import pallas_culled as pc
+
+            kb, tp = _CulledShim._tuning(state.pos.shape[0])
+            c1_params = {"kblock": kb, "tile_p": tp}
+            from dnmf_tpu.ops import tuning as tuning_mod
+
+            ent = tuning_mod.lookup("culled_c1",
+                                    k=int(state.pos.shape[0]))
+            if ent:
+                c1_params.update(ent)
+
+            def block(_, xs):
+                beta_blk, y_blk = xs
+                c1 = pc.c1_block_culled(
+                    beta_blk, state.pos, state.sigma, y_blk,
+                    model.size, scaling=scaling,
+                    interpret=pallas_interpret, **c1_params,
+                )
+                return None, (gram_fn(beta_blk), c1)
+        else:
+            def block(_, xs):
+                beta_blk, y_blk = xs
+                g, c1 = pk.gram_block(
+                    beta_blk, state.pos, state.sigma, y_blk, model.size,
+                    scaling=scaling,
+                    p_offset=p_offset, interpret=pallas_interpret,
+                )
+                return None, (g, c1)
     else:
         def one(beta_t, y_t):
             a = frame_footprints(beta_t, state.pos, state.sigma, model,
                                  vb, stored_a)
+            if analytic_g:
+                return jnp.dot(a.T, y_t,
+                               precision=jax.lax.Precision.HIGHEST)
             return mu_ops.mu_grams(a, y_t)
 
-        def block(_, xs):
-            beta_blk, y_blk = xs
-            g, c1 = jax.vmap(one)(beta_blk, y_blk)
-            return None, (g, c1)
+        if analytic_g:
+            def block(_, xs):
+                beta_blk, y_blk = xs
+                c1 = jax.vmap(one)(beta_blk, y_blk)
+                return None, (gram_fn(beta_blk), c1)
+        else:
+            def block(_, xs):
+                beta_blk, y_blk = xs
+                g, c1 = jax.vmap(one)(beta_blk, y_blk)
+                return None, (g, c1)
 
     _, (grams, c1) = jax.lax.scan(
         block, None,
@@ -530,7 +594,7 @@ def _maybe_stored_a(state: DNMFState, model: ModelConfig,
 
 @functools.partial(
     jax.jit, static_argnames=("model", "frame_block", "use_pallas",
-                              "pallas_interpret")
+                              "pallas_interpret", "gram_mode")
 )
 def compute_grams(
     state: DNMFState,
@@ -539,17 +603,21 @@ def compute_grams(
     frame_block: int = 16,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU Grams, streamed over frame blocks.
 
     Returns ``(grams[T, K, K], c1[T, K])`` — the one-time O(P K^2 T)
     reduction that the reference recomputed every MU iteration.  With
     ``use_pallas`` the fused kernel accumulates each frame's Gram in VMEM
-    (analytic footprint mode only).
+    (analytic footprint mode only).  ``gram_mode="analytic"`` replaces
+    the pixel reduction for ``G`` with the closed form
+    (:mod:`dnmf_tpu.ops.gram_analytic`).
     """
     return grams_local(
         state, video_flat, model, frame_block,
         use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        gram_mode=gram_mode,
     )
 
 
@@ -735,7 +803,7 @@ def compute_grams_streaming(
     jax.jit,
     static_argnames=("model", "optimizer", "rounds", "epochs", "mu_iters",
                      "gamma", "mu_gamma", "frame_block", "use_pallas",
-                     "pallas_interpret"),
+                     "pallas_interpret", "gram_mode"),
 )
 def fused_rounds(
     state: DNMFState,
@@ -750,13 +818,16 @@ def fused_rounds(
     frame_block: int = 16,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
 ) -> Tuple[DNMFState, dict]:
     """The full alternation schedule as ONE compiled program.
 
     ``rounds x (epochs x Adam-on-beta + Grams + mu_iters x MU-on-C)``
     under nested ``lax.scan`` — a single device dispatch for the whole
     fit (the reference round-trips host<->device every batch).  Returns
-    per-round metric traces ``[rounds]``.
+    per-round metric traces ``[rounds]``.  ``gram_mode="analytic"``
+    swaps the Gram pixel reduction for the closed form
+    (:mod:`dnmf_tpu.ops.gram_analytic`).
     """
 
     def one_epoch(st, _):
@@ -776,6 +847,7 @@ def fused_rounds(
         grams, c1 = grams_local(
             st, video_flat, model, frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            gram_mode=gram_mode,
         )
         c = mu_ops.run_mu_temporal(
             st.c, grams, c1, iters=mu_iters,

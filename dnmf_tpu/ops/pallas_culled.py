@@ -190,7 +190,7 @@ def _unpermute_grams(g, c1, perm, bsz, k):
 def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
                       c1_acc, a_scr, ahi_scr, alo_scr, *, off, size,
                       scaling, tile_p, p_count, kb, nkb, f, split,
-                      posget=None, psiget=None):
+                      posget=None, psiget=None, pairs=True):
     """One voxel tile's culled Gram/c1 accumulation (shared by the
     grid-pipelined, manually-pipelined, and streamed-psi kernels).
 
@@ -206,6 +206,10 @@ def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
     fade and tail-padding zeros) instead of deriving them from
     ``beta_ref`` — the streamed-psi path, where ``base``/``off``/
     ``size``/``scaling``/``p_count`` are unused.
+
+    ``pairs=False`` skips the block-pair Gram dots entirely (``g_acc``
+    is untouched and may be None) — the c1-only path under analytic
+    Grams (:mod:`dnmf_tpu.ops.gram_analytic`).
     """
     hi_prec = jax.lax.Precision.HIGHEST
     dims = (((1,), (1,)), ((), ()))
@@ -235,7 +239,7 @@ def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
         actives.append(
             (blocks_ref[i, 0] <= t_hi) & (blocks_ref[i, 1] >= t_lo)
         )
-        for j in range(i, nkb):
+        for j in range(i, nkb) if pairs else ():
             # Pair-interval cull: G entries between blocks i and j
             # are nonzero only if some neuron pair sits within
             # 2*reach in m, i.e. the +-reach intervals overlap
@@ -271,7 +275,7 @@ def _culled_tile_body(base, yget, beta_ref, blocks_ref, pos_ref, g_acc,
                     preferred_element_type=jnp.float32,
                     precision=hi_prec,
                 )
-            for j in range(i, nkb):
+            for j in range(i, nkb) if pairs else ():
                 @pl.when(actives[i] & actives[j]
                          & pair_actives[(i, j)])
                 def _(i=i, j=j, fi=fi):
@@ -523,6 +527,123 @@ def gram_block_culled(
         )(off, beta_rows, blocks, params, y_blk)
 
     return _unpermute_grams(g, c1, perm, bsz, k)
+
+
+def _c1_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
+                      c1_ref, c1_acc, *scr, size, scaling, tile_p,
+                      p_count, n_steps, kb, nkb, f, dot_mode):
+    """c1-only variant of :func:`_gram_kernel_culled`: same culled body
+    with the pair dots disabled and no ``[F, K, K]`` accumulator."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        c1_acc[:] = jnp.zeros_like(c1_acc)
+
+    off = off_ref[0, 0]
+    split = dot_mode == "split"
+    if split:
+        ahi_scr, alo_scr = scr
+        a_scr = None
+    else:
+        (a_scr,) = scr
+        ahi_scr = alo_scr = None
+    _culled_tile_body(
+        off + step * tile_p, lambda fi: y_ref[fi:fi + 1, :], beta_ref,
+        blocks_ref, pos_ref, None, c1_acc, a_scr, ahi_scr, alo_scr,
+        off=off, size=size, scaling=scaling, tile_p=tile_p,
+        p_count=p_count, kb=kb, nkb=nkb, f=f, split=split, pairs=False,
+    )
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        c1_ref[:] = c1_acc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
+                     "frames_per_step", "interpret"),
+)
+def c1_block_culled(
+    betas: jnp.ndarray,
+    pos: jnp.ndarray,
+    sigma: jnp.ndarray,
+    y: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    tile_p: int = 8192,
+    kblock: int = 64,
+    dot_mode: str = "split",
+    frames_per_step: int = 2,
+    p_offset=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Culled ``c1[b, k] = sum_p a_k(p) y_b(p)`` WITHOUT the pair Grams.
+
+    Companion of the closed-form Gram path
+    (:mod:`dnmf_tpu.ops.gram_analytic` evaluates ``G`` analytically in
+    O(K^2); only ``c1`` still needs the video).  Dropping the
+    ``[F, K, K]`` accumulator and the O(n_blocks^2) pair dots leaves a
+    leaner VMEM working set than :func:`gram_block_culled`, so larger
+    ``tile_p`` tunings become reachable (sweep via tools/autotune.py).
+    """
+    bsz = betas.shape[0]
+    k = pos.shape[0]
+    kb = min(kblock, _round_up(k, SUBLANE))
+    nkb = -(-k // kb)
+    k_pad = nkb * kb
+    p_count = y.shape[1]
+    p_pad = _round_up(p_count, tile_p)
+    perm, params, blocks = _sorted_params(pos, sigma, kb, nkb)
+    off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
+        jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
+    n_steps = p_pad // tile_p
+    f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
+    betas_pad, _, _ = _pad_frame_group(b_pad, betas)
+    y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, tile_p, p_count)
+    beta_rows = pk._beta_warp_matrix(betas_pad, f_eff)
+    row_spec = pl.BlockSpec((None, None, f_eff, tile_p),
+                            lambda bi, ti: (bi, ti, 0, 0),
+                            memory_space=pltpu.VMEM)
+    c1 = pl.pallas_call(
+        functools.partial(
+            _c1_kernel_culled, size=tuple(size), scaling=scaling,
+            tile_p=tile_p, p_count=p_count, n_steps=n_steps, kb=kb,
+            nkb=nkb, f=f_eff, dot_mode=dot_mode,
+        ),
+        grid=(b_pad // f_eff, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 3 * f_eff, 10),
+                         lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec((f_eff, k_pad, 1),
+                               lambda bi, ti: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, k_pad, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((f_eff, k_pad, 1), jnp.float32),
+        ] + ([
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+        ] if dot_mode == "split" else [
+            pltpu.VMEM((k_pad, tile_p), jnp.float32),
+        ]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off, beta_rows, blocks, params, y_blk)
+    inv = jnp.argsort(perm)
+    return c1[:bsz, :k, 0][:, inv]
 
 
 def _gram_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,

@@ -1,0 +1,215 @@
+"""Closed-form Grams vs the exact pixel-reduction oracle.
+
+``ops/gram_analytic.py`` replaces the O(P K^2) Gram einsum
+(``/root/reference/Demix/dNMF.py:141``) with an O(K^2) closed form;
+these tests pin its error envelope against the exact XLA path (which is
+itself reference-parity-gated) and gate the production integration
+(``gram_mode="analytic"``), including the c1-only Pallas companion.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnmf_tpu.config import ModelConfig, OptimizerConfig
+from dnmf_tpu.models import dnmf as M
+from dnmf_tpu.ops import mu as mu_ops
+from dnmf_tpu.ops.gram_analytic import analytic_grams, default_window
+
+
+def _exact_grams(state, video, model):
+    return M.compute_grams(state, video, model, frame_block=4,
+                           use_pallas=False)
+
+
+def _setup(size, k, t, sigma, seed=0, interior_margin=None):
+    rng = np.random.default_rng(seed)
+    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
+                        shape_std=sigma)
+    optimizer = M.make_motion_optimizer(OptimizerConfig())
+    margin = (interior_margin if interior_margin is not None
+              else [0.0, 0.0, 0.0])
+    pos = np.stack([
+        rng.uniform(margin[d], size[d] - 1.0 - margin[d], k)
+        for d in range(3)
+    ], axis=1).astype(np.float32)
+    state = M.init_state(model, optimizer, positions=jnp.asarray(pos),
+                         key=jax.random.PRNGKey(seed))
+    video = jax.random.uniform(
+        jax.random.PRNGKey(seed + 1),
+        (t, size[0] * size[1] * size[2]))
+    return model, state, video
+
+
+def _warped_betas(state, rng, scale):
+    betas = np.asarray(state.beta).copy()
+    betas += rng.normal(0, scale, betas.shape).astype(np.float32)
+    return state._replace(beta=jnp.asarray(betas))
+
+
+def _rel_err(got, ref):
+    ref = np.asarray(ref)
+    scale = np.abs(ref).max()
+    return np.abs(np.asarray(got) - ref).max() / scale
+
+
+def test_identity_warp_matches_exact_everywhere(rng):
+    """Identity warp: the per-axis lattice sums are exact (J = I, no
+    linearization), including border neurons and the border fade."""
+    model, state, video = _setup((20, 18, 8), k=7, t=2, sigma=2.0)
+    g_ref, _ = _exact_grams(state, video, model)
+    g = analytic_grams(state.beta, state.pos, state.sigma, model.size,
+                       window=default_window(2.0))
+    assert _rel_err(g, g_ref) < 2e-5
+
+
+def test_thin_z_axis_exact(rng):
+    """Demo-scale z=2 volumes: the windowed lattice sum covers the two
+    real planes exactly (a continuum integral would not)."""
+    model, state, video = _setup((24, 20, 2), k=6, t=2, sigma=2.5,
+                                 seed=3)
+    g_ref, _ = _exact_grams(state, video, model)
+    g = analytic_grams(state.beta, state.pos, state.sigma, model.size,
+                       window=default_window(2.5))
+    assert _rel_err(g, g_ref) < 2e-5
+
+
+def test_mixed_sigma_exact(rng):
+    model, state, video = _setup((20, 18, 6), k=6, t=2, sigma=2.0,
+                                 seed=5)
+    sig = jnp.asarray(
+        np.linspace(1.2, 3.0, 6).astype(np.float32))
+    state = state._replace(sigma=sig)
+    g_ref, _ = _exact_grams(state, video, model)
+    g = analytic_grams(state.beta, state.pos, sig, model.size,
+                       window=default_window(3.0))
+    assert _rel_err(g, g_ref) < 2e-5
+
+
+@pytest.mark.parametrize("scale,tol", [(0.01, 2e-3), (0.03, 1e-2)])
+def test_quadratic_warp_error_envelope(rng, scale, tol):
+    """Random quadratic warps at (and beyond) realistic magnitude: the
+    linearized-J factorization error stays inside the envelope MU is
+    insensitive to (the exact kernel's bf16-split already carries
+    ~3e-6; trace recovery tolerates 1e-2 — see the MU test below)."""
+    np_rng = np.random.default_rng(11)
+    model, state, video = _setup((20, 18, 8), k=7, t=4, sigma=2.0,
+                                 seed=7, interior_margin=[4.0, 4.0, 2.0])
+    state = _warped_betas(state, np_rng, scale)
+    g_ref, _ = _exact_grams(state, video, model)
+    g = analytic_grams(state.beta, state.pos, state.sigma, model.size,
+                       window=default_window(2.0))
+    assert _rel_err(g, g_ref) < tol
+
+
+def test_compute_grams_analytic_mode_xla(rng):
+    """gram_mode='analytic' through the production entry: c1 must equal
+    the exact path's bitwise-ish; G within the analytic envelope."""
+    np_rng = np.random.default_rng(13)
+    model, state, video = _setup((16, 14, 6), k=5, t=6, sigma=2.0,
+                                 seed=9)
+    state = _warped_betas(state, np_rng, 0.01)
+    g_ref, c1_ref = _exact_grams(state, video, model)
+    g, c1 = M.compute_grams(state, video, model, frame_block=4,
+                            use_pallas=False, gram_mode="analytic")
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c1_ref),
+                               rtol=1e-5, atol=1e-7)
+    # Border-hugging neurons + cross-quadratic terms: the documented
+    # worst regime of the separable form (~8e-3 at 0.03-coefficient
+    # scale; here 0.01).
+    assert _rel_err(g, g_ref) < 2e-2
+
+
+def test_compute_grams_analytic_mode_pallas(rng):
+    """The pallas analytic branch (c1_block_culled + closed-form G),
+    interpret mode."""
+    np_rng = np.random.default_rng(17)
+    model, state, video = _setup((16, 14, 6), k=5, t=6, sigma=2.0,
+                                 seed=15)
+    state = _warped_betas(state, np_rng, 0.01)
+    g_x, c1_x = M.compute_grams(state, video, model, frame_block=4,
+                                use_pallas=False, gram_mode="analytic")
+    g_p, c1_p = M.compute_grams(state, video, model, frame_block=4,
+                                use_pallas=True, pallas_interpret=True,
+                                gram_mode="analytic")
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c1_p), np.asarray(c1_x),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_c1_block_culled_matches_gram_block(rng):
+    """The c1-only kernel must reproduce gram_block_culled's c1 exactly
+    (same body, pair dots skipped)."""
+    from dnmf_tpu.ops import pallas_culled as pc
+
+    size = (14, 12, 4)
+    b, k = 3, 12
+    p = int(np.prod(size))
+    np_rng = np.random.default_rng(19)
+    betas = np.zeros((b, 10, 3), dtype=np.float32)
+    betas[:, 1, 0] = betas[:, 2, 1] = betas[:, 3, 2] = 1.0
+    betas += np_rng.normal(0, 0.01, betas.shape).astype(np.float32)
+    pos = np.stack([np_rng.uniform(1, s - 1.0, k) for s in size],
+                   axis=1).astype(np.float32)
+    sigma = np.full((k,), 1.5, dtype=np.float32)
+    y = np_rng.random((b, p), dtype=np.float32)
+    args = (jnp.asarray(betas), jnp.asarray(pos), jnp.asarray(sigma),
+            jnp.asarray(y), size)
+    _, c1_ref = pc.gram_block_culled(*args, kblock=8, tile_p=64,
+                                     dot_mode="split",
+                                     frames_per_step=2, interpret=True)
+    c1 = pc.c1_block_culled(*args, kblock=8, tile_p=64,
+                            dot_mode="split", frames_per_step=2,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c1_ref),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_mu_insensitive_to_analytic_grams(rng):
+    """MU fixed points with analytic vs exact Grams agree to ~1e-3 —
+    the envelope that makes the closed form a drop-in fast mode."""
+    np_rng = np.random.default_rng(23)
+    model, state, video = _setup((16, 14, 6), k=5, t=8, sigma=2.0,
+                                 seed=21)
+    state = _warped_betas(state, np_rng, 0.01)
+    g_ref, c1_ref = _exact_grams(state, video, model)
+    g_an, c1_an = M.compute_grams(state, video, model, frame_block=4,
+                                  use_pallas=False,
+                                  gram_mode="analytic")
+    c0 = state.c
+    c_ref = mu_ops.run_mu_temporal(c0, g_ref, c1_ref, iters=50)
+    c_an = mu_ops.run_mu_temporal(c0, g_an, c1_an, iters=50)
+    denom = np.abs(np.asarray(c_ref)).max()
+    assert np.abs(np.asarray(c_an) - np.asarray(c_ref)).max() / denom \
+        < 1e-2
+
+
+def test_analytic_mode_rejects_pixel_sharding(rng):
+    model, state, video = _setup((16, 14, 6), k=5, t=4, sigma=2.0)
+    with pytest.raises(ValueError, match="pixel"):
+        M.grams_local(state, video, model, 4, gram_mode="analytic",
+                      p_offset=jnp.zeros((), jnp.int32))
+
+
+def test_fused_rounds_analytic_mode(rng):
+    """End-to-end alternation with gram_mode='analytic' tracks the
+    exact mode's iterates."""
+    model, state, video = _setup((16, 14, 6), k=5, t=8, sigma=2.0,
+                                 seed=29)
+    optimizer = M.make_motion_optimizer(OptimizerConfig(
+        learning_rate=1e-3))
+    kw = dict(rounds=2, epochs=2, mu_iters=20, gamma=0.1,
+              frame_block=4)
+    st_e, _ = M.fused_rounds(state, video, model, optimizer, **kw)
+    st_a, _ = M.fused_rounds(state, video, model, optimizer,
+                             gram_mode="analytic", **kw)
+    # Round-2 beta sees round-1's C (fit on the analytic Grams), so the
+    # iterates drift at the Gram-error scale rather than matching
+    # bitwise.
+    np.testing.assert_allclose(np.asarray(st_a.beta),
+                               np.asarray(st_e.beta), atol=1e-4)
+    denom = np.abs(np.asarray(st_e.c)).max()
+    assert (np.abs(np.asarray(st_a.c) - np.asarray(st_e.c)).max()
+            / denom) < 5e-3

@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sections", type=str,
-                    default="gram,motion,refine,warp")
+                    default="gram,c1,motion,refine,warp")
     ap.add_argument("--no-record", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="CPU smoke mode (interpret-incapable kernels "
@@ -158,6 +158,25 @@ def main():
             "gram", "culled_gram", {"k": k}, cands, build_gram,
             {"impl": "grid", "kblock": kb0, "tile_p": 4096,
              "frames_per_step": 2})
+
+    if "c1" in sections:
+        # The analytic-Grams companion: no [F, K, K] accumulator, no
+        # pair dots — larger tile_p may be reachable than the full
+        # Gram kernel's 4096 wall.
+        def build_c1(params):
+            def run():
+                return pc.c1_block_culled(
+                    betas_j, pos_j, sigma_j, y_j, size,
+                    dot_mode="split", **params)
+            return run
+
+        cands = [{"kblock": kb0, "tile_p": tp,
+                  "frames_per_step": fps}
+                 for tp in (4096, 8192, 16384)
+                 for fps in (2, 4)]
+        all_results["c1"] = run_section(
+            "c1", "culled_c1", {"k": k}, cands, build_c1,
+            {"kblock": kb0, "tile_p": tp0, "frames_per_step": 2})
 
     if "motion" in sections:
         def build_motion(params):
