@@ -258,11 +258,13 @@ class DeformableNMF:
                 grams, c1 = sharded_compute_grams_streaming(
                     self.state, video, self.model, mesh=self._mesh,
                     use_pallas=self._use_pallas,
+                    gram_mode=self.runtime.gram_mode,
                 )
             else:
                 grams, c1 = model_lib.compute_grams_streaming(
                     self.state, video, self.model,
                     use_pallas=self._use_pallas,
+                    gram_mode=self.runtime.gram_mode,
                 )
         elif self._mesh is not None:
             from dnmf_tpu.parallel import sharded_compute_grams
@@ -271,6 +273,7 @@ class DeformableNMF:
                 self.state, self._video_flat(video), self.model,
                 mesh=self._mesh, frame_block=self.runtime.frame_block,
                 use_pallas=self._use_pallas,
+                gram_mode=self.runtime.gram_mode,
             )
         else:
             video_flat = self._video_flat(video)

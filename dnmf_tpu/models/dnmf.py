@@ -756,7 +756,8 @@ def motion_epoch_streaming(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "block", "use_pallas", "pallas_interpret"),
+    static_argnames=("model", "block", "use_pallas", "pallas_interpret",
+                     "gram_mode"),
 )
 def _stream_block_grams(
     state: DNMFState,
@@ -766,6 +767,7 @@ def _stream_block_grams(
     block: int,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
 ):
     beta_pad = jnp.concatenate(
         [state.beta, basis_ops.identity_beta(block)], axis=0
@@ -776,6 +778,7 @@ def _stream_block_grams(
     return grams_local(
         state_loc, frames, model, block,
         use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        gram_mode=gram_mode,
     )
 
 
@@ -784,13 +787,14 @@ def compute_grams_streaming(
     source,
     model: ModelConfig,
     use_pallas: bool = False,
+    gram_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU Grams over a host-streamed video."""
     gs, c1s = [], []
     for frames, start, valid in source.blocks():
         g, c1 = _stream_block_grams(
             state, frames, start, model, source.block,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, gram_mode=gram_mode,
         )
         gs.append(g)
         c1s.append(c1)

@@ -197,7 +197,8 @@ def refine_positions(
 
 @functools.partial(jax.jit, static_argnames=("model", "frame_block",
                                               "use_pallas",
-                                              "pallas_interpret"))
+                                              "pallas_interpret",
+                                              "gram_mode"))
 def tracked_grams(
     state: DNMFState,
     pos_t: jnp.ndarray,
@@ -206,11 +207,31 @@ def tracked_grams(
     frame_block: int = 16,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU statistics ``(G [T,K,K], c1 [T,K])`` with per-frame
-    positions (the tracked analog of ``dnmf.compute_grams``)."""
+    positions (the tracked analog of ``dnmf.compute_grams``).
+
+    ``gram_mode="analytic"``: closed-form ``G`` at the tracked anchors
+    (:func:`dnmf_tpu.ops.gram_analytic.analytic_grams_tracked`) + the
+    c1-only video pass."""
     t, p = video_flat.shape
     vb = model_voxel_basis(model)
+    analytic_g = gram_mode == "analytic"
+    if analytic_g and model.deformation.footprint_mode != "analytic":
+        raise ValueError("gram_mode='analytic' requires analytic "
+                         "footprints")
+    scaling = model.deformation.basis_scaling
+    if analytic_g:
+        from dnmf_tpu.ops import gram_analytic as ga
+
+        window = ga.default_window(model.shape_std)
+
+        def gram_fn(beta_blk, pos_blk):
+            return ga.analytic_grams_tracked(
+                beta_blk, pos_blk, state.sigma, model.size,
+                scaling=scaling, window=window,
+            )
 
     if use_pallas:
         if model.deformation.footprint_mode != "analytic":
@@ -219,17 +240,26 @@ def tracked_grams(
         from dnmf_tpu.ops import pallas_culled as pc
 
         kb, tp = _refine_tuning(state.pos.shape[0])
+        if analytic_g:
+            c1 = pc.c1_block_culled(
+                state.beta, pos_t, state.sigma, video_flat, model.size,
+                scaling=scaling, tile_p=tp, kblock=kb,
+                dot_mode="split", interpret=pallas_interpret,
+            )
+            return gram_fn(state.beta, pos_t), c1
         return pc.gram_block_tracked(
             state.beta, pos_t, state.sigma, video_flat, model.size,
-            scaling=model.deformation.basis_scaling, tile_p=tp,
+            scaling=scaling, tile_p=tp,
             kblock=kb, dot_mode="split", interpret=pallas_interpret,
         )
 
     def one(beta_f, pos_f, y_f):
         a = _tracked_frame_footprints(beta_f, pos_f, state.sigma, model,
                                       vb)
-        g = jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST)
         c1 = jnp.dot(a.T, y_f, precision=jax.lax.Precision.HIGHEST)
+        if analytic_g:
+            return jnp.zeros((0,)), c1
+        g = jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST)
         return g, c1
 
     fb = min(frame_block, t)
@@ -251,6 +281,8 @@ def tracked_grams(
          pad_t(video_flat).reshape(nb, fb, p)),
     )
     k = state.c.shape[0]
+    if analytic_g:
+        return (gram_fn(state.beta, pos_t), c1.reshape(-1, k)[:t])
     return (g.reshape(-1, k, k)[:t], c1.reshape(-1, k)[:t])
 
 

@@ -183,6 +183,29 @@ def analytic_grams(
     )(betas)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "scaling", "window", "iters"),
+)
+def analytic_grams_tracked(
+    betas: jnp.ndarray,
+    pos_t: jnp.ndarray,
+    sigma: jnp.ndarray,
+    size,
+    scaling: str = "normalized",
+    window: int = 16,
+    iters: int = 3,
+) -> jnp.ndarray:
+    """``[T, K, K]`` closed-form Grams with PER-FRAME positions
+    (``pos_t [T, K, 3]`` — the position-refinement phase's tracked
+    anchors, :func:`dnmf_tpu.ops.pallas_culled.gram_block_tracked`)."""
+    return jax.vmap(
+        lambda b, p: analytic_gram_frame(
+            b, p, sigma, size, scaling=scaling, window=window,
+            iters=iters)
+    )(betas, pos_t)
+
+
 def default_window(shape_std: float) -> int:
     """Window half-width covering ``exp(-2 t^2 / sigma^2) < 1e-9``
     (pair Gaussian at equal sigmas) plus linearization slack."""

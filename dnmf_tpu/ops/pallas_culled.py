@@ -531,7 +531,8 @@ def gram_block_culled(
 
 def _c1_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
                       c1_ref, c1_acc, *scr, size, scaling, tile_p,
-                      p_count, n_steps, kb, nkb, f, dot_mode):
+                      p_count, n_steps, kb, nkb, f, dot_mode,
+                      tracked=False):
     """c1-only variant of :func:`_gram_kernel_culled`: same culled body
     with the pair dots disabled and no ``[F, K, K]`` accumulator."""
     step = pl.program_id(1)
@@ -553,6 +554,7 @@ def _c1_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         blocks_ref, pos_ref, None, c1_acc, a_scr, ahi_scr, alo_scr,
         off=off, size=size, scaling=scaling, tile_p=tile_p,
         p_count=p_count, kb=kb, nkb=nkb, f=f, split=split, pairs=False,
+        posget=(lambda fi: pos_ref[fi]) if tracked else None,
     )
 
     @pl.when(step == n_steps - 1)
@@ -587,20 +589,36 @@ def c1_block_culled(
     ``[F, K, K]`` accumulator and the O(n_blocks^2) pair dots leaves a
     leaner VMEM working set than :func:`gram_block_culled`, so larger
     ``tile_p`` tunings become reachable (sweep via tools/autotune.py).
+
+    ``pos`` may be ``[K, 3]`` (shared anchors) or ``[B, K, 3]``
+    (per-frame tracked positions, the refinement phase —
+    :func:`gram_block_tracked`'s c1).
     """
     bsz = betas.shape[0]
-    k = pos.shape[0]
+    tracked = pos.ndim == 3
+    k = pos.shape[1] if tracked else pos.shape[0]
     kb = min(kblock, _round_up(k, SUBLANE))
     nkb = -(-k // kb)
     k_pad = nkb * kb
     p_count = y.shape[1]
     p_pad = _round_up(p_count, tile_p)
-    perm, params, blocks = _sorted_params(pos, sigma, kb, nkb)
     off = jnp.zeros((1, 1), jnp.int32) if p_offset is None else (
         jnp.asarray(p_offset, jnp.int32).reshape(1, 1))
     n_steps = p_pad // tile_p
     f_eff, b_pad = pk._pad_frames(bsz, frames_per_step)
-    betas_pad, _, _ = _pad_frame_group(b_pad, betas)
+    if tracked:
+        betas_pad, pos_pad, _ = _pad_frame_group(b_pad, betas,
+                                                 pos_t=pos)
+        perm, params, blocks = _sorted_params_tracked(pos_pad, sigma,
+                                                      kb, nkb)
+        params_spec = pl.BlockSpec((f_eff, k_pad, 8),
+                                   lambda bi, ti: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        betas_pad, _, _ = _pad_frame_group(b_pad, betas)
+        perm, params, blocks = _sorted_params(pos, sigma, kb, nkb)
+        params_spec = pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
+                                   memory_space=pltpu.VMEM)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, tile_p, p_count)
     beta_rows = pk._beta_warp_matrix(betas_pad, f_eff)
     row_spec = pl.BlockSpec((None, None, f_eff, tile_p),
@@ -610,7 +628,7 @@ def c1_block_culled(
         functools.partial(
             _c1_kernel_culled, size=tuple(size), scaling=scaling,
             tile_p=tile_p, p_count=p_count, n_steps=n_steps, kb=kb,
-            nkb=nkb, f=f_eff, dot_mode=dot_mode,
+            nkb=nkb, f=f_eff, dot_mode=dot_mode, tracked=tracked,
         ),
         grid=(b_pad // f_eff, n_steps),
         in_specs=[
@@ -621,8 +639,7 @@ def c1_block_culled(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nkb, 2), lambda bi, ti: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((k_pad, 8), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
+            params_spec,
             row_spec,
         ],
         out_specs=pl.BlockSpec((f_eff, k_pad, 1),

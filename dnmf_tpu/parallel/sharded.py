@@ -157,7 +157,8 @@ def sharded_motion_epoch(
 
 @functools.partial(
     jax.jit, static_argnames=("model", "frame_block", "mesh",
-                              "use_pallas", "pallas_interpret")
+                              "use_pallas", "pallas_interpret",
+                              "gram_mode")
 )
 def sharded_compute_grams(
     state: model_lib.DNMFState,
@@ -167,6 +168,7 @@ def sharded_compute_grams(
     frame_block: int = 16,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame-sharded per-frame Grams: ``([T,K,K], [T,K])`` sharded on T.
 
@@ -176,9 +178,20 @@ def sharded_compute_grams(
     ``[K, K]`` per-frame Grams — the pixel-sharded form of the
     reference's whole-volume Gram einsum
     (``/root/reference/Demix/dNMF.py:141``).
+
+    ``gram_mode="analytic"`` (time meshes only — it computes the global
+    closed form per frame, so pixel shards would double-count; see
+    :mod:`dnmf_tpu.ops.gram_analytic`) composes with time sharding
+    zero-communication: each shard evaluates its own frames' closed
+    forms and runs only the local c1 video pass.
     """
     specs = _state_specs(state)
     npix = _pixel_size(mesh)
+    if gram_mode == "analytic" and npix > 1:
+        raise ValueError(
+            "gram_mode='analytic' is incompatible with a pixel mesh "
+            "axis (global closed form; partial psum would double-count)"
+        )
 
     def local_fn(state_loc, video_loc, vb_loc):
         tp = npix > 1
@@ -189,6 +202,7 @@ def sharded_compute_grams(
             p_offset=(jax.lax.axis_index(PIXEL_AXIS)
                       * video_loc.shape[1]) if (tp and use_pallas)
                      else None,
+            gram_mode=gram_mode,
         )
         if npix > 1:
             # Grams are plain sums over voxels — partial sums psum to the

@@ -233,7 +233,7 @@ def sharded_motion_epoch_streaming(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "block", "mesh", "use_pallas",
-                     "pallas_interpret"),
+                     "pallas_interpret", "gram_mode"),
 )
 def _stream_shard_grams_step(
     state: model_lib.DNMFState,
@@ -247,10 +247,16 @@ def _stream_shard_grams_step(
     mesh: Mesh,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
 ):
     specs = _state_specs(state)
     npix = mesh.shape.get(PIXEL_AXIS, 1)
     tp = npix > 1
+    if gram_mode == "analytic" and tp:
+        raise ValueError(
+            "gram_mode='analytic' is incompatible with a pixel mesh "
+            "axis (global closed form; partial psum would double-count)"
+        )
 
     def local_fn(state_loc, grams_loc, c1_loc, frames_loc, vb_loc,
                  offset, valid):
@@ -267,6 +273,7 @@ def _stream_shard_grams_step(
             p_offset=(jax.lax.axis_index(PIXEL_AXIS)
                       * frames_loc.shape[1]) if (tp and use_pallas)
                      else None,
+            gram_mode=gram_mode,
         )
         if tp:
             # Grams are plain sums over voxels — partial sums psum to
@@ -296,6 +303,7 @@ def sharded_compute_grams_streaming(
     mesh: Mesh,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU Grams over a host-streamed video, time-sharded.
 
@@ -318,5 +326,6 @@ def sharded_compute_grams_streaming(
             state, grams_buf, c1_buf, frames, jnp.int32(off),
             jnp.int32(valid), model, block, mesh,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            gram_mode=gram_mode,
         )
     return grams_buf, c1_buf

@@ -186,6 +186,78 @@ def test_mu_insensitive_to_analytic_grams(rng):
         < 1e-2
 
 
+def test_sharded_analytic_grams_match_single_device(rng):
+    """Time-sharded analytic Grams: zero-communication per shard; must
+    equal the single-device analytic result."""
+    from dnmf_tpu.parallel import (
+        make_mesh,
+        shard_state,
+        shard_video,
+        sharded_compute_grams,
+    )
+
+    np_rng = np.random.default_rng(31)
+    model, state, video = _setup((16, 14, 6), k=5, t=16, sigma=2.0,
+                                 seed=33)
+    state = _warped_betas(state, np_rng, 0.01)
+    g1, c11 = M.compute_grams(state, video, model, frame_block=4,
+                              use_pallas=False, gram_mode="analytic")
+    mesh = make_mesh(num_time=8)
+    g8, c18 = sharded_compute_grams(
+        shard_state(state, mesh), shard_video(video, mesh), model,
+        mesh=mesh, frame_block=2, gram_mode="analytic")
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c18), np.asarray(c11),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_analytic_rejects_pixel_mesh(rng):
+    from dnmf_tpu.parallel import (
+        make_mesh,
+        shard_state,
+        shard_video,
+        sharded_compute_grams,
+    )
+
+    model, state, video = _setup((16, 16, 2), k=4, t=8, sigma=2.0,
+                                 seed=35)
+    mesh = make_mesh(num_time=2, num_pixel=4)
+    with pytest.raises(ValueError, match="pixel"):
+        sharded_compute_grams(
+            shard_state(state, mesh), shard_video(video, mesh), model,
+            mesh=mesh, frame_block=2, gram_mode="analytic")
+
+
+def test_tracked_grams_analytic_mode(rng):
+    """Per-frame-position (refinement phase) analytic Grams, XLA and
+    Pallas-interpret branches vs the exact tracked path."""
+    from dnmf_tpu.models.refine import tracked_grams
+
+    np_rng = np.random.default_rng(41)
+    model, state, video = _setup((16, 14, 6), k=5, t=6, sigma=2.0,
+                                 seed=43)
+    state = _warped_betas(state, np_rng, 0.01)
+    t = video.shape[0]
+    pos_t = (jnp.broadcast_to(state.pos[None], (t,) + state.pos.shape)
+             + jnp.asarray(np_rng.normal(0, 0.5, (t,) + state.pos.shape)
+                           .astype(np.float32)))
+    g_ref, c1_ref = tracked_grams(state, pos_t, video, model,
+                                  frame_block=3)
+    g_x, c1_x = tracked_grams(state, pos_t, video, model, frame_block=3,
+                              gram_mode="analytic")
+    np.testing.assert_allclose(np.asarray(c1_x), np.asarray(c1_ref),
+                               rtol=1e-5, atol=1e-7)
+    assert _rel_err(g_x, g_ref) < 2e-2
+    g_p, c1_p = tracked_grams(state, pos_t, video, model, frame_block=3,
+                              use_pallas=True, pallas_interpret=True,
+                              gram_mode="analytic")
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c1_p), np.asarray(c1_x),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_analytic_mode_rejects_pixel_sharding(rng):
     model, state, video = _setup((16, 14, 6), k=5, t=4, sigma=2.0)
     with pytest.raises(ValueError, match="pixel"):

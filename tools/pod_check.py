@@ -116,6 +116,21 @@ def run_all(n_devices: int | None = None, compiled_pallas: bool = False,
                                    rtol=1e-5, atol=1e-6)
     check("MU Grams (sharded == single)", _grams)
 
+    # 2b. Closed-form Grams compose with time sharding (zero-comm).
+    def _grams_analytic():
+        ref_g, ref_c1 = M.compute_grams(state, video, model,
+                                        frame_block=2,
+                                        gram_mode="analytic")
+        sh_g, sh_c1 = sharded_compute_grams(
+            s_state, s_video, model, mesh=mesh, frame_block=2,
+            gram_mode="analytic")
+        np.testing.assert_allclose(np.asarray(sh_g), np.asarray(ref_g),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sh_c1),
+                                   np.asarray(ref_c1),
+                                   rtol=1e-5, atol=1e-6)
+    check("analytic Grams (sharded == single)", _grams_analytic)
+
     # 3. MU with temporal smoothing: the ppermute +-1-frame halo on ICI.
     def _halo():
         ref = M.footprint_update(state, grams, c1, iters=15, gamma=0.05)
