@@ -35,7 +35,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
-                mu_iters: int = 50):
+                mu_iters: int = 50, gram_mode: str = "exact"):
     from wb_recovery import synthesize, warp_error_px
 
     from dnmf_tpu.config import ModelConfig, OptimizerConfig
@@ -91,7 +91,8 @@ def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
                 state, video, model, optimizer, gamma=0.1,
                 frame_block=4, use_pallas=use_pallas)
         grams, c1 = M.compute_grams(state, video, model, frame_block=4,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    gram_mode=gram_mode)
         state = M.footprint_update(state, grams, c1, iters=mu_iters)
         _ = float(jnp.sum(state.c[0])) + float(m["recon_mse"])
         round_times.append(time.time() - t0)
@@ -103,7 +104,7 @@ def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
         "workload": f"512x512x20 K=500 T={t} (device-synthesized; "
                     "tunnel cannot stream config-4 IO — see docstring)",
         "protocol": f"{rounds}x({epochs} epochs + {mu_iters} MU), "
-                    "rigid-seeded",
+                    f"rigid-seeded, grams={gram_mode}",
         "synth_s": round(synth_s, 1),
         "registration_seed_s": round(reg_s, 1),
         "trace_corr_mean": round(float(np.mean(corr)), 4),
@@ -195,10 +196,14 @@ if __name__ == "__main__":
     ap.add_argument("--config4", action="store_true")
     ap.add_argument("--config5", action="store_true")
     ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--gram-mode", type=str, default="exact",
+                    choices=["exact", "analytic"],
+                    help="MU Gram computation for config 4 "
+                         "(analytic = closed form, ops/gram_analytic)")
     args = ap.parse_args()
     if not (args.config4 or args.config5):
         args.config4 = args.config5 = True
     if args.config5:
         run_config5()
     if args.config4:
-        run_config4(frames=args.frames)
+        run_config4(frames=args.frames, gram_mode=args.gram_mode)
