@@ -184,6 +184,18 @@ class DeformableNMF:
             jnp.asarray(weights.reshape(nb, b)),
         )
 
+    def _gram_window(self):
+        """Static per-axis window bound for analytic Grams, covering the
+        largest sigma the fit will see (sigma_anneal scales sigma up to
+        max(factors) * shape_std; ops/gram_analytic needs the window
+        sized for the ACTUAL sigma, which is traced)."""
+        if self.runtime.gram_mode != "analytic":
+            return None
+        from dnmf_tpu.ops import gram_analytic as ga
+
+        factor = max((1.0,) + tuple(self.opt_config.sigma_anneal))
+        return ga.default_window(factor * self.model.shape_std)
+
     @staticmethod
     def _is_streaming(video) -> bool:
         return hasattr(video, "blocks") and not hasattr(video,
@@ -259,12 +271,14 @@ class DeformableNMF:
                     self.state, video, self.model, mesh=self._mesh,
                     use_pallas=self._use_pallas,
                     gram_mode=self.runtime.gram_mode,
+                    gram_window=self._gram_window(),
                 )
             else:
                 grams, c1 = model_lib.compute_grams_streaming(
                     self.state, video, self.model,
                     use_pallas=self._use_pallas,
                     gram_mode=self.runtime.gram_mode,
+                    gram_window=self._gram_window(),
                 )
         elif self._mesh is not None:
             from dnmf_tpu.parallel import sharded_compute_grams
@@ -274,6 +288,7 @@ class DeformableNMF:
                 mesh=self._mesh, frame_block=self.runtime.frame_block,
                 use_pallas=self._use_pallas,
                 gram_mode=self.runtime.gram_mode,
+                gram_window=self._gram_window(),
             )
         else:
             video_flat = self._video_flat(video)
@@ -282,6 +297,7 @@ class DeformableNMF:
                 frame_block=self.runtime.frame_block,
                 use_pallas=self._use_pallas,
                 gram_mode=self.runtime.gram_mode,
+                gram_window=self._gram_window(),
             )
         if self._mesh is not None:
             from dnmf_tpu.parallel import sharded_footprint_update
@@ -380,6 +396,8 @@ class DeformableNMF:
                 frame_block=self.runtime.frame_block,
                 pos_t=getattr(self, "pos_t", None),
                 use_pallas=self._use_pallas,
+                gram_mode=self.runtime.gram_mode,
+                gram_window=self._gram_window(),
             )
         else:
             self.state, pos_t, m = refine_lib.refined_rounds(
@@ -389,6 +407,8 @@ class DeformableNMF:
                 frame_block=self.runtime.frame_block,
                 pos_t=getattr(self, "pos_t", None),
                 use_pallas=self._use_pallas,
+                gram_mode=self.runtime.gram_mode,
+                gram_window=self._gram_window(),
             )
         self.pos_t = pos_t
         self._check_finite("refine")
@@ -428,6 +448,7 @@ class DeformableNMF:
             frame_block=self.runtime.frame_block,
             use_pallas=self._use_pallas,
             gram_mode=self.runtime.gram_mode,
+            gram_window=self._gram_window(),
         )
         for r in range(rounds):
             self.metrics.append({
@@ -482,6 +503,10 @@ class DeformableNMF:
         out = np.asarray(_positions_all_jit(
             self.state.pos, self.state.beta, iters, normalized,
             tuple(self.model.size)))
+        # The cached buffer is returned directly on hits — freeze it so
+        # a caller mutating the result fails loudly instead of silently
+        # corrupting every later positions_all/positions_at call.
+        out.setflags(write=False)
         self._positions_cache = (self.state.beta, self.state.pos,
                                  iters, out)
         return out

@@ -454,6 +454,7 @@ def grams_local(
     vb: Optional[jnp.ndarray] = None,
     p_offset: Optional[jnp.ndarray] = None,
     gram_mode: str = "exact",
+    gram_window: Optional[int] = None,
 ):
     """Per-frame MU statistics for a (local) set of frames — the shared
     body behind ``compute_grams`` and the sharded/streamed variants.
@@ -514,7 +515,11 @@ def grams_local(
     if analytic_g:
         from dnmf_tpu.ops import gram_analytic as ga
 
-        window = ga.default_window(model.shape_std)
+        # The window must cover the ACTUAL sigmas (state.sigma is
+        # traced, so callers that scale sigma — e.g. the trainer's
+        # sigma_anneal — pass a static gram_window bound; the default
+        # covers model.shape_std only).
+        window = gram_window or ga.default_window(model.shape_std)
 
         def gram_fn(beta_blk):
             return ga.analytic_grams(
@@ -530,14 +535,8 @@ def grams_local(
         if analytic_g:
             from dnmf_tpu.ops import pallas_culled as pc
 
-            kb, tp = _CulledShim._tuning(state.pos.shape[0])
-            c1_params = {"kblock": kb, "tile_p": tp}
-            from dnmf_tpu.ops import tuning as tuning_mod
-
-            ent = tuning_mod.lookup("culled_c1",
-                                    k=int(state.pos.shape[0]))
-            if ent:
-                c1_params.update(ent)
+            c1_params = _CulledShim._params("culled_c1",
+                                            state.pos.shape[0])
 
             def block(_, xs):
                 beta_blk, y_blk = xs
@@ -594,7 +593,8 @@ def _maybe_stored_a(state: DNMFState, model: ModelConfig,
 
 @functools.partial(
     jax.jit, static_argnames=("model", "frame_block", "use_pallas",
-                              "pallas_interpret", "gram_mode")
+                              "pallas_interpret", "gram_mode",
+                              "gram_window")
 )
 def compute_grams(
     state: DNMFState,
@@ -604,6 +604,7 @@ def compute_grams(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
+    gram_window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU Grams, streamed over frame blocks.
 
@@ -617,7 +618,7 @@ def compute_grams(
     return grams_local(
         state, video_flat, model, frame_block,
         use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-        gram_mode=gram_mode,
+        gram_mode=gram_mode, gram_window=gram_window,
     )
 
 
@@ -757,7 +758,7 @@ def motion_epoch_streaming(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "block", "use_pallas", "pallas_interpret",
-                     "gram_mode"),
+                     "gram_mode", "gram_window"),
 )
 def _stream_block_grams(
     state: DNMFState,
@@ -768,6 +769,7 @@ def _stream_block_grams(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
+    gram_window: Optional[int] = None,
 ):
     beta_pad = jnp.concatenate(
         [state.beta, basis_ops.identity_beta(block)], axis=0
@@ -778,7 +780,7 @@ def _stream_block_grams(
     return grams_local(
         state_loc, frames, model, block,
         use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-        gram_mode=gram_mode,
+        gram_mode=gram_mode, gram_window=gram_window,
     )
 
 
@@ -788,6 +790,7 @@ def compute_grams_streaming(
     model: ModelConfig,
     use_pallas: bool = False,
     gram_mode: str = "exact",
+    gram_window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU Grams over a host-streamed video."""
     gs, c1s = [], []
@@ -795,6 +798,7 @@ def compute_grams_streaming(
         g, c1 = _stream_block_grams(
             state, frames, start, model, source.block,
             use_pallas=use_pallas, gram_mode=gram_mode,
+            gram_window=gram_window,
         )
         gs.append(g)
         c1s.append(c1)
@@ -807,7 +811,7 @@ def compute_grams_streaming(
     jax.jit,
     static_argnames=("model", "optimizer", "rounds", "epochs", "mu_iters",
                      "gamma", "mu_gamma", "frame_block", "use_pallas",
-                     "pallas_interpret", "gram_mode"),
+                     "pallas_interpret", "gram_mode", "gram_window"),
 )
 def fused_rounds(
     state: DNMFState,
@@ -823,6 +827,7 @@ def fused_rounds(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
+    gram_window: Optional[int] = None,
 ) -> Tuple[DNMFState, dict]:
     """The full alternation schedule as ONE compiled program.
 
@@ -851,7 +856,7 @@ def fused_rounds(
         grams, c1 = grams_local(
             st, video_flat, model, frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            gram_mode=gram_mode,
+            gram_mode=gram_mode, gram_window=gram_window,
         )
         c = mu_ops.run_mu_temporal(
             st.c, grams, c1, iters=mu_iters,

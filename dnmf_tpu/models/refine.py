@@ -198,7 +198,8 @@ def refine_positions(
 @functools.partial(jax.jit, static_argnames=("model", "frame_block",
                                               "use_pallas",
                                               "pallas_interpret",
-                                              "gram_mode"))
+                                              "gram_mode",
+                                              "gram_window"))
 def tracked_grams(
     state: DNMFState,
     pos_t: jnp.ndarray,
@@ -208,6 +209,7 @@ def tracked_grams(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
+    gram_window=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU statistics ``(G [T,K,K], c1 [T,K])`` with per-frame
     positions (the tracked analog of ``dnmf.compute_grams``).
@@ -217,6 +219,8 @@ def tracked_grams(
     c1-only video pass."""
     t, p = video_flat.shape
     vb = model_voxel_basis(model)
+    if gram_mode not in ("exact", "analytic"):
+        raise ValueError(f"unknown gram_mode: {gram_mode!r}")
     analytic_g = gram_mode == "analytic"
     if analytic_g and model.deformation.footprint_mode != "analytic":
         raise ValueError("gram_mode='analytic' requires analytic "
@@ -225,7 +229,7 @@ def tracked_grams(
     if analytic_g:
         from dnmf_tpu.ops import gram_analytic as ga
 
-        window = ga.default_window(model.shape_std)
+        window = gram_window or ga.default_window(model.shape_std)
 
         def gram_fn(beta_blk, pos_blk):
             return ga.analytic_grams_tracked(
@@ -299,6 +303,8 @@ def refined_rounds(
     pos_t: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
+    gram_window=None,
 ) -> Tuple[DNMFState, jnp.ndarray, dict]:
     """Alternate position refinement with tracked-Gram MU trace updates.
 
@@ -316,7 +322,9 @@ def refined_rounds(
         g, c1 = tracked_grams(state, pos_t, video_flat, model,
                               frame_block=frame_block,
                               use_pallas=use_pallas,
-                              pallas_interpret=pallas_interpret)
+                              pallas_interpret=pallas_interpret,
+                              gram_mode=gram_mode,
+                              gram_window=gram_window)
         c = mu_ops.run_mu_temporal(state.c, g, c1, iters=mu_iters)
         state = state._replace(c=c)
     return state, pos_t, metrics

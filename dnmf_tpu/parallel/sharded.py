@@ -158,7 +158,7 @@ def sharded_motion_epoch(
 @functools.partial(
     jax.jit, static_argnames=("model", "frame_block", "mesh",
                               "use_pallas", "pallas_interpret",
-                              "gram_mode")
+                              "gram_mode", "gram_window")
 )
 def sharded_compute_grams(
     state: model_lib.DNMFState,
@@ -169,6 +169,7 @@ def sharded_compute_grams(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
+    gram_window=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame-sharded per-frame Grams: ``([T,K,K], [T,K])`` sharded on T.
 
@@ -202,7 +203,7 @@ def sharded_compute_grams(
             p_offset=(jax.lax.axis_index(PIXEL_AXIS)
                       * video_loc.shape[1]) if (tp and use_pallas)
                      else None,
-            gram_mode=gram_mode,
+            gram_mode=gram_mode, gram_window=gram_window,
         )
         if npix > 1:
             # Grams are plain sums over voxels — partial sums psum to the
@@ -281,7 +282,8 @@ def sharded_footprint_update(
     jax.jit,
     static_argnames=("model", "mesh", "rounds", "epochs", "mu_iters",
                      "learning_rate", "prior", "frame_block",
-                     "use_pallas", "pallas_interpret"),
+                     "use_pallas", "pallas_interpret", "gram_mode",
+                     "gram_window"),
 )
 def sharded_refined_rounds(
     state: model_lib.DNMFState,
@@ -297,6 +299,8 @@ def sharded_refined_rounds(
     pos_t: jnp.ndarray = None,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
+    gram_window=None,
 ):
     """Frame-sharded per-frame position refinement + tracked-Gram MU.
 
@@ -329,6 +333,7 @@ def sharded_refined_rounds(
             mu_iters=mu_iters, learning_rate=learning_rate, prior=prior,
             frame_block=frame_block, pos_t=pos_loc,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            gram_mode=gram_mode, gram_window=gram_window,
         )
         return st, p_t, metrics
 

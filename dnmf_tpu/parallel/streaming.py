@@ -233,7 +233,7 @@ def sharded_motion_epoch_streaming(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "block", "mesh", "use_pallas",
-                     "pallas_interpret", "gram_mode"),
+                     "pallas_interpret", "gram_mode", "gram_window"),
 )
 def _stream_shard_grams_step(
     state: model_lib.DNMFState,
@@ -248,6 +248,7 @@ def _stream_shard_grams_step(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
+    gram_window=None,
 ):
     specs = _state_specs(state)
     npix = mesh.shape.get(PIXEL_AXIS, 1)
@@ -273,7 +274,7 @@ def _stream_shard_grams_step(
             p_offset=(jax.lax.axis_index(PIXEL_AXIS)
                       * frames_loc.shape[1]) if (tp and use_pallas)
                      else None,
-            gram_mode=gram_mode,
+            gram_mode=gram_mode, gram_window=gram_window,
         )
         if tp:
             # Grams are plain sums over voxels — partial sums psum to
@@ -304,6 +305,7 @@ def sharded_compute_grams_streaming(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
+    gram_window=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame MU Grams over a host-streamed video, time-sharded.
 
@@ -326,6 +328,6 @@ def sharded_compute_grams_streaming(
             state, grams_buf, c1_buf, frames, jnp.int32(off),
             jnp.int32(valid), model, block, mesh,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            gram_mode=gram_mode,
+            gram_mode=gram_mode, gram_window=gram_window,
         )
     return grams_buf, c1_buf

@@ -258,6 +258,75 @@ def test_tracked_grams_analytic_mode(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_gram_window_covers_annealed_sigma(rng):
+    """Regression: the window must be sized for the ACTUAL sigma, not
+    model.shape_std — an annealed sigma (sigma_anneal scales it up)
+    silently truncated the pair Gaussian with the default window."""
+    from dnmf_tpu.ops.gram_analytic import default_window
+
+    model, state, video = _setup((24, 20, 8), k=5, t=2, sigma=1.5,
+                                 seed=51)
+    big = jnp.full((5,), 4.5, jnp.float32)  # 3x the model's shape_std
+    state = state._replace(sigma=big)
+    g_ref, _ = _exact_grams(state, video, model)
+    # Default window (sized for shape_std=1.5) truncates ...
+    g_small, _ = M.compute_grams(state, video, model, frame_block=2,
+                                 use_pallas=False,
+                                 gram_mode="analytic")
+    assert _rel_err(g_small, g_ref) > 1e-3
+    # ... an explicit bound restores exactness (identity warp).
+    g_wide, _ = M.compute_grams(state, video, model, frame_block=2,
+                                use_pallas=False, gram_mode="analytic",
+                                gram_window=default_window(4.5))
+    assert _rel_err(g_wide, g_ref) < 2e-5
+
+
+def test_trainer_gram_window_accounts_for_anneal(rng):
+    from dnmf_tpu.config import (ModelConfig, OptimizerConfig,
+                                 RuntimeConfig)
+    from dnmf_tpu.engine.trainer import DeformableNMF
+    from dnmf_tpu.ops.gram_analytic import default_window
+
+    model = ModelConfig(size=(12, 10, 4), num_neurons=4, num_frames=4,
+                        shape_std=2.0)
+    eng = DeformableNMF(
+        model, OptimizerConfig(sigma_anneal=(3.0, 2.0, 1.0)),
+        runtime=RuntimeConfig(gram_mode="analytic"))
+    assert eng._gram_window() == default_window(6.0)
+    eng2 = DeformableNMF(model, OptimizerConfig(),
+                         runtime=RuntimeConfig(gram_mode="exact"))
+    assert eng2._gram_window() is None
+
+
+def test_tracked_grams_rejects_unknown_mode(rng):
+    from dnmf_tpu.models.refine import tracked_grams
+
+    model, state, video = _setup((12, 10, 4), k=4, t=4, sigma=2.0)
+    pos_t = jnp.broadcast_to(state.pos[None], (4,) + state.pos.shape)
+    with pytest.raises(ValueError, match="gram_mode"):
+        tracked_grams(state, pos_t, video, model,
+                      gram_mode="analytical")
+
+
+def test_refined_rounds_threads_gram_mode(rng):
+    """gram_mode='analytic' must actually reach the refinement phase's
+    tracked Grams (it was silently ignored)."""
+    from dnmf_tpu.models.refine import refined_rounds
+
+    np_rng = np.random.default_rng(53)
+    model, state, video = _setup((16, 14, 6), k=5, t=6, sigma=2.0,
+                                 seed=55)
+    state = _warped_betas(state, np_rng, 0.01)
+    st_e, _, _ = refined_rounds(state, video, model, rounds=1,
+                                epochs=3, mu_iters=10, frame_block=3)
+    st_a, _, _ = refined_rounds(state, video, model, rounds=1,
+                                epochs=3, mu_iters=10, frame_block=3,
+                                gram_mode="analytic")
+    denom = np.abs(np.asarray(st_e.c)).max()
+    dc = np.abs(np.asarray(st_a.c) - np.asarray(st_e.c)).max() / denom
+    assert 0 < dc < 1e-2  # different G source, same fixed point scale
+
+
 def test_analytic_mode_rejects_pixel_sharding(rng):
     model, state, video = _setup((16, 14, 6), k=5, t=4, sigma=2.0)
     with pytest.raises(ValueError, match="pixel"):
