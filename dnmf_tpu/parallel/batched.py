@@ -46,7 +46,7 @@ def unstack_states(batched: model_lib.DNMFState):
     jax.jit,
     static_argnames=("model", "optimizer", "gamma", "mu_iters",
                      "mu_gamma", "frame_block", "use_pallas",
-                     "pallas_interpret"),
+                     "pallas_interpret", "gram_mode", "gram_window"),
 )
 def batched_round(
     states: model_lib.DNMFState,
@@ -59,6 +59,8 @@ def batched_round(
     frame_block: int = 8,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    gram_mode: str = "exact",
+    gram_window=None,
 ) -> Tuple[model_lib.DNMFState, dict]:
     """One alternation round over a batch of recordings.
 
@@ -79,6 +81,7 @@ def batched_round(
         grams, c1 = model_lib.compute_grams(
             state, video, model, frame_block=frame_block,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            gram_mode=gram_mode, gram_window=gram_window,
         )
         state = model_lib.footprint_update(
             state, grams, c1, iters=mu_iters, gamma=mu_gamma
