@@ -258,6 +258,33 @@ def test_tracked_grams_analytic_mode(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_whole_brain_like_regime(rng):
+    """Realistic regime check: sigma=3, whole-brain-like cumulative
+    random-walk quadratic warps (the wb_recovery fixture's generator
+    parameters, ~several px drift), mid-scale volume.  The closed form
+    must stay well inside MU sensitivity here — this is the regime the
+    config-3/4 speedup claims live in."""
+    from dnmf_tpu.ops import basis as B
+
+    size, k, t, sigma = (96, 96, 12), 40, 8, 3.0
+    model, state, video = _setup(size, k=k, t=t, sigma=sigma, seed=61,
+                                 interior_margin=[6.0, 6.0, 2.0])
+    key = jax.random.PRNGKey(7)
+    steps = jax.random.normal(key, (t, 10, 3)) * 0.002
+    steps = steps.at[:, 4:, :].mul(0.25)
+    steps = steps.at[0].set(0.0)
+    betas_gt = B.identity_beta(t) + jnp.cumsum(steps, axis=0) * 3.0
+    # *3 compresses a full T=64 recording's drift into 8 test frames
+    # (random walk: sqrt(64/8) ~= 2.8).  Measured: 9e-5 at 1x drift,
+    # 6e-4 here — MU-negligible in the regime the config-3/4 claims
+    # live in (8x the drift reaches ~1.4%, still within MU tolerance).
+    state = state._replace(beta=betas_gt)
+    g_ref, _ = _exact_grams(state, video, model)
+    g = analytic_grams(state.beta, state.pos, state.sigma, model.size,
+                       window=default_window(sigma))
+    assert _rel_err(g, g_ref) < 2e-3
+
+
 def test_gram_window_covers_annealed_sigma(rng):
     """Regression: the window must be sized for the ACTUAL sigma, not
     model.shape_std — an annealed sigma (sigma_anneal scales it up)
