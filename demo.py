@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--outdir", type=str, default=None,
                     help="directory for rendered figures/videos")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--gram-mode", type=str, default="exact",
+                    choices=["exact", "analytic"],
+                    help="MU Gram computation (analytic = closed form, "
+                         "ops/gram_analytic — the at-scale fast mode)")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +91,8 @@ def main():
     ds = SimulatedVideoDataset(sim)
     print(f"  simulated in {time.time() - t0:.1f}s")
 
-    eng = DeformableNMF(model, opt, positions=ds.positions[:, :, 0])
+    eng = DeformableNMF(model, opt, positions=ds.positions[:, :, 0],
+                        runtime=C.RuntimeConfig(gram_mode=args.gram_mode))
     t0 = time.time()
     result = eng.fit(ds)
     elapsed = time.time() - t0
