@@ -562,10 +562,60 @@ def _c1_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         c1_ref[:] = c1_acc[:]
 
 
+def _c1_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
+                    c1_ref, c1_acc, ybuf, sems, *scr, size, scaling,
+                    tile_p, p_count, n_steps, kb, nkb, f, dot_mode,
+                    nbuf, tracked=False):
+    """Manually-pipelined c1-only kernel: :func:`_gram_kernel_pipe`'s
+    one-grid-step + fori_loop + nbuf-deep DMA rotation, with the pair
+    dots disabled (the analytic-Grams companion)."""
+    bi = pl.program_id(0)
+    off = off_ref[0, 0]
+    c1_acc[:] = jnp.zeros_like(c1_acc)
+    split = dot_mode == "split"
+    if split:
+        ahi_scr, alo_scr = scr
+        a_scr = None
+    else:
+        (a_scr,) = scr
+        ahi_scr = alo_scr = None
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            y_any.at[bi, ci], ybuf.at[slot], sems.at[slot]
+        )
+
+    for s in range(min(nbuf - 1, n_steps)):
+        dma(s, s).start()
+
+    def loop_body(ci, carry):
+        slot = jax.lax.rem(ci, nbuf)
+        nxt = ci + nbuf - 1
+
+        @pl.when(nxt < n_steps)
+        def _():
+            dma(jax.lax.rem(nxt, nbuf), nxt).start()
+
+        dma(slot, ci).wait()
+        yrows = ybuf[slot]  # [F, tile_p]
+        _culled_tile_body(
+            off + ci * tile_p, lambda fi: yrows[fi:fi + 1, :],
+            beta_ref, blocks_ref, pos_ref, None, c1_acc,
+            a_scr, ahi_scr, alo_scr, off=off, size=size,
+            scaling=scaling, tile_p=tile_p, p_count=p_count, kb=kb,
+            nkb=nkb, f=f, split=split, pairs=False,
+            posget=(lambda fi: pos_ref[fi]) if tracked else None,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_steps, loop_body, 0)
+    c1_ref[:] = c1_acc[:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("size", "scaling", "tile_p", "kblock", "dot_mode",
-                     "frames_per_step", "interpret"),
+                     "frames_per_step", "impl", "nbuf", "interpret"),
 )
 def c1_block_culled(
     betas: jnp.ndarray,
@@ -578,6 +628,8 @@ def c1_block_culled(
     kblock: int = 64,
     dot_mode: str = "split",
     frames_per_step: int = 2,
+    impl: str = "grid",
+    nbuf: int = 4,
     p_offset=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -593,6 +645,11 @@ def c1_block_culled(
     ``pos`` may be ``[K, 3]`` (shared anchors) or ``[B, K, 3]``
     (per-frame tracked positions, the refinement phase —
     :func:`gram_block_tracked`'s c1).
+
+    ``impl="pipelined"`` routes through the one-grid-step fori_loop +
+    ``nbuf``-deep manual DMA rotation (:func:`_c1_kernel_pipe` — same
+    architecture as :func:`gram_block_pipelined`); sweep both via
+    ``tools/autotune.py`` ('culled_c1' cache key).
     """
     bsz = betas.shape[0]
     tracked = pos.ndim == 3
@@ -621,6 +678,58 @@ def c1_block_culled(
                                    memory_space=pltpu.VMEM)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_steps, tile_p, p_count)
     beta_rows = pk._beta_warp_matrix(betas_pad, f_eff)
+    split_scratch = ([
+        pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+        pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
+    ] if dot_mode == "split" else [
+        pltpu.VMEM((k_pad, tile_p), jnp.float32),
+    ])
+    if impl == "pipelined":
+        if tracked:
+            params_spec1 = pl.BlockSpec((f_eff, k_pad, 8),
+                                        lambda bi: (bi, 0, 0),
+                                        memory_space=pltpu.VMEM)
+        else:
+            params_spec1 = pl.BlockSpec((k_pad, 8), lambda bi: (0, 0),
+                                        memory_space=pltpu.VMEM)
+        c1 = pl.pallas_call(
+            functools.partial(
+                _c1_kernel_pipe, size=tuple(size), scaling=scaling,
+                tile_p=tile_p, p_count=p_count, n_steps=n_steps, kb=kb,
+                nkb=nkb, f=f_eff, dot_mode=dot_mode, nbuf=nbuf,
+                tracked=tracked,
+            ),
+            grid=(b_pad // f_eff,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda bi: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 3 * f_eff, 10),
+                             lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nkb, 2), lambda bi: (0, 0),
+                             memory_space=pltpu.SMEM),
+                params_spec1,
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((f_eff, k_pad, 1),
+                                   lambda bi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b_pad, k_pad, 1),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((f_eff, k_pad, 1), jnp.float32),
+                pltpu.VMEM((nbuf, f_eff, tile_p), jnp.float32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ] + split_scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(off, beta_rows, blocks, params, y_blk)
+        inv = jnp.argsort(perm)
+        return c1[:bsz, :k, 0][:, inv]
+    if impl != "grid":
+        raise ValueError(f"unknown c1 impl: {impl!r}")
     row_spec = pl.BlockSpec((None, None, f_eff, tile_p),
                             lambda bi, ti: (bi, ti, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -648,12 +757,7 @@ def c1_block_culled(
         out_shape=jax.ShapeDtypeStruct((b_pad, k_pad, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((f_eff, k_pad, 1), jnp.float32),
-        ] + ([
-            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
-            pltpu.VMEM((k_pad, tile_p), jnp.bfloat16),
-        ] if dot_mode == "split" else [
-            pltpu.VMEM((k_pad, tile_p), jnp.float32),
-        ]),
+        ] + split_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

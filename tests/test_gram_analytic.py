@@ -165,6 +165,28 @@ def test_c1_block_culled_matches_gram_block(rng):
                             interpret=True)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c1_ref),
                                rtol=1e-6, atol=1e-8)
+    # The manually-pipelined impl must match bit-for-bit-ish too.
+    c1_pipe = pc.c1_block_culled(*args, kblock=8, tile_p=64,
+                                 dot_mode="split", frames_per_step=2,
+                                 impl="pipelined", nbuf=2,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(c1_pipe), np.asarray(c1),
+                               rtol=1e-6, atol=1e-8)
+    # Tracked (per-frame positions) through both impls.
+    pos_t = jnp.asarray(
+        np.stack([pos + np_rng.normal(0, 0.3, pos.shape)
+                  .astype(np.float32) for _ in range(b)]))
+    _, c1t_ref = pc.gram_block_tracked(
+        args[0], pos_t, args[2], args[3], size, kblock=8, tile_p=64,
+        dot_mode="split", frames_per_step=2, interpret=True)
+    for impl, nbuf in (("grid", 4), ("pipelined", 3)):
+        c1t = pc.c1_block_culled(
+            args[0], pos_t, args[2], args[3], size, kblock=8,
+            tile_p=64, dot_mode="split", frames_per_step=2, impl=impl,
+            nbuf=nbuf, interpret=True)
+        np.testing.assert_allclose(np.asarray(c1t),
+                                   np.asarray(c1t_ref),
+                                   rtol=1e-6, atol=1e-8)
 
 
 def test_mu_insensitive_to_analytic_grams(rng):

@@ -174,6 +174,8 @@ def main():
                   "frames_per_step": fps}
                  for tp in (4096, 8192, 16384)
                  for fps in (2, 4)]
+        cands += [{"kblock": kb0, "tile_p": 4096, "frames_per_step": 2,
+                   "impl": "pipelined", "nbuf": nb} for nb in (2, 4)]
         all_results["c1"] = run_section(
             "c1", "culled_c1", {"k": k}, cands, build_c1,
             {"kblock": kb0, "tile_p": tp0, "frames_per_step": 2})
