@@ -461,14 +461,34 @@ class DeformableNMF:
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
+        """Checkpoint the factor state, plus the refinement positions
+        if :meth:`refine` has produced them (``pos_t`` is a first-class
+        pipeline product — without it a resumed run would silently lose
+        the polish phase)."""
         from dnmf_tpu.utils.checkpoint import save_state
 
-        save_state(path, self.state)
+        payload = {"state": self.state}
+        if getattr(self, "pos_t", None) is not None:
+            payload["pos_t"] = self.pos_t
+        save_state(path, payload)
 
     def restore(self, path: str) -> None:
         from dnmf_tpu.utils.checkpoint import load_state
 
-        self.state = load_state(path, self.state)
+        pos_t_tmpl = getattr(self, "pos_t", None)
+        if pos_t_tmpl is None:
+            t = self.model.num_frames
+            pos_t_tmpl = jnp.broadcast_to(
+                self.state.pos[None], (t,) + self.state.pos.shape)
+        try:
+            payload = load_state(
+                path, {"state": self.state, "pos_t": pos_t_tmpl})
+            self.pos_t = payload["pos_t"]
+        except Exception:
+            # Checkpoint without refinement positions (saved before
+            # refine ran).
+            payload = load_state(path, {"state": self.state})
+        self.state = payload["state"]
 
     @property
     def traces(self) -> np.ndarray:

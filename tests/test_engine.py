@@ -138,6 +138,36 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_roundtrip_with_refined_positions(tmp_path):
+    """pos_t (the refinement polish) is a first-class pipeline product;
+    save/restore must carry it, and checkpoints written before refine
+    still restore into a fresh trainer."""
+    import jax.numpy as jnp
+
+    ds = _dataset()
+    eng = _engine(ds)
+    eng.update_footprints(ds, iters=5)
+    t = eng.model.num_frames
+    eng.pos_t = (jnp.broadcast_to(eng.state.pos[None],
+                                  (t,) + eng.state.pos.shape) + 0.25)
+    path = str(tmp_path / "ckpt_refined")
+    eng.save(path)
+    eng2 = _engine(ds)
+    assert getattr(eng2, "pos_t", None) is None
+    eng2.restore(path)
+    np.testing.assert_array_equal(np.asarray(eng2.pos_t),
+                                  np.asarray(eng.pos_t))
+    # Pre-refine checkpoint into a trainer that has no pos_t:
+    eng3 = _engine(ds)
+    path2 = str(tmp_path / "ckpt_plain")
+    eng3.save(path2)
+    eng4 = _engine(ds)
+    eng4.restore(path2)
+    assert getattr(eng4, "pos_t", None) is None
+    np.testing.assert_array_equal(np.asarray(eng4.state.c),
+                                  np.asarray(eng3.state.c))
+
+
 def test_inverse_warp_identity():
     from dnmf_tpu.ops.basis import voxel_grid
     from dnmf_tpu.ops.interp import inverse_warp_nearest
