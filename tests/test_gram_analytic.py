@@ -376,6 +376,43 @@ def test_refined_rounds_threads_gram_mode(rng):
     assert 0 < dc < 1e-2  # different G source, same fixed point scale
 
 
+def test_batched_round_analytic_matches_per_recording(rng):
+    """config-5 vmapped rounds with analytic Grams == per-recording
+    analytic rounds (closes the batched-path threading)."""
+    from dnmf_tpu.parallel.batched import (
+        batched_round,
+        stack_states,
+        unstack_states,
+    )
+
+    model, state0, video0 = _setup((16, 14, 4), k=4, t=8, sigma=2.0,
+                                   seed=71)
+    from dnmf_tpu.config import OptimizerConfig
+    optimizer = M.make_motion_optimizer(OptimizerConfig(
+        learning_rate=1e-3))
+    state1 = M.init_state(model, optimizer,
+                          positions=state0.pos + 0.5,
+                          key=jax.random.PRNGKey(72))
+    video1 = jax.random.uniform(jax.random.PRNGKey(73), video0.shape)
+
+    batched = stack_states([state0, state1])
+    videos = jnp.stack([video0, video1])
+    new_batched, _ = batched_round(
+        batched, videos, model, optimizer, gamma=0.1, mu_iters=5,
+        frame_block=4, gram_mode="analytic")
+    outs = unstack_states(new_batched)
+    for st, vid, out in ((state0, video0, outs[0]),
+                         (state1, video1, outs[1])):
+        st_m, _ = M.motion_epoch_parallel(st, vid, model, optimizer,
+                                          0.1, frame_block=4)
+        g, c1 = M.compute_grams(st_m, vid, model, frame_block=4,
+                                gram_mode="analytic")
+        ref = M.footprint_update(st_m, g, c1, iters=5)
+        np.testing.assert_allclose(np.asarray(out.c),
+                                   np.asarray(ref.c),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_analytic_mode_rejects_pixel_sharding(rng):
     model, state, video = _setup((16, 14, 6), k=5, t=4, sigma=2.0)
     with pytest.raises(ValueError, match="pixel"):
