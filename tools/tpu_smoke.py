@@ -114,6 +114,7 @@ def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4,
         ("dense", pk.gram_block, {}),
         ("culled", pc.gram_block_culled, {}),
         ("culled+split", pc.gram_block_culled, {"dot_mode": "split"}),
+        ("pipelined", pc.gram_block_pipelined, {"nbuf": 2}),
     ):
         g, c1 = fn(jnp.asarray(beta)[None], jnp.asarray(pos),
                    jnp.asarray(sigma), jnp.asarray(y)[None], size,
@@ -121,6 +122,67 @@ def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4,
         ok &= check(f"gram[{label}] G ({scaling})", g[0], g_ref, rtol, atol)
         ok &= check(f"gram[{label}] c1 ({scaling})", c1[0], c1_ref,
                     rtol, atol)
+
+    # c1-only kernels (the analytic-Grams video pass), both impls.
+    for label, kw in (("grid", {}),
+                      ("pipelined", {"impl": "pipelined", "nbuf": 2})):
+        c1o = pc.c1_block_culled(
+            jnp.asarray(beta)[None], jnp.asarray(pos),
+            jnp.asarray(sigma), jnp.asarray(y)[None], size,
+            scaling=scaling, tile_p=tile_p, **kw)
+        ok &= check(f"c1[{label}] ({scaling})", c1o[0], c1_ref, rtol,
+                    atol)
+
+    # Closed-form Grams (compiled XLA) vs the f64 pixel reduction.
+    from dnmf_tpu.ops.gram_analytic import analytic_grams, default_window
+
+    g_an = analytic_grams(
+        jnp.asarray(beta)[None], jnp.asarray(pos), jnp.asarray(sigma),
+        size, scaling=scaling, window=default_window(3.5))
+    ok &= check(f"gram[analytic] G ({scaling})", g_an[0], g_ref,
+                max(rtol, 2e-3), max(atol, 1e-3 * float(g_ref.max())))
+
+    # Tracked (per-frame-position) Gram kernel vs an f64 reference at
+    # jittered positions.
+    pos_j = (pos + rng.normal(0, 0.4, pos.shape)).astype(np.float32)
+    aw_j, g_ref_j, c1_ref_j = _f64_reference(size, pos_j, sigma, beta,
+                                             y, scaling)
+    g_t, c1_t = pc.gram_block_tracked(
+        jnp.asarray(beta)[None], jnp.asarray(pos_j)[None],
+        jnp.asarray(sigma), jnp.asarray(y)[None], size,
+        scaling=scaling, tile_p=tile_p)
+    ok &= check(f"gram[tracked] G ({scaling})", g_t[0], g_ref_j, rtol,
+                atol)
+    ok &= check(f"gram[tracked] c1 ({scaling})", c1_t[0], c1_ref_j,
+                rtol, atol)
+
+    # Refinement kernel: data term + analytic dpos vs f64 central
+    # differences at the jittered positions.
+    mse_j = float(((aw_j @ c_t.astype(np.float64) - y) ** 2).mean())
+    r_mse, dpos = pc.refine_block_culled(
+        jnp.asarray(beta)[None], jnp.asarray(pos_j)[None],
+        jnp.asarray(sigma), jnp.asarray(c_t)[None],
+        jnp.asarray(y)[None], size, scaling=scaling, tile_p=tile_p)
+    ok &= check(f"refine mse ({scaling})", r_mse[0], mse_j, 1e-4, 1e-8)
+    if grad_probes:
+        def loss64_pos(p2):
+            aw2, _, _ = _f64_reference(size, p2, sigma, beta, y,
+                                       scaling)
+            rr = aw2 @ c_t.astype(np.float64) - y
+            return float((rr**2).mean())
+
+        pprobes = [(0, 0), (min(3, k - 1), 1), (k - 1, 2)]
+        fd_p, got_p = [], []
+        d = np.asarray(dpos[0])
+        for (ki, dj) in pprobes:
+            eps = 1e-3
+            pp = pos_j.copy(); pp[ki, dj] += eps
+            pm = pos_j.copy(); pm[ki, dj] -= eps
+            fd_p.append((loss64_pos(pp) - loss64_pos(pm)) / (2 * eps))
+            got_p.append(d[ki, dj])
+        fd_p, got_p = np.array(fd_p), np.array(got_p)
+        ok &= check(f"refine dpos-fd ({scaling})", got_p, fd_p, 5e-3,
+                    1e-3 * float(np.abs(fd_p).max()) + 1e-9)
 
     # Gradient reference via float64 central differences on a few
     # coefficients (full-dbeta analytic f64 derivation would duplicate
