@@ -40,19 +40,31 @@ class FitResult:
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _positions_all_jit(pos, beta, iters, normalized, size):
     """``[T, K, 3]`` apparent positions: ``warp_t^{-1}(pos)`` per frame
-    (module scope so jit compiles once across trainer instances)."""
+    (module scope so jit compiles once across trainer instances).
+    ``pos`` may be shared ``[K, 3]`` anchors or per-frame refined
+    ``[T, K, 3]`` positions (post-:meth:`DeformableNMF.refine`)."""
     from dnmf_tpu.ops.basis import (
         denormalize_points,
         invert_warp_points,
         normalize_points,
     )
 
+    tracked = pos.ndim == 3
     if normalized:
         p = normalize_points(pos, size)
-        inv = jax.vmap(
-            lambda b: invert_warp_points(p, b, iters=iters)
-        )(beta)
+        if tracked:
+            inv = jax.vmap(
+                lambda pp, b: invert_warp_points(pp, b, iters=iters)
+            )(p, beta)
+        else:
+            inv = jax.vmap(
+                lambda b: invert_warp_points(p, b, iters=iters)
+            )(beta)
         return denormalize_points(inv, size)
+    if tracked:
+        return jax.vmap(
+            lambda pp, b: invert_warp_points(pp, b, iters=iters)
+        )(pos, beta)
     return jax.vmap(
         lambda b: invert_warp_points(pos, b, iters=iters)
     )(beta)
@@ -514,21 +526,27 @@ class DeformableNMF:
         current factors, so a per-frame :meth:`positions_at` loop costs
         one dispatch total (and the jitted solver lives at module scope:
         a per-call closure would defeat jax.jit's cache and recompile
-        every call — minutes per call on the tunneled backend)."""
+        every call — minutes per call on the tunneled backend).
+
+        After :meth:`refine` has produced per-frame positions, the
+        trajectory is ``warp_t^{-1}(pos_t[t])`` — the refined anchors,
+        not the shared ones."""
+        pos = getattr(self, "pos_t", None)
+        if pos is None:
+            pos = self.state.pos
         cache = getattr(self, "_positions_cache", None)
         if (cache is not None and cache[0] is self.state.beta
-                and cache[1] is self.state.pos and cache[2] == iters):
+                and cache[1] is pos and cache[2] == iters):
             return cache[3]
         normalized = self.model.deformation.basis_scaling == "normalized"
         out = np.asarray(_positions_all_jit(
-            self.state.pos, self.state.beta, iters, normalized,
+            pos, self.state.beta, iters, normalized,
             tuple(self.model.size)))
         # The cached buffer is returned directly on hits — freeze it so
         # a caller mutating the result fails loudly instead of silently
         # corrupting every later positions_all/positions_at call.
         out.setflags(write=False)
-        self._positions_cache = (self.state.beta, self.state.pos,
-                                 iters, out)
+        self._positions_cache = (self.state.beta, pos, iters, out)
         return out
 
 

@@ -168,6 +168,28 @@ def test_checkpoint_roundtrip_with_refined_positions(tmp_path):
                                   np.asarray(eng3.state.c))
 
 
+def test_positions_all_uses_refined_positions():
+    """After refine, the trajectory inverts the per-frame refined
+    anchors (pos_t), not the shared ones; the cache keys on whichever
+    source is live."""
+    import jax.numpy as jnp
+
+    ds = _dataset()
+    eng = _engine(ds)
+    base = eng.positions_all()
+    t = eng.model.num_frames
+    eng.pos_t = (jnp.broadcast_to(eng.state.pos[None],
+                                  (t,) + eng.state.pos.shape) + 1.5)
+    refined = eng.positions_all()
+    assert not np.allclose(refined, base)
+    # Identity warp: inverse of (pos + 1.5) is just the shift applied.
+    np.testing.assert_allclose(refined, base + 1.5, atol=1e-4)
+    assert eng.positions_all() is refined  # cached on pos_t identity
+    # Mutating the returned buffer must fail loudly (frozen cache).
+    with pytest.raises(ValueError):
+        refined[0, 0, 0] = 0.0
+
+
 def test_inverse_warp_identity():
     from dnmf_tpu.ops.basis import voxel_grid
     from dnmf_tpu.ops.interp import inverse_warp_nearest
