@@ -15,6 +15,11 @@ from dnmf_tpu.ops.footprints import (
     gaussian_footprints,
     gaussian_weights,
 )
+from dnmf_tpu.ops.gram_analytic import (
+    analytic_gram_frame,
+    analytic_grams,
+    analytic_grams_tracked,
+)
 from dnmf_tpu.ops.jacobian import log_det_jacobian, quadratic_jacobian
 from dnmf_tpu.ops.mu import (
     mu_grams,
@@ -34,6 +39,9 @@ __all__ = [
     "fused_reconstruction",
     "gaussian_footprints",
     "gaussian_weights",
+    "analytic_gram_frame",
+    "analytic_grams",
+    "analytic_grams_tracked",
     "log_det_jacobian",
     "quadratic_jacobian",
     "mu_grams",
