@@ -101,6 +101,7 @@ def analytic_gram_frame(
     scaling: str = "normalized",
     window: int = 16,
     iters: int = 3,
+    plane_axis_max: int = 4,
 ) -> jnp.ndarray:
     """Closed-form ``[K, K]`` Gram for one frame's warp.
 
@@ -113,6 +114,10 @@ def analytic_gram_frame(
         cover the pair Gaussian's support — ``>= ~3.3 * max(sigma)``
         for <1e-9 truncation (16 covers sigma <= ~4.8).
       iters: fixed-point iterations for ``psi^{-1}``.
+      plane_axis_max: volumes whose thinnest axis has at most this many
+        lattice planes decompose that axis exactly (cost/memory scale
+        by its plane count; the separable line expansion cannot carry
+        cross-warp variation across a 2-plane normalized axis).
     """
     size_t = tuple(int(s) for s in size)
     hi = jnp.asarray([float(s - 1) for s in size_t], jnp.float32)
@@ -129,9 +134,25 @@ def analytic_gram_frame(
     m = wk * pos[:, None, :] + wl * pos[None, :, :]      # [K, K, 3]
     xk = _invert_positions(pos, beta, size_t, scaling, iters)
     xm = wk * xk[:, None, :] + wl * xk[None, :, :]       # [K, K, 3]
-    xm_space = (basis_ops.normalize_points(xm, size_t)
-                if scaling == "normalized" else xm)
-    jdd = _jac_diag(beta, xm_space)                      # [K, K, 3]
+    # Expand each axis's 1-D warp restriction around the VOLUME-CLAMPED
+    # inverse point, using the true warp value there as the base.  For
+    # interior anchors xc == xm and (on the diagonal) psi(xc) == m
+    # exactly, so nothing changes; for anchors outside the lattice
+    # (e.g. a tracked neuron drifting past a thin-z face) the
+    # contributing voxels sit several lattice units from x_m, where
+    # cross/quadratic warp terms shift the OTHER axes' warped
+    # coordinate by whole pixels — evaluating the expansion base and
+    # Jacobian at the clamped point keeps the per-axis Gaussian centers
+    # anchored to where the summed voxels actually are (measured: 33%
+    # max Gram error -> ~1e-3 on a 96x64x2 volume with anchors 2.4-3.5
+    # px past the z face).
+    xc = jnp.clip(xm, 0.0, hi)                           # [K, K, 3]
+    xc_space = (basis_ops.normalize_points(xc, size_t)
+                if scaling == "normalized" else xc)
+    u0 = basis_ops.warp_points(xc_space, beta)           # [K, K, 3]
+    if scaling == "normalized":
+        u0 = basis_ops.denormalize_points(u0, size_t)
+    jdd = _jac_diag(beta, xc_space)                      # [K, K, 3]
 
     # Along the axis-d line through x_m the quadratic warp restricts to
     # an exact 1-D quadratic: u_d(s) = m_d + J_dd s + (h_d / 2) s^2 with
@@ -146,25 +167,75 @@ def analytic_gram_frame(
         hvec = [2.0 * beta[4 + d, d] for d in range(3)]
 
     steps = jnp.arange(2 * window + 1, dtype=jnp.float32) - window
-    s = jnp.ones_like(pairfac)
-    for d in range(3):
-        x0 = jnp.round(xm[..., d])
-        xs = x0[..., None] + steps                       # [K, K, W]
-        ds = xs - xm[..., d, None]
-        u = (m[..., d, None] + jdd[..., d, None] * ds
+
+    def axis_sum(d, u0_d, jdd_d, xc_d, cb, m_d):
+        """Windowed lattice sum along axis ``d``.  All arguments share
+        a common batch shape (``[K, K]``, or ``[K, K, Z]`` in the
+        plane-decomposed path); a window axis is appended internally."""
+        x0 = jnp.round(xc_d)
+        xs = x0[..., None] + steps                       # [..., W]
+        ds = xs - xc_d[..., None]
+        u = (u0_d[..., None] + jdd_d[..., None] * ds
              + 0.5 * hvec[d] * ds * ds)
         dist = jnp.minimum(u, hi[d] - u)
         ramp = jnp.clip(1.0 + dist, 0.0, 1.0)
         val = ramp * ramp * jnp.exp(
-            -c[..., None] * (u - m[..., d, None]) ** 2)
+            -cb[..., None] * (u - m_d[..., None]) ** 2)
         valid = (xs >= 0.0) & (xs <= hi[d])
-        s = s * jnp.sum(jnp.where(valid, val, 0.0), axis=-1)
+        return jnp.sum(jnp.where(valid, val, 0.0), axis=-1)
+
+    thin = int(np.argmin(size_t))
+    if size_t[thin] <= plane_axis_max:
+        # Thin-axis plane decomposition: with only a handful of lattice
+        # planes along the thinnest axis, sum that axis EXACTLY and
+        # evaluate the other two axes' expansions per plane — the
+        # expansion base u0/jdd then carries the thin-axis cross terms
+        # exactly (on a 2-plane volume the normalized thin coordinate
+        # swings across its whole [-1, 1] range between adjacent
+        # planes, which a single line through x_c cannot represent).
+        # Cost and memory scale by size[thin] (<= plane_axis_max).
+        nz = size_t[thin]
+        zvals = jnp.arange(nz, dtype=jnp.float32)
+        onehot = jnp.asarray([1.0 if d == thin else 0.0
+                              for d in range(3)], jnp.float32)
+        xb = (xc[..., None, :] * (1.0 - onehot)
+              + zvals[:, None] * onehot)                 # [K, K, Z, 3]
+        xb_space = (basis_ops.normalize_points(xb, size_t)
+                    if scaling == "normalized" else xb)
+        u0b = basis_ops.warp_points(xb_space, beta)      # [K, K, Z, 3]
+        if scaling == "normalized":
+            u0b = basis_ops.denormalize_points(u0b, size_t)
+        jddb = _jac_diag(beta, xb_space)                 # [K, K, Z, 3]
+
+        ut = u0b[..., thin]                              # [K, K, Z]
+        dist = jnp.minimum(ut, hi[thin] - ut)
+        ramp = jnp.clip(1.0 + dist, 0.0, 1.0)
+        cz = c[..., None]
+        s_planes = ramp * ramp * jnp.exp(
+            -cz * (ut - m[..., thin, None]) ** 2)        # [K, K, Z]
+        zshape = s_planes.shape
+        for d in range(3):
+            if d == thin:
+                continue
+            s_planes = s_planes * axis_sum(
+                d, u0b[..., d], jddb[..., d],
+                jnp.broadcast_to(xc[..., d, None], zshape),
+                jnp.broadcast_to(cz, zshape),
+                jnp.broadcast_to(m[..., d, None], zshape),
+            )
+        return pairfac * jnp.sum(s_planes, axis=-1)
+
+    s = jnp.ones_like(pairfac)
+    for d in range(3):
+        s = s * axis_sum(d, u0[..., d], jdd[..., d], xc[..., d], c,
+                         m[..., d])
     return pairfac * s
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "scaling", "window", "iters"),
+    static_argnames=("size", "scaling", "window", "iters",
+                     "plane_axis_max"),
 )
 def analytic_grams(
     betas: jnp.ndarray,
@@ -174,18 +245,20 @@ def analytic_grams(
     scaling: str = "normalized",
     window: int = 16,
     iters: int = 3,
+    plane_axis_max: int = 4,
 ) -> jnp.ndarray:
     """``[T, K, K]`` closed-form Grams for a block of frame warps."""
     return jax.vmap(
         lambda b: analytic_gram_frame(
             b, pos, sigma, size, scaling=scaling, window=window,
-            iters=iters)
+            iters=iters, plane_axis_max=plane_axis_max)
     )(betas)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "scaling", "window", "iters"),
+    static_argnames=("size", "scaling", "window", "iters",
+                     "plane_axis_max"),
 )
 def analytic_grams_tracked(
     betas: jnp.ndarray,
@@ -195,6 +268,7 @@ def analytic_grams_tracked(
     scaling: str = "normalized",
     window: int = 16,
     iters: int = 3,
+    plane_axis_max: int = 4,
 ) -> jnp.ndarray:
     """``[T, K, K]`` closed-form Grams with PER-FRAME positions
     (``pos_t [T, K, 3]`` — the position-refinement phase's tracked
@@ -202,7 +276,7 @@ def analytic_grams_tracked(
     return jax.vmap(
         lambda b, p: analytic_gram_frame(
             b, p, sigma, size, scaling=scaling, window=window,
-            iters=iters)
+            iters=iters, plane_axis_max=plane_axis_max)
     )(betas, pos_t)
 
 

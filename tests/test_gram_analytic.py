@@ -75,6 +75,45 @@ def test_thin_z_axis_exact(rng):
     assert _rel_err(g, g_ref) < 2e-5
 
 
+def test_off_lattice_anchor_thin_z(rng):
+    """Anchors drifted PAST a thin-z face under a quadratic warp — the
+    regime that broke the single-line expansion (tpu_smoke round 3:
+    33% max Gram error on 96x64x2 with anchors 2.4-3.5 px beyond the
+    z face).  Pins the two fixes: the per-axis expansion re-centers on
+    the volume-clamped inverse point, and thin axes (<= plane_axis_max
+    planes) decompose exactly so cross-warp variation between planes
+    is carried."""
+    np_rng = np.random.default_rng(17)
+    model, state, video = _setup((48, 32, 2), k=10, t=2, sigma=3.0,
+                                 seed=9)
+    pos = np.asarray(state.pos).copy()
+    pos[:, 2] = np_rng.uniform(3.0, 4.5, pos.shape[0])  # z face is 1.0
+    state = state._replace(pos=jnp.asarray(pos.astype(np.float32)))
+    state = _warped_betas(state, np_rng, 0.002)
+    g_ref, _ = _exact_grams(state, video, model)
+    g = analytic_grams(state.beta, state.pos, state.sigma, model.size,
+                       window=default_window(3.0))
+    scale = float(np.abs(np.asarray(g_ref)).max())
+    assert np.abs(np.asarray(g) - np.asarray(g_ref)).max() < 2e-3 * scale
+
+
+def test_plane_decomposition_matches_separable_when_interior(rng):
+    """On a thick-z volume the plane-decomposed path never triggers;
+    force it via plane_axis_max and check it agrees with the separable
+    path at interior anchors (same expansion, summed differently)."""
+    model, state, video = _setup((20, 18, 4), k=6, t=2, sigma=2.0,
+                                 seed=13, interior_margin=[3.0, 3.0, 0.0])
+    np_rng = np.random.default_rng(13)
+    state = _warped_betas(state, np_rng, 0.002)
+    g_sep = analytic_grams(state.beta, state.pos, state.sigma,
+                           model.size, window=default_window(2.0),
+                           plane_axis_max=0)
+    g_pln = analytic_grams(state.beta, state.pos, state.sigma,
+                           model.size, window=default_window(2.0),
+                           plane_axis_max=4)
+    assert _rel_err(g_pln, g_sep) < 2e-3
+
+
 def test_mixed_sigma_exact(rng):
     model, state, video = _setup((20, 18, 6), k=6, t=2, sigma=2.0,
                                  seed=5)
