@@ -77,7 +77,7 @@ def _ext_rows(r: jnp.ndarray, padded: int, off: int, size: int):
 
 def _warp_kernel(base_ref, fp_ref, wm_ref, wnz_ref, y_any, out_ref,
                  win, field, buf_a, buf_b, sem, *, tm, tn, lw, zp,
-                 offs, qs, rb):
+                 offs, qs, rb, tmh_a):
     """One (frame, m-tile, n-tile) grid step: DMA the halo window, build
     each axis' field tile by two matmuls, run the three hat passes with
     per-tile offset culling, write the tile."""
@@ -85,10 +85,14 @@ def _warp_kernel(base_ref, fp_ref, wm_ref, wnz_ref, y_any, out_ref,
     mi = pl.program_id(1)
     ni = pl.program_id(2)
     qm, qn, qz = qs
-    tmh = tm + 2 * qm
 
+    # Lane start ni*tn*zp: when tn*zp is not 128-aligned the host falls
+    # back to a single n tile, so the start is statically 0 (Mosaic
+    # cannot prove divisibility of a dynamic index times an unaligned
+    # stride).
+    lane_start = 0 if (tn * zp) % 128 else ni * tn * zp
     cp = pltpu.make_async_copy(
-        y_any.at[bi, pl.ds(mi * tm, tmh), pl.ds(ni * tn * zp, lw)],
+        y_any.at[bi, pl.ds(mi * tm, tmh_a), pl.ds(lane_start, lw)],
         win, sem,
     )
     cp.start()
@@ -204,9 +208,30 @@ def fused_separable_warp(
     tm = max(8, min(tm, _round_up(m, 8)))
     n_mt = -(-m // tm)
     tn = min(tn, _round_up(n, 1))
+    if (tn * zp) % 128:
+        # Mosaic requires the output block's lane extent (tn * zp) to be
+        # 128-divisible or span the whole axis, and the halo DMA's lane
+        # start (ni * tn * zp) to stay tile-aligned.  Fall back to a
+        # single n tile: starts become 0 and the out block spans the
+        # axis (small volumes only — production zp keeps tn*zp aligned).
+        tn = n
     n_nt = -(-n // tn)
     m_tot, n_tot = n_mt * tm, n_nt * tn
-    lw = (tn + 2 * qn) * zp
+    lw_true = (tn + 2 * qn) * zp
+
+    # Mosaic constrains HBM slice SHAPES to the (8, 128) memref tiling
+    # (interpret mode does not check this — the original unaligned
+    # window compiled under interpret and crashed the on-chip compile).
+    # Round the DMA window up and pad the volume so every tile's
+    # (row, lane) read stays in bounds; the slack rows/lanes carry
+    # edge-padded values and zero field weights, and nothing past the
+    # true window ever reaches the output slice.
+    tmh = tm + 2 * qm
+    tmh_a = _round_up(tmh, 8)
+    lw = _round_up(lw_true, 128)
+    extra_n = -(-((n_nt - 1) * tn * zp + lw
+                  - (n_tot + 2 * qn) * zp) // zp)
+    extra_n = max(0, extra_n)
 
     # Padded volume in [B, rows=m, lanes=(n, z)] layout; edge mode
     # matches separable_warp's per-pass edge padding (pre-padding the
@@ -214,10 +239,11 @@ def fused_separable_warp(
     # the same way — see _ext_rows).
     vol = jnp.pad(
         frames,
-        ((0, 0), (qm, qm + (m_tot - m)), (qn, qn + (n_tot - n)),
-         (qz, qz)),
+        ((0, 0), (qm, qm + (m_tot - m) + (tmh_a - tmh)),
+         (qn, qn + (n_tot - n) + extra_n), (qz, qz)),
         mode="edge",
-    ).reshape(b, m_tot + 2 * qm, (n_tot + 2 * qn) * zp)
+    ).reshape(b, m_tot + 2 * qm + (tmh_a - tmh),
+              (n_tot + 2 * qn + extra_n) * zp)
 
     # Field factors: per-axis cubic resize matrices, edge-extended.
     r_m = _resize_matrix(gm, m)
@@ -232,13 +258,14 @@ def fused_separable_warp(
     wz_ext = _ext_rows(r_z, zp, qz, z)              # [zp, gz]
     wnz = jnp.zeros((n_nt, gnz_p, lw), jnp.float32)
     # kron[g, h, n, z] = wn_ext[n, g] * wz_ext[z, h]: the combined
-    # (n, z)-lane weight factor, per n-tile a [gn*gz, lw] matrix.
+    # (n, z)-lane weight factor, per n-tile a [gn*gz, lw_true] matrix
+    # (zero weights on the alignment-slack lanes).
     kron = jnp.einsum("ng,zh->ghnz", wn_ext, wz_ext)
     kron = kron.reshape(gn * gz, n_tot + 2 * qn, zp)
     for ni in range(n_nt):
         blk = kron[:, ni * tn:ni * tn + tn + 2 * qn, :].reshape(
-            gn * gz, lw)
-        wnz = wnz.at[ni, :gn * gz, :].set(blk)
+            gn * gz, lw_true)
+        wnz = wnz.at[ni, :gn * gz, :lw_true].set(blk)
 
     fp = jnp.zeros((b, 3, gm_p, gnz_p), jnp.float32).at[
         :, :, :gm, :gn * gz
@@ -252,7 +279,7 @@ def fused_separable_warp(
     out = pl.pallas_call(
         functools.partial(
             _warp_kernel, tm=tm, tn=tn, lw=lw, zp=zp, offs=offs,
-            qs=(qm, qn, qz), rb=float(rb),
+            qs=(qm, qn, qz), rb=float(rb), tmh_a=tmh_a,
         ),
         grid=(b, n_mt, n_nt),
         in_specs=[
@@ -276,7 +303,7 @@ def fused_separable_warp(
         out_shape=jax.ShapeDtypeStruct((b, m_tot, n_tot * zp),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tm + 2 * qm, lw), jnp.float32),
+            pltpu.VMEM((tmh_a, lw), jnp.float32),
             pltpu.VMEM((tm, lw), jnp.float32),
             pltpu.VMEM((tm, lw), jnp.float32),
             pltpu.VMEM((tm, lw), jnp.float32),

@@ -103,3 +103,32 @@ def test_fused_warp_integer_translation(rng):
     expect = v[idx_m][:, idx_n][:, :, idx_z]
     np.testing.assert_allclose(np.asarray(got[0]), expect,
                                rtol=0, atol=1e-6)
+
+def test_fused_warp_multi_n_tile_aligned(rng):
+    """Multi-n-tile path: Mosaic constrains the halo DMA's lane start
+    (ni*tn*zp) and the out block's lane extent to 128-tile alignment,
+    so unaligned tn*zp falls back to a single n tile — this fixture is
+    built so tn*zp IS aligned (z=4, max_shifts_z=2, max_dev=2 -> zp=24;
+    tn=16 -> 384) and n=40 gives 3 n-tiles, exercising the per-tile
+    lane-start arithmetic that production whole-brain shapes use."""
+    size = (24, 40, 4)
+    grid = (3, 3, 2)
+    max_shifts = (3, 3, 2)
+    m, n, z = size
+    base = np.stack(
+        [rng.uniform(-ms, ms, 2).astype(np.float32)
+         for ms in max_shifts], axis=1)
+    shifts = base[:, None, :] + rng.uniform(
+        -3.5, 3.5, (2, int(np.prod(grid)), 3)).astype(np.float32)
+    vol = rng.random((2, m, n, z), dtype=np.float32)
+
+    def one(img, ps, rs):
+        return _apply_remap_field(img, rs, ps, grid, "separable",
+                                  max_shifts, 2)
+    ref = jax.vmap(one)(jnp.asarray(vol), jnp.asarray(shifts),
+                        jnp.asarray(base))
+    got = fused_separable_warp(
+        jnp.asarray(vol), jnp.asarray(shifts), jnp.asarray(base),
+        grid, size, max_shifts, 2, tm=8, tn=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
