@@ -252,6 +252,7 @@ def _correctness_run():
             ok = tpu_smoke.run((64, 32, 4), 12, "normalized", 2048)
             ok &= tpu_smoke.run((96, 64, 2), 80, "normalized", 4096,
                                 grad_probes=False)
+            ok &= tpu_smoke.run_registration()
     except Exception as e:  # noqa: BLE001 — never break the JSON line
         return {"pass": False, "error": str(e)[:200]}
     lines = [ln for ln in buf.getvalue().splitlines() if ln.startswith("[")]
@@ -310,15 +311,15 @@ def _registration_run():
         fr, tmpl, (128, 128, 10), (32, 32, 0), (6, 6, 2),
         max_deviation_rigid=3, upsample_factor_grid=4,
         upsample_factor_fft=10, use_remap=True,
-        remap_mode="separable", border_nan=False, rigid_decimate=4,
+        remap_mode="fused", border_nan=False, rigid_decimate=4,
     ))
     pw_ms = timed(lambda: pw(frames, template))
     return {
         "rigid_est_apply_ms_per_frame": round(rigid_ms, 2),
         "pwrigid_est_apply_ms_per_frame": round(pw_ms, 2),
-        "pwrigid_config": "4x4x2 patches, sep remap, rigid_decimate=4, "
-                          "16-frame dispatches, fused Pallas "
-                          "phase-correlation (bf16x3)",
+        "pwrigid_config": "4x4x2 patches, FUSED Pallas warp, "
+                          "rigid_decimate=4, 16-frame dispatches, "
+                          "fused Pallas phase-correlation (bf16x3)",
     }
 
 

@@ -235,6 +235,62 @@ def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4,
     return ok
 
 
+def run_registration():
+    """Compiled fused registration kernels vs a known-shift oracle.
+
+    Drives ``tile_and_correct_block`` with ``phasecorr_impl="fused"``
+    and ``remap_mode="fused"`` — the Pallas phase-correlation and warp
+    kernels, compiled — on integer-rolled copies of a smooth template.
+    The oracle is the roll itself (float64 exact): recovered per-patch
+    shifts must equal the negated roll, and the corrected interior must
+    return to the template.  The interpret-mode pytest suite cannot see
+    Mosaic miscompiles in these kernels; this check does.  Semantics:
+    reference ``tile_and_correct``
+    (``/root/reference/Demix/MotionCorrect.py:1272-1515``).
+    """
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from dnmf_tpu.registration.motion_correct import (
+        tile_and_correct_block,
+    )
+
+    rng = np.random.default_rng(7)
+    m, n, z = 96, 96, 8
+    tmpl = gaussian_filter(
+        rng.normal(size=(m, n, z)), (2.0, 2.0, 0.5)
+    ).astype(np.float32)
+    true = np.array(
+        [(0, 0, 0), (2, -1, 1), (-3, 2, -1), (1, 3, 0)], dtype=int
+    )
+    video = np.stack([
+        np.roll(tmpl, tuple(s), axis=(0, 1, 2)) for s in true
+    ]).astype(np.float32)
+
+    corrected, shifts = tile_and_correct_block(
+        jnp.asarray(video), jnp.asarray(tmpl),
+        (48, 48, 8), (16, 16, 0), (5, 5, 2),
+        max_deviation_rigid=2, use_remap=True, remap_mode="fused",
+        border_nan=False, phasecorr_impl="fused",
+    )
+    shifts = np.asarray(shifts)           # [B, n_patches, 3]
+    corrected = np.asarray(corrected)     # [B, m, n, z]
+    want = np.broadcast_to(
+        -true[:, None, :].astype(np.float64), shifts.shape
+    )
+    # Subpixel refinement on circularly-rolled data lands near-integer;
+    # frame-border contamination of patch crops puts ~0.3 px of genuine
+    # scatter on the estimates (measured interpret-mode) — a Mosaic
+    # miscompile shows up as O(1) px errors or non-finite output.
+    ok = check("registration[fused] patch shifts (px)", shifts, want,
+               0.0, 0.4)
+    interior = (slice(None), slice(6, -6), slice(6, -6), slice(2, -2))
+    want_int = np.broadcast_to(tmpl[None], corrected.shape)[interior]
+    ok &= check("registration[fused] corrected interior",
+                corrected[interior], want_int, 0.0, 0.08)
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
@@ -248,6 +304,7 @@ def main():
     ok &= run((64, 32, 4), 12, "pixel", 2048)
     ok &= run((64, 32, 4), 12, "normalized", 2048)
     ok &= run((96, 64, 2), 80, "normalized", 4096)  # culled multi-block
+    ok &= run_registration()
     if args.full:
         ok &= run((512, 512, 20), 200, "normalized", 8192,
                   rtol=2e-3, atol=1e-3, grad_probes=False)
