@@ -21,6 +21,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 SIZE = (256, 256, 10)
@@ -243,7 +244,8 @@ def _correctness_run():
     import io
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
     import tpu_smoke
 
     buf = io.StringIO()
@@ -336,77 +338,23 @@ def _pipeline_recovery_run():
         return None
     import sys
 
-    sys.path.insert(0, "tools")
-    from wb_recovery import synthesize, warp_error_px
-
-    from dnmf_tpu.config import ModelConfig, OptimizerConfig
-    from dnmf_tpu.models import dnmf as M
-    from dnmf_tpu.ops.basis import translation_beta
-    from dnmf_tpu.registration.motion_correct import rigid_correct_frames
-    from dnmf_tpu.utils.metrics import trace_correlations
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from wb_recovery import seeded_recovery
 
     size, k, t = WB_SIZE, WB_K, 32
-    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
-                        shape_std=3.0)
-    key = jax.random.PRNGKey(0)
-    k_pos, k_sim, k_init = jax.random.split(key, 3)
-    pos_gt = 20.0 + jax.random.uniform(k_pos, (k, 3)) * (
-        jnp.asarray(size, jnp.float32) - 40.0
-    )
-    sigma_gt = jnp.full((k,), model.shape_std)
-    betas_gt, c_gt, video, _ = synthesize(model, pos_gt, sigma_gt,
-                                          k_sim)
-    _ = float(jnp.sum(video[0]))
-
-    # Register (shifts only, device-resident) -> seed beta.
-    template = jnp.mean(video[:8].reshape((8,) + size), axis=0)
-
-    @jax.jit
-    def block_shifts(frames):
-        return rigid_correct_frames(
-            frames.reshape((-1,) + size), template, (16, 16, 3),
-            upsample_factor=10, border_nan=True)[1]
-
-    t0 = time.time()
-    shifts = jnp.concatenate([
-        block_shifts(video[s0:min(s0 + 8, t)])
-        for s0 in range(0, t, 8)
-    ])
-    corr_s = shifts - shifts[0:1]
-    _ = float(jnp.sum(shifts))
-    reg_s = time.time() - t0
-    beta0 = translation_beta(corr_s, size,
-                             scaling=model.deformation.basis_scaling)
-
-    optimizer = M.make_motion_optimizer(
-        OptimizerConfig(learning_rate=1e-3))
-    state = M.init_state(model, optimizer, positions=pos_gt, key=k_init,
-                         beta0=beta0)
     rounds, epochs, mu_iters = 3, 6, 50
-    round_times = []
-    for _r in range(rounds):
-        t0 = time.time()
-        for _e in range(epochs):
-            state, m = M.motion_epoch_parallel(
-                state, video, model, optimizer, gamma=0.1,
-                frame_block=8, use_pallas=True)
-        grams, c1 = M.compute_grams(state, video, model, frame_block=8,
-                                    use_pallas=True)
-        state = M.footprint_update(state, grams, c1, iters=mu_iters)
-        _ = float(jnp.sum(state.c[0])) + float(m["recon_mse"])
-        round_times.append(time.time() - t0)
-    corr = trace_correlations(np.asarray(state.c), np.asarray(c_gt))
-    steady = sorted(round_times[1:])[len(round_times[1:]) // 2]
+    r = seeded_recovery(size, k, t, rounds, epochs, mu_iters,
+                        frame_block=8)
     return {
         "workload": f"{size[0]}x{size[1]}x{size[2]} K={k} T={t} "
                     f"{rounds}x({epochs}ep+{mu_iters}MU), rigid-seeded",
-        "trace_corr_mean": round(float(np.mean(corr)), 4),
-        "trace_corr_min": round(float(np.min(corr)), 4),
-        "warp_err_px": round(
-            warp_error_px(state.beta, betas_gt, pos_gt, model), 3),
-        "registration_seed_s": round(reg_s, 2),
-        "round_s_steady": round(steady, 2),
-        "frames_per_sec_full_round": round(t / steady, 1),
+        "trace_corr_mean": round(float(np.mean(r["corr"])), 4),
+        "trace_corr_min": round(float(np.min(r["corr"])), 4),
+        "warp_err_px": round(r["warp_err_px"], 3),
+        "registration_seed_s": round(r["reg_s"], 2),
+        "round_s_steady": round(r["round_s_steady"], 2),
+        "frames_per_sec_full_round": round(t / r["round_s_steady"], 1),
     }
 
 

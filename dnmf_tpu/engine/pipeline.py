@@ -90,6 +90,10 @@ def register_and_demix(
        (``seed_deformation``) so the fit starts near the rigid solution
        instead of the identity.
     """
+    if seed_mode not in ("auto", "affine", "quadratic"):
+        raise ValueError(
+            f"unknown seed_mode: {seed_mode!r} "
+            "(expected 'auto', 'affine', or 'quadratic')")
     video = jnp.asarray(video, dtype=jnp.float32)
     t, m, n, z = video.shape
 

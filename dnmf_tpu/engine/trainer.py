@@ -498,8 +498,17 @@ class DeformableNMF:
             self.pos_t = payload["pos_t"]
         except Exception:
             # Checkpoint without refinement positions (saved before
-            # refine ran).
-            payload = load_state(path, {"state": self.state})
+            # refine ran).  Any pos_t from a refine() in THIS session
+            # predates the restored factors — clear it, or
+            # positions_all()/save() would pair stale refined
+            # trajectories with the restored beta.
+            self.pos_t = None
+            try:
+                payload = load_state(path, {"state": self.state})
+            except Exception:
+                # Oldest format: the raw DNMFState pytree (pre-payload
+                # save()) — keep those checkpoints restorable.
+                payload = {"state": load_state(path, self.state)}
         self.state = payload["state"]
 
     @property

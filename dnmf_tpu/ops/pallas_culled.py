@@ -562,23 +562,12 @@ def _c1_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         c1_ref[:] = c1_acc[:]
 
 
-def _c1_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
-                    c1_ref, c1_acc, ybuf, sems, *scr, size, scaling,
-                    tile_p, p_count, n_steps, kb, nkb, f, dot_mode,
-                    nbuf, tracked=False):
-    """Manually-pipelined c1-only kernel: :func:`_gram_kernel_pipe`'s
-    one-grid-step + fori_loop + nbuf-deep DMA rotation, with the pair
-    dots disabled (the analytic-Grams companion)."""
-    bi = pl.program_id(0)
-    off = off_ref[0, 0]
-    c1_acc[:] = jnp.zeros_like(c1_acc)
-    split = dot_mode == "split"
-    if split:
-        ahi_scr, alo_scr = scr
-        a_scr = None
-    else:
-        (a_scr,) = scr
-        ahi_scr = alo_scr = None
+def _pipelined_tiles(bi, y_any, ybuf, sems, n_steps, nbuf, body):
+    """``nbuf``-deep rotated HBM->VMEM video-tile stream: start the
+    first ``nbuf - 1`` copies, then per chunk start the lookahead copy,
+    wait the current slot, and hand its VMEM rows to ``body(ci,
+    yrows)``.  Shared by the manually-pipelined Gram/c1 kernels (one
+    grid step per frame group; docs/DESIGN.md "measured ceiling")."""
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
@@ -597,7 +586,31 @@ def _c1_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
             dma(jax.lax.rem(nxt, nbuf), nxt).start()
 
         dma(slot, ci).wait()
-        yrows = ybuf[slot]  # [F, tile_p]
+        body(ci, ybuf[slot])
+        return carry
+
+    jax.lax.fori_loop(0, n_steps, loop_body, 0)
+
+
+def _c1_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
+                    c1_ref, c1_acc, ybuf, sems, *scr, size, scaling,
+                    tile_p, p_count, n_steps, kb, nkb, f, dot_mode,
+                    nbuf, tracked=False):
+    """Manually-pipelined c1-only kernel: :func:`_gram_kernel_pipe`'s
+    one-grid-step + :func:`_pipelined_tiles` rotation, with the pair
+    dots disabled (the analytic-Grams companion)."""
+    bi = pl.program_id(0)
+    off = off_ref[0, 0]
+    c1_acc[:] = jnp.zeros_like(c1_acc)
+    split = dot_mode == "split"
+    if split:
+        ahi_scr, alo_scr = scr
+        a_scr = None
+    else:
+        (a_scr,) = scr
+        ahi_scr = alo_scr = None
+
+    def body(ci, yrows):  # yrows [F, tile_p]
         _culled_tile_body(
             off + ci * tile_p, lambda fi: yrows[fi:fi + 1, :],
             beta_ref, blocks_ref, pos_ref, None, c1_acc,
@@ -606,9 +619,8 @@ def _c1_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
             nkb=nkb, f=f, split=split, pairs=False,
             posget=(lambda fi: pos_ref[fi]) if tracked else None,
         )
-        return carry
 
-    jax.lax.fori_loop(0, n_steps, loop_body, 0)
+    _pipelined_tiles(bi, y_any, ybuf, sems, n_steps, nbuf, body)
     c1_ref[:] = c1_acc[:]
 
 
@@ -794,24 +806,7 @@ def _gram_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
         (a_scr,) = scr
         ahi_scr = alo_scr = None
 
-    def dma(slot, ci):
-        return pltpu.make_async_copy(
-            y_any.at[bi, ci], ybuf.at[slot], sems.at[slot]
-        )
-
-    for s in range(min(nbuf - 1, n_steps)):
-        dma(s, s).start()
-
-    def loop_body(ci, carry):
-        slot = jax.lax.rem(ci, nbuf)
-        nxt = ci + nbuf - 1
-
-        @pl.when(nxt < n_steps)
-        def _():
-            dma(jax.lax.rem(nxt, nbuf), nxt).start()
-
-        dma(slot, ci).wait()
-        yrows = ybuf[slot]  # [F, tile_p]
+    def body(ci, yrows):  # yrows [F, tile_p]
         _culled_tile_body(
             off + ci * tile_p, lambda fi: yrows[fi:fi + 1, :],
             beta_ref, blocks_ref, pos_ref, g_acc, c1_acc,
@@ -819,9 +814,8 @@ def _gram_kernel_pipe(off_ref, beta_ref, blocks_ref, pos_ref, y_any,
             scaling=scaling, tile_p=tile_p, p_count=p_count, kb=kb,
             nkb=nkb, f=f, split=split,
         )
-        return carry
 
-    jax.lax.fori_loop(0, n_steps, loop_body, 0)
+    _pipelined_tiles(bi, y_any, ybuf, sems, n_steps, nbuf, body)
 
     c1_ref[:] = c1_acc[:]
     lower_mask = jax.lax.broadcasted_iota(

@@ -166,6 +166,32 @@ def test_checkpoint_roundtrip_with_refined_positions(tmp_path):
     assert getattr(eng4, "pos_t", None) is None
     np.testing.assert_array_equal(np.asarray(eng4.state.c),
                                   np.asarray(eng3.state.c))
+    # Pre-refine checkpoint into a trainer whose OWN refine ran: the
+    # session's pos_t predates the restored factors and must be
+    # cleared, not paired with them (stale refined trajectories).
+    eng5 = _engine(ds)
+    eng5.pos_t = (jnp.broadcast_to(eng5.state.pos[None],
+                                   (t,) + eng5.state.pos.shape) + 2.0)
+    eng5.restore(path2)
+    assert getattr(eng5, "pos_t", None) is None
+
+
+def test_checkpoint_restores_raw_state_format(tmp_path):
+    """Checkpoints from the original save() format (the raw DNMFState
+    pytree, before the {'state', 'pos_t'} payload wrapper) must keep
+    restoring — a format change must not strand existing checkpoints."""
+    from dnmf_tpu.utils.checkpoint import save_state
+
+    ds = _dataset()
+    eng = _engine(ds)
+    eng.update_footprints(ds, iters=5)
+    path = str(tmp_path / "ckpt_v1")
+    save_state(path, eng.state)  # the old on-disk layout
+    eng2 = _engine(ds)
+    eng2.restore(path)
+    assert getattr(eng2, "pos_t", None) is None
+    np.testing.assert_array_equal(np.asarray(eng2.state.c),
+                                  np.asarray(eng.state.c))
 
 
 def test_positions_all_uses_refined_positions():

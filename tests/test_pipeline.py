@@ -46,6 +46,17 @@ def test_detect_peaks_finds_neurons():
     assert (d.min(axis=1) < 2.5).all(), d.min(axis=1)
 
 
+def test_register_and_demix_rejects_bad_seed_mode():
+    """A typo'd seed_mode must fail loudly, not silently fall through
+    to the affine seed."""
+    import jax.numpy as jnp
+    import pytest
+
+    video = jnp.zeros((2, 8, 8, 2))
+    with pytest.raises(ValueError, match="seed_mode"):
+        register_and_demix(video, num_neurons=2, seed_mode="quad")
+
+
 def test_register_and_demix_end_to_end():
     video, positions, traces = _fixture()
     reg = RegistrationConfig(

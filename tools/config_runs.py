@@ -36,82 +36,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
                 mu_iters: int = 50, gram_mode: str = "exact"):
-    from wb_recovery import synthesize, warp_error_px
-
-    from dnmf_tpu.config import ModelConfig, OptimizerConfig
-    from dnmf_tpu.models import dnmf as M
-    from dnmf_tpu.ops.basis import translation_beta
-    from dnmf_tpu.registration.motion_correct import rigid_correct_frames
-    from dnmf_tpu.utils.metrics import trace_correlations
+    from wb_recovery import seeded_recovery
 
     size, k = (512, 512, 20), 500
     t = frames
-    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
-                        shape_std=3.0)
-    key = jax.random.PRNGKey(0)
-    k_pos, k_sim, k_init = jax.random.split(key, 3)
-    pos_gt = 20.0 + jax.random.uniform(k_pos, (k, 3)) * (
-        jnp.asarray(size, jnp.float32) - 40.0
-    )
-    sigma_gt = jnp.full((k,), model.shape_std)
-    t0 = time.time()
-    betas_gt, c_gt, video, _ = synthesize(model, pos_gt, sigma_gt,
-                                          k_sim)
-    _ = float(jnp.sum(video[0]))
-    synth_s = time.time() - t0
-
-    # Registration seed (shifts only, device-resident).
-    template = jnp.mean(video[:8].reshape((8,) + size), axis=0)
-
-    @jax.jit
-    def block_shifts(fr):
-        return rigid_correct_frames(
-            fr.reshape((-1,) + size), template, (16, 16, 3),
-            upsample_factor=10, border_nan=True)[1]
-
-    t0 = time.time()
-    shifts = jnp.concatenate([
-        block_shifts(video[s:min(s + 8, t)]) for s in range(0, t, 8)
-    ])
-    corr_s = shifts - shifts[0:1]
-    _ = float(jnp.sum(shifts))
-    reg_s = time.time() - t0
-    beta0 = translation_beta(corr_s, size,
-                             scaling=model.deformation.basis_scaling)
-
-    optimizer = M.make_motion_optimizer(OptimizerConfig(learning_rate=1e-3))
-    state = M.init_state(model, optimizer, positions=pos_gt, key=k_init,
-                         beta0=beta0)
-    use_pallas = jax.default_backend() == "tpu"
-    round_times = []
-    for _r in range(rounds):
-        t0 = time.time()
-        for _e in range(epochs):
-            state, m = M.motion_epoch_parallel(
-                state, video, model, optimizer, gamma=0.1,
-                frame_block=4, use_pallas=use_pallas)
-        grams, c1 = M.compute_grams(state, video, model, frame_block=4,
-                                    use_pallas=use_pallas,
-                                    gram_mode=gram_mode)
-        state = M.footprint_update(state, grams, c1, iters=mu_iters)
-        _ = float(jnp.sum(state.c[0])) + float(m["recon_mse"])
-        round_times.append(time.time() - t0)
-    corr = trace_correlations(np.asarray(state.c), np.asarray(c_gt))
-    steady = sorted(round_times[1:])[len(round_times[1:]) // 2] \
-        if len(round_times) > 1 else round_times[0]
+    r = seeded_recovery(size, k, t, rounds, epochs, mu_iters,
+                        frame_block=4, gram_mode=gram_mode)
+    corr, steady = r["corr"], r["round_s_steady"]
     out = {
         "config": 4,
         "workload": f"512x512x20 K=500 T={t} (device-synthesized; "
                     "tunnel cannot stream config-4 IO — see docstring)",
         "protocol": f"{rounds}x({epochs} epochs + {mu_iters} MU), "
                     f"rigid-seeded, grams={gram_mode}",
-        "synth_s": round(synth_s, 1),
-        "registration_seed_s": round(reg_s, 1),
+        "synth_s": round(r["synth_s"], 1),
+        "registration_seed_s": round(r["reg_s"], 1),
         "trace_corr_mean": round(float(np.mean(corr)), 4),
         "trace_corr_p10": round(float(np.percentile(corr, 10)), 4),
         "trace_corr_min": round(float(np.min(corr)), 4),
-        "warp_err_px": round(
-            warp_error_px(state.beta, betas_gt, pos_gt, model), 3),
+        "warp_err_px": round(r["warp_err_px"], 3),
         "round_s_steady": round(steady, 2),
         "frames_per_sec_full_round": round(t / steady, 2),
         "backend": jax.default_backend(),
