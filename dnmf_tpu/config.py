@@ -107,6 +107,12 @@ class RegistrationConfig:
 
     max_shifts: Tuple[int, ...] = (6, 6)
     niter_rig: int = 1
+    # Elastic-phase template iterations.  The reference PINS this to 1
+    # (``num_iter = 1``, /root/reference/Demix/MotionCorrect.py:284) —
+    # the pw-rigid phase refines the rigid phase's template, it does not
+    # re-iterate its own.  Kept configurable (>1 iterates the elastic
+    # template too), but independent of ``niter_rig``.
+    niter_els: int = 1
     # Temporal chunking.  ``splits`` is the shared default; the reference
     # separates the rigid and elastic phases
     # (``splits_rig``/``splits_els``, /root/reference/Demix/

@@ -858,6 +858,7 @@ class MotionCorrect:
         cfg = self.config
         return {
             "max_shifts": cfg.max_shifts, "niter_rig": cfg.niter_rig,
+            "niter_els": cfg.niter_els,
             "splits_rig": cfg.resolved_splits("rig"),
             "strides": cfg.strides,
             "overlaps": cfg.overlaps,
@@ -1081,7 +1082,10 @@ def _batch_pwrigid(video, cfg: RegistrationConfig, template,
 
     new_templ = template
     chunks = _chunk_indices(video.shape[0], cfg.resolved_splits("els"))
-    num_iter = max(cfg.niter_rig, 1)
+    # The reference pins the elastic phase to ONE template iteration
+    # (``num_iter = 1``, /root/reference/Demix/MotionCorrect.py:284);
+    # ``niter_rig`` governs only the rigid phase.
+    num_iter = max(cfg.niter_els, 1)
     for it in range(num_iter):
         is_last = it == num_iter - 1
         chunk_templates = []

@@ -502,3 +502,39 @@ def test_tile_and_correct_block_xla_matches_per_frame(rng):
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(c_blk[i]), np.asarray(c1),
                                    atol=1e-6)
+
+
+def test_niter_els_independent_of_niter_rig(rng, monkeypatch):
+    """The elastic phase runs ``niter_els`` template iterations (default
+    1, matching the reference's pinned ``num_iter = 1``,
+    /root/reference/Demix/MotionCorrect.py:284) — ``niter_rig > 1`` must
+    NOT silently iterate the elastic template too."""
+    from dnmf_tpu.registration import motion_correct as mc_mod
+
+    calls = {"rig": 0, "els": 0}
+    orig = mc_mod._iteration_chunks
+
+    def counting(chunks, cfg, is_last, phase):
+        calls[phase] += 1
+        return orig(chunks, cfg, is_last, phase=phase)
+
+    monkeypatch.setattr(mc_mod, "_iteration_chunks", counting)
+    tmpl = _template(rng, (48, 48))
+    video = _rolled_video(tmpl, [(1, 0), (0, 1), (-1, 0)])
+    cfg = RegistrationConfig(
+        max_shifts=(4, 4), pw_rigid=True, niter_rig=3,
+        strides=(24, 24), overlaps=(8, 8), max_deviation_rigid=2,
+        border_nan=False,
+    )
+    MotionCorrect(video, cfg).motion_correct()
+    assert calls["rig"] == 3   # rigid phase honors niter_rig
+    assert calls["els"] == 1   # elastic phase pinned to niter_els=1
+
+    calls = {"rig": 0, "els": 0}
+    cfg2 = RegistrationConfig(
+        max_shifts=(4, 4), pw_rigid=True, niter_rig=1, niter_els=2,
+        strides=(24, 24), overlaps=(8, 8), max_deviation_rigid=2,
+        border_nan=False,
+    )
+    MotionCorrect(video, cfg2).motion_correct(template=jnp.asarray(tmpl))
+    assert calls["els"] == 2
