@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from dnmf_tpu.config import ModelConfig, OptimizerConfig
@@ -638,6 +639,137 @@ def footprint_update(
         state.c, grams, c1, iters=iters, gamma=gamma if gamma else None
     )
     return state._replace(c=c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "steps", "lr", "lo", "hi", "frame_block",
+                     "use_pallas", "pallas_interpret"),
+)
+def sigma_fit(
+    state: DNMFState,
+    video_sub: jnp.ndarray,
+    betas_sub: jnp.ndarray,
+    c_sub: jnp.ndarray,
+    model: ModelConfig,
+    steps: int = 4,
+    lr: float = 0.02,
+    lo: float = 1.5,
+    hi: float = 4.8,
+    frame_block: int = 8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-neuron footprint-width fit: ``steps`` Adam iterations on
+    log-sigma against a frame subsample.
+
+    BEYOND the reference's model class: the reference freezes sigma at
+    the scalar ``shape_std`` forever (``/root/reference/Demix/dNMF.py:29``),
+    so dim / misshapen / atypically-sized neurons are stuck with the
+    global width — the measured per-neuron recovery tail.  Here sigma
+    ``[K]`` joins the alternation: the data-term gradient wrt each
+    neuron's width comes from the fused culled kernel
+    (:func:`dnmf_tpu.ops.pallas_culled.refine_block_culled` with
+    ``want_dsigma=True``) or XLA autodiff, averaged over a frame
+    subsample (sigma is shared across frames, so a subsample estimates
+    the full-recording gradient at a fraction of the cost).
+
+    Args:
+      video_sub: ``[S, P]`` subsampled frames.
+      betas_sub: ``[S, 10, 3]`` their warps; c_sub: ``[S, K]`` traces.
+      steps: Adam iterations (each re-evaluates all S frames).
+      lr: Adam learning rate in log-sigma space.
+      lo / hi: sigma clip bounds in PIXELS (keep ``hi`` inside the
+        analytic-Gram window bound — the trainer derives both).
+
+    Returns ``(sigma [K], mse_trace [steps])``.
+    """
+    s_frames, p = video_sub.shape
+    k = state.c.shape[0]
+    vb = model_voxel_basis(model)
+    optimizer = optax.adam(lr)
+    fb = min(frame_block, s_frames)
+    pad = (-s_frames) % fb
+    nb = (s_frames + pad) // fb
+    betas_p = jnp.concatenate(
+        [betas_sub, basis_ops.identity_beta(pad)], axis=0
+    ) if pad else betas_sub
+    y_p = jnp.pad(video_sub, ((0, pad), (0, 0))) if pad else video_sub
+    c_p = jnp.pad(c_sub, ((0, pad), (0, 0))) if pad else c_sub
+
+    if use_pallas:
+        if model.deformation.footprint_mode != "analytic":
+            raise ValueError("fused sigma fit requires analytic "
+                             "footprints")
+        from dnmf_tpu.ops import pallas_culled as pc
+
+        params = _CulledShim._params("culled_refine", k)
+        kb = params.get("kblock", _CulledShim._tuning(k)[0])
+        tp = params.get("tile_p", _CulledShim._tuning(k)[1])
+
+        def grads_for(sigma):
+            pos_b = jnp.broadcast_to(state.pos[None],
+                                     (fb,) + state.pos.shape)
+
+            def block(_, xs):
+                beta_blk, y_blk, c_blk = xs
+                mses, _, dsig = pc.refine_block_culled(
+                    beta_blk, pos_b, sigma, c_blk, y_blk, model.size,
+                    scaling=model.deformation.basis_scaling,
+                    tile_p=tp, kblock=kb, want_dsigma=True,
+                    interpret=pallas_interpret,
+                )
+                return None, (jnp.sum(dsig, axis=0), jnp.sum(mses))
+
+            _, (dsigs, mses) = jax.lax.scan(
+                block, None,
+                (betas_p.reshape(nb, fb, 10, 3),
+                 y_p.reshape(nb, fb, p), c_p.reshape(nb, fb, k)),
+            )
+            return jnp.sum(dsigs, axis=0) / s_frames, \
+                jnp.sum(mses) / s_frames
+    else:
+        def frame_loss(sigma, beta_t, y_t, c_t):
+            a = frame_footprints(beta_t, state.pos, sigma, model, vb,
+                                 _maybe_stored_a(state, model, vb))
+            recon = jnp.dot(a, c_t,
+                            precision=jax.lax.Precision.HIGHEST)
+            return jnp.mean((recon - y_t) ** 2)
+
+        vg = jax.vmap(jax.value_and_grad(frame_loss),
+                      in_axes=(None, 0, 0, 0))
+
+        def grads_for(sigma):
+            def block(_, xs):
+                beta_blk, y_blk, c_blk = xs
+                mses, g = vg(sigma, beta_blk, y_blk, c_blk)
+                return None, (jnp.sum(g, axis=0), jnp.sum(mses))
+
+            _, (gs, mses) = jax.lax.scan(
+                block, None,
+                (betas_p.reshape(nb, fb, 10, 3),
+                 y_p.reshape(nb, fb, p), c_p.reshape(nb, fb, k)),
+            )
+            return jnp.sum(gs, axis=0) / s_frames, \
+                jnp.sum(mses) / s_frames
+
+    log_lo, log_hi = float(np.log(lo)), float(np.log(hi))
+
+    def step(carry, _):
+        log_s, opt_state = carry
+        sigma = jnp.exp(log_s)
+        dsig, mse = grads_for(sigma)
+        g_log = dsig * sigma  # d/dlog(s) = s d/ds
+        updates, opt_state = optimizer.update(g_log, opt_state, log_s)
+        log_s = jnp.clip(optax.apply_updates(log_s, updates),
+                         log_lo, log_hi)
+        return (log_s, opt_state), mse
+
+    log_s0 = jnp.clip(jnp.log(state.sigma), log_lo, log_hi)
+    (log_s, _), mses = jax.lax.scan(
+        step, (log_s0, optimizer.init(log_s0)), None, length=steps
+    )
+    return jnp.exp(log_s), mses
 
 
 def spatial_pushforward(

@@ -1019,7 +1019,7 @@ def gram_block_tracked(
 def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
                           sse_ref, dp_ref, sse_acc, dp_acc, a_scr,
                           s_scr, *, size, scaling, tile_p, p_count,
-                          n_tiles, kb, nkb, f):
+                          n_tiles, kb, nkb, f, ncols=4):
     """Data term + raw position-gradient moments, per-frame positions.
 
     Per frame: ``recon = w * sum_k c_k A_k`` with
@@ -1030,6 +1030,11 @@ def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
     ``dL/dpos_kd = (4 c_k / s_k^2 / P) (dp[k, d] - pos_kd dp[k, 3])``.
     Unlike the beta gradient there is no fade-derivative term — the fade
     depends on psi only, not on the neuron positions.
+
+    ``ncols=8`` adds the second moment ``dp[k, 4] = sum_p r w A |psi|^2``
+    (cols 5-7 zero), from which the wrapper assembles the per-neuron
+    SIGMA gradient ``dL/ds_k = (4 c_k / (P s_k^3)) sum_p r w A d2``
+    via ``d2``'s binomial expansion around ``pos_k``.
     """
     tile = pl.program_id(1)
 
@@ -1073,11 +1078,15 @@ def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
                 )
         r = (w_f * s_scr[:] - y_ref[fi:fi + 1, :] * valid) * valid
         rs.append(r)
-        # Pass B: moment dots against (psi_m, psi_n, psi_z, 1).
+        # Pass B: moment dots against (psi_m, psi_n, psi_z, 1[, |psi|^2]).
         rw = r * w_f
-        mrows = jnp.concatenate(
-            [psi_f[0], psi_f[1], psi_f[2], jnp.ones_like(rw)], axis=0
-        )  # [4, tp]
+        rows = [psi_f[0], psi_f[1], psi_f[2], jnp.ones_like(rw)]
+        if ncols > 4:
+            psi2 = psi_f[0] * psi_f[0] + psi_f[1] * psi_f[1] \
+                + psi_f[2] * psi_f[2]
+            rows.append(psi2)
+            rows.extend([jnp.zeros_like(rw)] * (ncols - 5))
+        mrows = jnp.concatenate(rows, axis=0)  # [ncols, tp]
         for i in range(nkb):
             @pl.when(actives[i])
             def _(i=i, fi=fi, rw=rw, mrows=mrows):
@@ -1099,7 +1108,7 @@ def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("size", "scaling", "tile_p", "kblock",
-                     "frames_per_step", "interpret"),
+                     "frames_per_step", "want_dsigma", "interpret"),
 )
 def refine_block_culled(
     betas: jnp.ndarray,
@@ -1113,8 +1122,9 @@ def refine_block_culled(
     kblock: int = 40,
     frames_per_step: int = 8,
     p_offset=None,
+    want_dsigma: bool = False,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, ...]:
     """Culled data term + analytic PER-FRAME-POSITION gradient.
 
     The fused-kernel engine for position refinement
@@ -1124,6 +1134,14 @@ def refine_block_culled(
     wrt those positions.  Matches ``jax.grad`` of the XLA analytic path
     (data term only — the anchor tether is added by the caller, where it
     is O(K) work).  Returns ``(mse [B], dpos [B, K, 3])``.
+
+    ``want_dsigma=True`` additionally returns ``dsigma [B, K]`` — each
+    frame's data-term gradient wrt the per-neuron footprint widths
+    (sigma is shared across frames; callers sum over the frame axis).
+    This is the fused engine for per-neuron sigma fitting
+    (:func:`dnmf_tpu.models.dnmf.sigma_epoch`), which the reference
+    cannot do at all (sigma is frozen at ``shape_std``,
+    ``/root/reference/Demix/dNMF.py:29``).
 
     ``p_offset`` (traced): pixel-sharded path — mse/dpos are local-voxel
     sums scaled by the LOCAL count; ``psum`` then global-rescale applies
@@ -1148,11 +1166,12 @@ def refine_block_culled(
                                                   c_block=c_block)
     y_blk = pk._frame_major(y, b_pad, f_eff, n_tiles, tile_p, p_count)
 
+    ncols = 8 if want_dsigma else 4
     sse, dp = pl.pallas_call(
         functools.partial(
             _refine_kernel_culled, size=tuple(size), scaling=scaling,
             tile_p=tile_p, p_count=p_count, n_tiles=n_tiles, kb=kb,
-            nkb=nkb, f=f_eff,
+            nkb=nkb, f=f_eff, ncols=ncols,
         ),
         grid=(b_pad // f_eff, n_tiles),
         in_specs=[
@@ -1172,17 +1191,18 @@ def refine_block_culled(
         out_specs=[
             pl.BlockSpec((None, f_eff, 1), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_eff, k_pad, 4), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((f_eff, k_pad, ncols),
+                         lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad // f_eff, f_eff, 1),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, k_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_pad, ncols), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((f_eff, 1), jnp.float32),
-            pltpu.VMEM((f_eff, k_pad, 4), jnp.float32),
+            pltpu.VMEM((f_eff, k_pad, ncols), jnp.float32),
             pltpu.VMEM((k_pad, tile_p), jnp.float32),
             pltpu.VMEM((1, tile_p), jnp.float32),
         ],
@@ -1193,15 +1213,27 @@ def refine_block_culled(
     )(off, pk._beta_warp_matrix(betas, f_eff), blocks, params, y_blk)
 
     mse = sse.reshape(b_pad)[:bsz] / p_count
-    dp = dp[:bsz]  # [B, K_pad, 4], sorted order
+    dp = dp[:bsz]  # [B, K_pad, ncols], sorted order
     pos_s = params[:bsz, :, :3]
     inv_s2_log2e = params[:bsz, :, 3]  # inv_s2 * log2(e) (pad rows: 1)
     c_s = params[:bsz, :, 4]
-    coeff = 4.0 * c_s * (inv_s2_log2e / pk.LOG2E) / p_count
+    inv_s2 = inv_s2_log2e / pk.LOG2E
+    coeff = 4.0 * c_s * inv_s2 / p_count
     dpos_s = coeff[:, :, None] * (dp[:, :, :3]
                                   - pos_s * dp[:, :, 3:4])
     inv = jnp.argsort(perm)
-    return mse, dpos_s[:, :k][:, inv]
+    if not want_dsigma:
+        return mse, dpos_s[:, :k][:, inv]
+    # sum_p r w A d2 by binomial expansion of d2 = |psi - pos|^2:
+    # M2raw - 2 pos . M1 + |pos|^2 M0 (cancellation ~|pos|^2/d2 in f32
+    # — ~1e-3 relative at whole-brain coordinates, well inside the
+    # optimizer's tolerance).
+    d2mom = (dp[:, :, 4]
+             - 2.0 * jnp.sum(pos_s * dp[:, :, :3], axis=-1)
+             + jnp.sum(pos_s * pos_s, axis=-1) * dp[:, :, 3])
+    # dL/ds_k = (4 c_k / (P s_k^3)) sum_p r w A d2;  1/s^3 = inv_s2^1.5.
+    dsig_s = (4.0 * c_s * inv_s2 ** 1.5 / p_count) * d2mom
+    return mse, dpos_s[:, :k][:, inv], dsig_s[:, :k][:, inv]
 
 
 def _gram_kernel_streamed(blocks_ref, pos_ref, psim_ref, psin_ref,

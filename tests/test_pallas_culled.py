@@ -363,3 +363,40 @@ def test_gram_streamed_psi_matches_kernel_psi(rng, f):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c1s), np.asarray(c1k),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("f", [1, 2])
+def test_refine_kernel_dsigma_matches_xla_grad(rng, f):
+    """want_dsigma=True: the fused kernel's per-frame sigma gradient vs
+    jax.grad of the XLA analytic data term wrt the shared widths."""
+    pos_t, sigma, betas, y, c = _tracked_setup(rng)
+    vb = B.voxel_basis_normalized(SIZE)
+
+    def frame_loss(sig, pos_f, beta_f, y_f, c_f):
+        psi = B.warp_voxel_coords(vb, beta_f, SIZE, "normalized")
+        a = FP.evaluate_footprints(psi, pos_f, sig, size=SIZE)
+        recon = jnp.dot(a, c_f, precision=jax.lax.Precision.HIGHEST)
+        return jnp.mean((recon - y_f) ** 2)
+
+    dsig_ref = jax.vmap(
+        lambda p, b, yy, cc: jax.grad(frame_loss)(sigma, p, b, yy, cc)
+    )(pos_t, betas, y, c)
+    mse, dpos, dsig = pc.refine_block_culled(
+        betas, pos_t, sigma, c, y, SIZE, scaling="normalized",
+        tile_p=128, kblock=8, frames_per_step=f, want_dsigma=True,
+        interpret=True)
+    # dpos unchanged by the wider moment block
+    mse2, dpos2 = pc.refine_block_culled(
+        betas, pos_t, sigma, c, y, SIZE, scaling="normalized",
+        tile_p=128, kblock=8, frames_per_step=f, interpret=True)
+    np.testing.assert_allclose(np.asarray(mse), np.asarray(mse2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dpos), np.asarray(dpos2),
+                               rtol=1e-5, atol=1e-8)
+    # The kernel assembles sum r w A d2 by binomial expansion around
+    # pos_k (|psi|^2 second moment), which carries ~|pos|^2/d2 f32
+    # cancellation — ~1e-4 relative here, documented in the wrapper.
+    scale = float(jnp.max(jnp.abs(dsig_ref)))
+    np.testing.assert_allclose(np.asarray(dsig) / scale,
+                               np.asarray(dsig_ref) / scale,
+                               atol=1e-3)
