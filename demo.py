@@ -27,10 +27,12 @@ def main():
     ap.add_argument("--outdir", type=str, default=None,
                     help="directory for rendered figures/videos")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--gram-mode", type=str, default="exact",
-                    choices=["exact", "analytic"],
-                    help="MU Gram computation (analytic = closed form, "
-                         "ops/gram_analytic — the at-scale fast mode)")
+    ap.add_argument("--gram-mode", type=str, default="auto",
+                    choices=["auto", "exact", "analytic"],
+                    help="MU Gram computation (auto = trust-audited "
+                         "closed form where valid, the production "
+                         "default; analytic = closed form, "
+                         "ops/gram_analytic; exact = pixel reduction)")
     args = ap.parse_args()
 
     import jax

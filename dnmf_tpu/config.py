@@ -93,6 +93,20 @@ class OptimizerConfig:
     # comparable to the footprint support, the data term's gradient at
     # the identity deformation is otherwise nearly zero.
     sigma_anneal: Tuple[float, ...] = ()
+    # Per-neuron footprint-width fitting (BEYOND the reference, which
+    # freezes sigma at shape_std forever — /root/reference/Demix/
+    # dNMF.py:29).  When True, each non-annealed round runs
+    # ``sigma_steps`` Adam iterations on log-sigma against
+    # ``sigma_frames`` evenly-spaced frames (sigma is shared across
+    # frames, so a subsample estimates the full gradient at a fraction
+    # of the cost; see models.dnmf.sigma_fit).
+    fit_sigma: bool = False
+    sigma_lr: float = 0.02
+    sigma_steps: int = 4
+    sigma_frames: int = 16
+    # Clip bounds as multipliers of shape_std.  The upper bound also
+    # sizes the analytic-Gram lattice window, so keep it modest.
+    sigma_bounds: Tuple[float, float] = (0.5, 1.6)
     seed: int = 0
 
 
@@ -230,11 +244,26 @@ class RuntimeConfig:
     # accumulation (None = auto: on for TPU backends with analytic
     # footprints).
     use_pallas: Optional[bool] = None
-    # MU Gram computation: "exact" (the O(P K^2) pixel reduction) or
-    # "analytic" (closed form, O(K^2) — ops/gram_analytic.py; only the
-    # c1 video pass remains.  Requires analytic footprints; single
-    # device or time meshes, not pixel meshes).
-    gram_mode: str = "exact"
+    # MU Gram computation:
+    #   "auto"     — "analytic" wherever it is valid (analytic
+    #     footprints, no pixel mesh), "exact" otherwise.  The production
+    #     default: measured 2.04x end-to-end at K=500 / 1.2x at K=200
+    #     with identical recovery (BASELINE.md), guarded by the
+    #     per-fit trust audit below.
+    #   "exact"    — the O(P K^2) pixel reduction (also the parity /
+    #     audit path and the only mode on pixel meshes).
+    #   "analytic" — closed form, O(K^2) (ops/gram_analytic.py); only
+    #     the c1 video pass remains.  Requires analytic footprints;
+    #     single device or time meshes, not pixel meshes.
+    gram_mode: str = "auto"
+    # Trust gate for analytic Grams: once per fit, ONE frame's exact
+    # Gram (the frame with the strongest warp) is compared against the
+    # closed form; a max relative error above this tolerance falls the
+    # fit back to gram_mode="exact" with a warning.  The analytic
+    # form's residual is the cross-quadratic warp term (~1e-3 at
+    # realistic warps, see ops/gram_analytic.py) — a breach means the
+    # warp left the closed form's regime.  None disables the audit.
+    gram_trust_tol: Optional[float] = 0.02
     # Raise on non-finite factors after each update phase (the analog of
     # the reference's hard NaN guards in MotionCorrect, SURVEY.md §5).
     check_finite: bool = False

@@ -70,6 +70,45 @@ def _positions_all_jit(pos, beta, iters, normalized, size):
     )(beta)
 
 
+def audit_analytic_gram(state, model: ModelConfig, window=None,
+                        use_pallas: bool = False) -> dict:
+    """One-frame exact-vs-analytic Gram comparison (the trust gate).
+
+    Picks the frame whose beta deviates most from the identity warp (the
+    closed form's residual grows with warp strength — cross-quadratic
+    terms, see :mod:`dnmf_tpu.ops.gram_analytic`), computes that frame's
+    Gram both ways, and returns ``{"frame", "rel_err"}`` where
+    ``rel_err`` is ``max|G_an - G_exact| / max|G_exact|``.
+    """
+    from dnmf_tpu.ops import basis as basis_ops
+    from dnmf_tpu.ops import gram_analytic as ga
+
+    ident = basis_ops.identity_beta(1)[0]
+    severity = jnp.sum(jnp.abs(state.beta - ident), axis=(1, 2))
+    t_idx = int(jnp.argmax(severity))
+    beta1 = jax.lax.dynamic_slice_in_dim(state.beta, t_idx, 1)
+    state1 = state._replace(beta=beta1, c=state.c[:, :1])
+    # The Gram is video-independent — a zero frame feeds the c1 pass.
+    zeros = jnp.zeros((1, model.num_voxels), jnp.float32)
+    g_exact, _ = model_lib.compute_grams(
+        state1, zeros, model, frame_block=1, use_pallas=use_pallas,
+        gram_mode="exact",
+    )
+    if window is None:
+        from dnmf_tpu.ops import gram_analytic as _ga
+
+        window = _ga.default_window(model.shape_std)
+    g_an = ga.analytic_grams(
+        beta1, state.pos, state.sigma, model.size,
+        scaling=model.deformation.basis_scaling, window=window,
+    )
+    rel = float(
+        jnp.max(jnp.abs(g_an - g_exact))
+        / jnp.maximum(jnp.max(jnp.abs(g_exact)), 1e-30)
+    )
+    return {"frame": t_idx, "rel_err": rel}
+
+
 class DeformableNMF:
     """Alternating optimizer over a device-resident video.
 
@@ -147,6 +186,21 @@ class DeformableNMF:
             )
         else:
             self._use_pallas = bool(self.runtime.use_pallas)
+        mode = self.runtime.gram_mode
+        if mode == "auto":
+            # Production default: closed-form Grams wherever valid
+            # (2.04x end-to-end at K=500, BASELINE.md), guarded by the
+            # once-per-fit exact-Gram trust audit.
+            analytic_ok = (
+                model.deformation.footprint_mode == "analytic"
+                and (self.runtime.mesh_pixel or 1) <= 1
+            )
+            mode = "analytic" if analytic_ok else "exact"
+        elif mode not in ("exact", "analytic"):
+            raise ValueError(f"unknown gram_mode: {mode!r} "
+                             "(expected 'auto', 'exact', or 'analytic')")
+        self._gram_mode = mode
+        self._gram_audited = False
 
     class _Prepared:
         """Marker wrapper: video already flattened/clamped/sharded."""
@@ -201,12 +255,48 @@ class DeformableNMF:
         largest sigma the fit will see (sigma_anneal scales sigma up to
         max(factors) * shape_std; ops/gram_analytic needs the window
         sized for the ACTUAL sigma, which is traced)."""
-        if self.runtime.gram_mode != "analytic":
+        if self._gram_mode != "analytic":
             return None
         from dnmf_tpu.ops import gram_analytic as ga
 
         factor = max((1.0,) + tuple(self.opt_config.sigma_anneal))
+        if self.opt_config.fit_sigma:
+            # Fitted sigmas may climb to the upper clip bound.
+            factor = max(factor, self.opt_config.sigma_bounds[1])
         return ga.default_window(factor * self.model.shape_std)
+
+    def _maybe_audit_analytic(self) -> None:
+        """Trust gate for the closed-form Grams (once per fit).
+
+        Compares ONE frame's exact Gram — the frame whose beta deviates
+        most from the identity warp — against the analytic form; a max
+        relative error above ``runtime.gram_trust_tol`` falls the fit
+        back to ``gram_mode="exact"`` with a warning.  The Gram depends
+        only on (beta, pos, sigma), so the audit needs no video data.
+        """
+        if self._gram_mode != "analytic" or self._gram_audited:
+            return
+        self._gram_audited = True
+        tol = self.runtime.gram_trust_tol
+        if tol is None:
+            return
+        audit = audit_analytic_gram(
+            self.state, self.model, window=self._gram_window(),
+            use_pallas=self._use_pallas,
+        )
+        entry = {"phase": "gram_audit", "tol": tol, **audit}
+        self.metrics.append(entry)
+        if audit["rel_err"] > tol:
+            import warnings
+
+            warnings.warn(
+                "analytic-Gram trust audit breached "
+                f"(frame {audit['frame']}: rel err {audit['rel_err']:.2e}"
+                f" > tol {tol:g}) — falling back to gram_mode='exact' "
+                "for the rest of this engine's updates",
+                RuntimeWarning,
+            )
+            self._gram_mode = "exact"
 
     @staticmethod
     def _is_streaming(video) -> bool:
@@ -273,6 +363,7 @@ class DeformableNMF:
         """Recompute Grams once, then run MU trace iterations (reference
         ``update_footprints`` without the host round-trip)."""
         iters = iters or self.opt_config.mu_iters
+        self._maybe_audit_analytic()
         if self._is_streaming(video):
             if self._mesh is not None:
                 from dnmf_tpu.parallel import (
@@ -282,14 +373,14 @@ class DeformableNMF:
                 grams, c1 = sharded_compute_grams_streaming(
                     self.state, video, self.model, mesh=self._mesh,
                     use_pallas=self._use_pallas,
-                    gram_mode=self.runtime.gram_mode,
+                    gram_mode=self._gram_mode,
                     gram_window=self._gram_window(),
                 )
             else:
                 grams, c1 = model_lib.compute_grams_streaming(
                     self.state, video, self.model,
                     use_pallas=self._use_pallas,
-                    gram_mode=self.runtime.gram_mode,
+                    gram_mode=self._gram_mode,
                     gram_window=self._gram_window(),
                 )
         elif self._mesh is not None:
@@ -299,7 +390,7 @@ class DeformableNMF:
                 self.state, self._video_flat(video), self.model,
                 mesh=self._mesh, frame_block=self.runtime.frame_block,
                 use_pallas=self._use_pallas,
-                gram_mode=self.runtime.gram_mode,
+                gram_mode=self._gram_mode,
                 gram_window=self._gram_window(),
             )
         else:
@@ -308,7 +399,7 @@ class DeformableNMF:
                 self.state, video_flat, self.model,
                 frame_block=self.runtime.frame_block,
                 use_pallas=self._use_pallas,
-                gram_mode=self.runtime.gram_mode,
+                gram_mode=self._gram_mode,
                 gram_window=self._gram_window(),
             )
         if self._mesh is not None:
@@ -324,6 +415,44 @@ class DeformableNMF:
                 gamma=self.opt_config.gamma_traces,
             )
         m = {"phase": "traces", "c_mean": float(jnp.mean(self.state.c))}
+        self.metrics.append(m)
+        return m
+
+    def update_sigma(self, video, steps: Optional[int] = None) -> dict:
+        """Fit per-neuron footprint widths on a frame subsample
+        (:func:`dnmf_tpu.models.dnmf.sigma_fit`) — sigma ``[K]`` joins
+        the alternation, which the frozen-sigma reference cannot do
+        (``/root/reference/Demix/dNMF.py:29``).  Updates both the live
+        sigma and the anneal base."""
+        if self._is_streaming(video):
+            raise ValueError(
+                "fit_sigma needs device-resident frames (the subsample "
+                "gather); fit the widths on a device-resident prefix or "
+                "disable fit_sigma for host-streamed recordings"
+            )
+        cfg = self.opt_config
+        video_flat = self._video_flat(video)
+        t = self.model.num_frames
+        s = min(cfg.sigma_frames, t)
+        idx = jnp.asarray(np.linspace(0, t - 1, s).round().astype(int))
+        lo = cfg.sigma_bounds[0] * self.model.shape_std
+        hi = cfg.sigma_bounds[1] * self.model.shape_std
+        sigma, mses = model_lib.sigma_fit(
+            self.state,
+            jnp.take(video_flat, idx, axis=0),
+            jnp.take(self.state.beta, idx, axis=0),
+            jnp.take(self.state.c, idx, axis=1).T,
+            self.model, steps=steps or cfg.sigma_steps,
+            lr=cfg.sigma_lr, lo=lo, hi=hi,
+            frame_block=min(self.runtime.frame_block, s),
+            use_pallas=self._use_pallas,
+        )
+        self.state = self.state._replace(sigma=sigma)
+        self._base_sigma = sigma
+        m = {"phase": "sigma", "mse": float(mses[-1]),
+             "sigma_mean": float(jnp.mean(sigma)),
+             "sigma_min": float(jnp.min(sigma)),
+             "sigma_max": float(jnp.max(sigma))}
         self.metrics.append(m)
         return m
 
@@ -345,6 +474,9 @@ class DeformableNMF:
         video_flat = (video if self._is_streaming(video)
                       else DeformableNMF._Prepared(self._video_flat(video)))
         rounds = rounds or self.opt_config.outer_rounds
+        # Trust-audit the analytic Grams once per fit (at the first
+        # update_footprints, after motion has produced a real warp).
+        self._gram_audited = False
         anneal = self.opt_config.sigma_anneal
         for r in range(rounds):
             factor = anneal[r] if r < len(anneal) else 1.0
@@ -360,6 +492,12 @@ class DeformableNMF:
             with profiler_ctx:
                 motion_m = self.update_motion(video_flat)
                 self._check_finite("motion")
+                if self.opt_config.fit_sigma and factor == 1.0:
+                    # Width fitting waits out the annealed (deliberately
+                    # widened) rounds — fitting sigma there would just
+                    # undo the anneal.
+                    self.update_sigma(video_flat)
+                    self._check_finite("sigma")
                 traces_m = self.update_footprints(video_flat)
                 self._check_finite("traces")
             entry = {
@@ -397,6 +535,7 @@ class DeformableNMF:
                 "unsupported on a pixel-sharded mesh (use mesh_time)"
             )
         video_flat = self._video_flat(video)
+        self._maybe_audit_analytic()
         t0 = time.time()
         if self._mesh is not None:
             from dnmf_tpu.parallel.sharded import sharded_refined_rounds
@@ -408,7 +547,7 @@ class DeformableNMF:
                 frame_block=self.runtime.frame_block,
                 pos_t=getattr(self, "pos_t", None),
                 use_pallas=self._use_pallas,
-                gram_mode=self.runtime.gram_mode,
+                gram_mode=self._gram_mode,
                 gram_window=self._gram_window(),
             )
         else:
@@ -419,7 +558,7 @@ class DeformableNMF:
                 frame_block=self.runtime.frame_block,
                 pos_t=getattr(self, "pos_t", None),
                 use_pallas=self._use_pallas,
-                gram_mode=self.runtime.gram_mode,
+                gram_mode=self._gram_mode,
                 gram_window=self._gram_window(),
             )
         self.pos_t = pos_t
@@ -451,6 +590,12 @@ class DeformableNMF:
             raise ValueError("fit_fused requires motion_mode='parallel'")
         video_flat = self._video_flat(video)
         rounds = rounds or self.opt_config.outer_rounds
+        # The fused schedule is ONE compiled program — a mid-run
+        # fallback is impossible, so audit the analytic Grams BEFORE
+        # (with the seeded beta; decides the mode for this run) and
+        # again AFTER (witnesses the final warp's error in metrics).
+        self._gram_audited = False
+        self._maybe_audit_analytic()
         self.state, metrics = model_lib.fused_rounds(
             self.state, video_flat, self.model, self.optimizer,
             rounds=rounds, epochs=self.opt_config.motion_epochs,
@@ -459,7 +604,7 @@ class DeformableNMF:
             mu_gamma=self.opt_config.gamma_traces,
             frame_block=self.runtime.frame_block,
             use_pallas=self._use_pallas,
-            gram_mode=self.runtime.gram_mode,
+            gram_mode=self._gram_mode,
             gram_window=self._gram_window(),
         )
         for r in range(rounds):
@@ -468,6 +613,8 @@ class DeformableNMF:
                 "motion_recon_mse": float(metrics["recon_mse"][r]),
                 "motion_reg": float(metrics["reg"][r]),
             })
+        self._gram_audited = False
+        self._maybe_audit_analytic()
         self._check_finite("fused fit")
         return FitResult(state=self.state, metrics=self.metrics)
 

@@ -118,7 +118,11 @@ def test_full_fit_improves_traces():
     corr = trace_correlations(result.traces, np.asarray(ds.traces))
     assert np.all(corr > 0.7), corr
     phases = {m["phase"] for m in result.metrics}
-    assert phases == {"motion", "traces", "round"}
+    # gram_audit: the once-per-fit analytic-Gram trust gate (the
+    # default gram_mode="auto" resolves to analytic here).
+    assert phases == {"motion", "traces", "round", "gram_audit"}
+    audit = [m for m in result.metrics if m["phase"] == "gram_audit"]
+    assert len(audit) == 1 and audit[0]["rel_err"] < audit[0]["tol"]
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -356,3 +360,83 @@ def test_positions_all_matches_positions_at():
     for t in range(model.num_frames):
         np.testing.assert_allclose(eng.positions_at(t), batched[t],
                                    rtol=1e-6, atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# gram_mode="auto" resolution + the analytic-Gram trust gate (VERDICT
+# r3 #1: the closed form is the audited production default).
+# ----------------------------------------------------------------------
+def _engine_rt(ds, runtime, footprint_mode="analytic"):
+    model = ModelConfig(
+        size=SIZE, num_neurons=K, num_frames=T, shape_std=2.0,
+        deformation=DeformationConfig(footprint_mode=footprint_mode),
+    )
+    opt = OptimizerConfig(learning_rate=1e-3, motion_epochs=2,
+                          mu_iters=10, gamma_motion=0.1)
+    return DeformableNMF(model, opt, runtime,
+                         positions=ds.positions[:, :, 0])
+
+
+def test_gram_mode_auto_resolution():
+    ds = _dataset()
+    assert _engine_rt(ds, RuntimeConfig())._gram_mode == "analytic"
+    assert _engine_rt(ds, RuntimeConfig(),
+                      footprint_mode="resample")._gram_mode == "exact"
+    # Pixel meshes reject the global closed form by design.
+    eng = _engine_rt(ds, RuntimeConfig(mesh_time=1, mesh_pixel=2))
+    assert eng._gram_mode == "exact"
+    with pytest.raises(ValueError, match="gram_mode"):
+        _engine_rt(ds, RuntimeConfig(gram_mode="bogus"))
+
+
+def test_trust_audit_passes_and_records():
+    ds = _dataset(drift=0.5)
+    eng = _engine_rt(ds, RuntimeConfig())
+    result = eng.fit(ds, rounds=2)
+    audits = [m for m in result.metrics if m["phase"] == "gram_audit"]
+    assert len(audits) == 1  # once per fit
+    assert audits[0]["rel_err"] < audits[0]["tol"]
+    assert eng._gram_mode == "analytic"
+    # A second fit re-audits (beta has evolved).
+    eng.fit(ds, rounds=1)
+    audits = [m for m in eng.metrics if m["phase"] == "gram_audit"]
+    assert len(audits) == 2
+
+
+def test_trust_audit_breach_falls_back_to_exact():
+    ds = _dataset(drift=0.5)
+    eng = _engine_rt(ds, RuntimeConfig(gram_trust_tol=1e-12))
+    with pytest.warns(RuntimeWarning, match="trust audit breached"):
+        result = eng.fit(ds, rounds=2)
+    assert eng._gram_mode == "exact"
+    # The fallback run matches an exact-mode run factor-for-factor
+    # from the audit round onward; just gate sanity here.
+    assert np.isfinite(result.traces).all()
+
+
+def test_trust_audit_disabled_by_none_tol():
+    ds = _dataset()
+    eng = _engine_rt(ds, RuntimeConfig(gram_trust_tol=None))
+    result = eng.fit(ds, rounds=1)
+    assert not [m for m in result.metrics if m["phase"] == "gram_audit"]
+    assert eng._gram_mode == "analytic"
+
+
+def test_fit_fused_audits_before_and_after():
+    ds = _dataset(drift=0.5)
+    eng = _engine_rt(ds, RuntimeConfig())
+    result = eng.fit_fused(ds, rounds=2)
+    audits = [m for m in result.metrics if m["phase"] == "gram_audit"]
+    assert len(audits) == 2  # pre (mode decision) + post (witness)
+    assert all(a["rel_err"] < a["tol"] for a in audits)
+
+
+def test_auto_matches_explicit_analytic_factors():
+    ds = _dataset(drift=0.5)
+    eng_auto = _engine_rt(ds, RuntimeConfig())
+    eng_an = _engine_rt(ds, RuntimeConfig(gram_mode="analytic",
+                                          gram_trust_tol=None))
+    r_auto = eng_auto.fit(ds, rounds=2)
+    r_an = eng_an.fit(ds, rounds=2)
+    np.testing.assert_allclose(r_auto.traces, r_an.traces, rtol=1e-6,
+                               atol=1e-8)

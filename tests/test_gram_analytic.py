@@ -479,3 +479,87 @@ def test_fused_rounds_analytic_mode(rng):
     denom = np.abs(np.asarray(st_e.c)).max()
     assert (np.abs(np.asarray(st_a.c) - np.asarray(st_e.c)).max()
             / denom) < 5e-3
+
+
+def test_adversarial_error_sweep(rng):
+    """VERDICT r3 #1: adversarial error sweep gating the production
+    default.  Border-hugging anchors, strong shear, cross-quadratic
+    warps, annealed (2.5x) sigma, and a large-K regime must all stay
+    inside the trust-gate tolerance (RuntimeConfig.gram_trust_tol's
+    default 0.02) against the exact pixel reduction."""
+    np_rng = np.random.default_rng(23)
+    tol = 0.02
+
+    def check(name, size, k, sigma, beta_edit=None, sigma_mult=1.0,
+              margin=(0.0, 0.0, 0.0), seed=0, tol=tol):
+        model, state, video = _setup(size, k=k, t=2, sigma=sigma,
+                                     seed=seed,
+                                     interior_margin=list(margin))
+        if sigma_mult != 1.0:
+            state = state._replace(sigma=state.sigma * sigma_mult)
+        betas = np.asarray(state.beta).copy()
+        # a realistic random warp on top of each adversarial component
+        betas += np_rng.normal(0, 0.005, betas.shape).astype(np.float32)
+        if beta_edit is not None:
+            for t_i in range(betas.shape[0]):
+                beta_edit(betas[t_i])
+        state = state._replace(beta=jnp.asarray(betas))
+        g_ref, _ = _exact_grams(state, video, model)
+        g = analytic_grams(
+            state.beta, state.pos, state.sigma, model.size,
+            window=default_window(float(np.max(np.asarray(state.sigma)))))
+        err = _rel_err(g, g_ref)
+        assert err < tol, f"{name}: rel err {err:.3e} >= {tol}"
+        return err
+
+    # Border-hugging neurons (margin 0 => anchors down to the faces).
+    check("border", (20, 18, 8), k=12, sigma=2.0, margin=(0, 0, 0))
+
+    # Strong constant shear (eps=0.03 normalized; error ~ eps^2).
+    def shear(b):
+        b[2, 0] += 0.03   # y -> x
+        b[1, 1] -= 0.03   # x -> y
+        b[3, 0] += 0.02   # z -> x
+    check("shear", (20, 18, 8), k=10, sigma=2.0, beta_edit=shear,
+          margin=(3, 3, 2))
+
+    # Cross-quadratic warp terms (the closed form's dominant residual).
+    def crossq(b):
+        b[7, 0] += 0.03   # xy -> x
+        b[8, 1] += 0.03   # xz -> y
+        b[9, 2] += 0.02   # yz -> z
+    check("cross-quadratic", (20, 18, 8), k=10, sigma=2.0,
+          beta_edit=crossq, margin=(3, 3, 2))
+
+    # Cross-quadratic AND border-hugging (worst measured regime).
+    check("cross-quadratic+border", (20, 18, 8), k=12, sigma=2.0,
+          beta_edit=crossq, margin=(0, 0, 0))
+
+    # Annealed sigma (sigma_anneal's 2.5x wide phase).
+    check("annealed-sigma", (24, 20, 8), k=8, sigma=2.0, sigma_mult=2.5,
+          margin=(2, 2, 1))
+
+    # Large-K regime (config-4 scale neuron count at test volume).
+    check("K=500", (20, 18, 8), k=500, sigma=2.0, margin=(1, 1, 1),
+          seed=3)
+
+
+def test_trust_audit_helper_picks_worst_frame(rng):
+    """audit_analytic_gram audits the frame whose beta deviates most
+    from the identity (where the closed form's residual peaks)."""
+    from dnmf_tpu.engine.trainer import audit_analytic_gram
+
+    model, state, _ = _setup((16, 14, 6), k=5, t=4, sigma=2.0)
+    betas = np.asarray(state.beta).copy()
+    betas[2] += np.float32(0.05)  # frame 2 carries the strongest warp
+    state = state._replace(beta=jnp.asarray(betas))
+    audit = audit_analytic_gram(state, model)
+    assert audit["frame"] == 2
+    # 0.05 on EVERY coefficient (cross-quadratics included, border
+    # anchors) is outside the closed form's regime — the audit must
+    # flag it above the default trust tolerance, and a realistic warp
+    # must pass.
+    assert audit["rel_err"] > 0.02
+    betas[2] = betas[0] + np.float32(0.01)
+    state = state._replace(beta=jnp.asarray(betas))
+    assert audit_analytic_gram(state, model)["rel_err"] < 0.02

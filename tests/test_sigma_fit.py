@@ -1,0 +1,181 @@
+"""Per-neuron footprint-width fitting (models.dnmf.sigma_fit).
+
+The reference freezes sigma at the scalar ``shape_std`` forever
+(``/root/reference/Demix/dNMF.py:29``); these tests gate the rebuild's
+sigma alternation: gradient parity between the fused and XLA paths,
+width recovery on a heterogeneous-sigma fixture, and the trainer
+integration (bounds, anneal interplay, metrics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnmf_tpu.config import (
+    DeformationConfig,
+    ModelConfig,
+    OptimizerConfig,
+    RuntimeConfig,
+)
+from dnmf_tpu.engine import DeformableNMF
+from dnmf_tpu.models import dnmf as M
+from dnmf_tpu.ops import basis as B
+from dnmf_tpu.ops.footprints import gaussian_footprints
+from dnmf_tpu.utils.metrics import trace_correlations
+
+SIZE = (24, 24, 4)
+P = 24 * 24 * 4
+K, T = 5, 24
+
+
+def _fixture(seed=0, sigma_lo=1.3, sigma_hi=2.8):
+    """Static well-separated neurons with HETEROGENEOUS widths."""
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(
+        [[6.0, 6.0, 2.0], [18.0, 6.0, 2.0], [6.0, 18.0, 2.0],
+         [18.0, 18.0, 2.0], [12.0, 12.0, 2.0]], jnp.float32)
+    sigma_gt = jnp.asarray(
+        np.linspace(sigma_lo, sigma_hi, K).astype(np.float32))
+    from dnmf_tpu.data import simulator
+
+    traces = simulator.exponential_traces(jax.random.PRNGKey(3), K, T,
+                                          density=0.3)
+    grid = B.voxel_grid(SIZE)
+    a = gaussian_footprints(grid, pos, sigma_gt)  # [P, K]
+    video = jnp.maximum(a @ traces, 0.0).T  # [T, P]
+    video = video + 0.01 * jax.random.normal(jax.random.PRNGKey(5),
+                                             video.shape)
+    return pos, sigma_gt, traces, jnp.maximum(video, 0.0)
+
+
+def _state(pos, c, sigma0=2.0):
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=sigma0)
+    opt = M.make_motion_optimizer(OptimizerConfig())
+    state = M.init_state(model, opt, positions=pos,
+                         key=jax.random.PRNGKey(0))
+    return model, state._replace(c=c)
+
+
+def test_sigma_fit_recovers_heterogeneous_widths():
+    pos, sigma_gt, traces, video = _fixture()
+    model, state = _state(pos, traces)
+    sigma, mses = M.sigma_fit(
+        state, video, state.beta, state.c.T, model,
+        steps=60, lr=0.05, lo=0.8, hi=4.0, frame_block=8,
+    )
+    err = np.abs(np.asarray(sigma) - np.asarray(sigma_gt))
+    assert err.max() < 0.15, (np.asarray(sigma), np.asarray(sigma_gt))
+    # and the objective went down
+    assert float(mses[-1]) < float(mses[0])
+
+
+def test_sigma_fit_pallas_interpret_matches_xla():
+    pos, sigma_gt, traces, video = _fixture()
+    model, state = _state(pos, traces)
+    kw = dict(steps=5, lr=0.05, lo=0.8, hi=4.0, frame_block=8)
+    s_xla, m_xla = M.sigma_fit(state, video, state.beta, state.c.T,
+                               model, **kw)
+    s_pal, m_pal = M.sigma_fit(state, video, state.beta, state.c.T,
+                               model, use_pallas=True,
+                               pallas_interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_xla),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_xla),
+                               rtol=1e-4)
+
+
+def test_sigma_fit_respects_bounds():
+    pos, sigma_gt, traces, video = _fixture()
+    model, state = _state(pos, traces)
+    sigma, _ = M.sigma_fit(
+        state, video, state.beta, state.c.T, model,
+        steps=40, lr=0.2, lo=1.9, hi=2.1, frame_block=8,
+    )
+    s = np.asarray(sigma)
+    assert (s >= 1.9 - 1e-5).all() and (s <= 2.1 + 1e-5).all()
+
+
+def _engine(video0, pos, fit_sigma, rounds=4, k=K, t=T):
+    model = ModelConfig(size=SIZE, num_neurons=k, num_frames=t,
+                        shape_std=2.0)
+    opt = OptimizerConfig(learning_rate=1e-3, motion_epochs=2,
+                          mu_iters=30, gamma_motion=0.1,
+                          fit_sigma=fit_sigma, sigma_steps=20,
+                          sigma_lr=0.05, sigma_frames=t,
+                          sigma_bounds=(0.5, 1.6))
+    eng = DeformableNMF(model, opt, RuntimeConfig(frame_block=8),
+                        positions=pos)
+    eng.fit(video0, rounds=rounds)
+    return eng
+
+
+def _overlap_fixture():
+    """OVERLAPPING neurons with alternating widths: with footprints 5 px
+    apart and sigma up to 2.6, a wrong shared width misassigns border
+    mass between neighbors — the regime where frozen sigma costs trace
+    accuracy (well-separated fixtures recover ~0.9999 regardless)."""
+    from dnmf_tpu.data import simulator
+
+    pos = jnp.asarray([[7.0, 12.0, 2.0], [12.0, 12.0, 2.0],
+                       [17.0, 12.0, 2.0], [12.0, 7.0, 2.0]], jnp.float32)
+    sigma_gt = jnp.asarray([1.2, 2.6, 1.2, 2.6], jnp.float32)
+    k, t = 4, 32
+    traces = simulator.exponential_traces(jax.random.PRNGKey(3), k, t,
+                                          density=0.3)
+    grid = B.voxel_grid(SIZE)
+    a = gaussian_footprints(grid, pos, sigma_gt)
+    video = jnp.maximum(a @ traces, 0.0).T
+    video = jnp.maximum(
+        video + 0.01 * jax.random.normal(jax.random.PRNGKey(5),
+                                         video.shape), 0.0)
+    return pos, sigma_gt, traces, video
+
+
+def test_trainer_fit_sigma_improves_recovery():
+    pos, sigma_gt, traces, video = _overlap_fixture()
+    k, t = 4, 32
+    eng_frozen = _engine(video, pos, fit_sigma=False, k=k, t=t)
+    eng_fit = _engine(video, pos, fit_sigma=True, k=k, t=t)
+    corr_frozen = trace_correlations(eng_frozen.traces,
+                                     np.asarray(traces))
+    corr_fit = trace_correlations(eng_fit.traces, np.asarray(traces))
+    # Width fitting closes the frozen-sigma overlap tail (calibrated:
+    # 0.977 -> 0.989 min on this fixture).
+    assert corr_fit.min() > corr_frozen.min() + 0.005, (
+        corr_frozen, corr_fit)
+    # Fitted widths move toward the heterogeneous ground truth.
+    s = np.asarray(eng_fit.state.sigma)
+    gt = np.asarray(sigma_gt)
+    assert np.abs(s - gt).mean() < np.abs(2.0 - gt).mean()
+    # sigma metrics recorded
+    assert any(m["phase"] == "sigma" for m in eng_fit.metrics)
+
+
+def test_fit_sigma_waits_out_annealed_rounds():
+    pos, sigma_gt, traces, video = _fixture()
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt = OptimizerConfig(learning_rate=1e-3, motion_epochs=1,
+                          mu_iters=5, fit_sigma=True, sigma_steps=2,
+                          sigma_frames=8, sigma_anneal=(1.5,))
+    eng = DeformableNMF(model, opt, RuntimeConfig(frame_block=8),
+                        positions=pos)
+    eng.fit(video, rounds=2)
+    sigma_rounds = [m for m in eng.metrics if m["phase"] == "sigma"]
+    assert len(sigma_rounds) == 1  # round 0 annealed (1.5x): skipped
+
+
+def test_fit_sigma_rejects_streaming():
+    from dnmf_tpu.data.streaming import StreamingVideo
+
+    pos, sigma_gt, traces, video = _fixture()
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt = OptimizerConfig(fit_sigma=True)
+    eng = DeformableNMF(model, opt, RuntimeConfig(frame_block=8),
+                        positions=pos)
+    sv = StreamingVideo(np.asarray(video), block=8)
+    with pytest.raises(ValueError, match="fit_sigma"):
+        eng.update_sigma(sv)

@@ -96,13 +96,19 @@ def test_engine_tp_round_matches_dense(rng):
                           motion_epochs=1, mu_iters=5, outer_rounds=1,
                           gamma_motion=0.1, gamma_traces=0.01)
 
-    dense = DeformableNMF(model, opt, positions=state.pos)
+    # Pin gram_mode="exact" on the dense side: the pixel mesh resolves
+    # "auto" -> exact (the closed form is rejected there by design),
+    # while the dense engine would resolve to analytic — a ~1e-3
+    # modeling difference that is not what this test compares.
+    dense = DeformableNMF(model, opt, positions=state.pos,
+                          runtime=RuntimeConfig(gram_mode="exact"))
     dense_res = dense.fit(video)
 
     tp = DeformableNMF(
         model, opt, positions=state.pos,
         runtime=RuntimeConfig(mesh_time=2, mesh_pixel=4, frame_block=4),
     )
+    assert tp._gram_mode == "exact"
     tp_res = tp.fit(video)
 
     np.testing.assert_allclose(

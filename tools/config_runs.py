@@ -35,20 +35,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
-                mu_iters: int = 50, gram_mode: str = "exact"):
+                mu_iters: int = 50, gram_mode: str = "analytic",
+                fit_sigma: bool = False, sigma_spread: float = 0.0):
     from wb_recovery import seeded_recovery
 
     size, k = (512, 512, 20), 500
     t = frames
     r = seeded_recovery(size, k, t, rounds, epochs, mu_iters,
-                        frame_block=4, gram_mode=gram_mode)
+                        frame_block=4, gram_mode=gram_mode,
+                        fit_sigma=fit_sigma, sigma_spread=sigma_spread)
     corr, steady = r["corr"], r["round_s_steady"]
     out = {
         "config": 4,
         "workload": f"512x512x20 K=500 T={t} (device-synthesized; "
                     "tunnel cannot stream config-4 IO — see docstring)",
         "protocol": f"{rounds}x({epochs} epochs + {mu_iters} MU), "
-                    f"rigid-seeded, grams={gram_mode}",
+                    f"rigid-seeded, grams={gram_mode}"
+                    + (f", fit_sigma (GT spread {sigma_spread})"
+                       if fit_sigma or sigma_spread else ""),
+        "sigma_err_px": round(r["sigma_err"], 4),
         "synth_s": round(r["synth_s"], 1),
         "registration_seed_s": round(r["reg_s"], 1),
         "trace_corr_mean": round(float(np.mean(corr)), 4),
@@ -139,14 +144,21 @@ if __name__ == "__main__":
     ap.add_argument("--config4", action="store_true")
     ap.add_argument("--config5", action="store_true")
     ap.add_argument("--frames", type=int, default=48)
-    ap.add_argument("--gram-mode", type=str, default="exact",
+    ap.add_argument("--gram-mode", type=str, default="analytic",
                     choices=["exact", "analytic"],
                     help="MU Gram computation for config 4 "
                          "(analytic = closed form, ops/gram_analytic)")
+    ap.add_argument("--fit-sigma", action="store_true",
+                    help="per-neuron width fitting in the alternation")
+    ap.add_argument("--sigma-spread", type=float, default=0.0,
+                    help="heterogeneous GT widths: shape_std * "
+                         "U(1-s, 1+s)")
     args = ap.parse_args()
     if not (args.config4 or args.config5):
         args.config4 = args.config5 = True
     if args.config5:
         run_config5()
     if args.config4:
-        run_config4(frames=args.frames, gram_mode=args.gram_mode)
+        run_config4(frames=args.frames, gram_mode=args.gram_mode,
+                    fit_sigma=args.fit_sigma,
+                    sigma_spread=args.sigma_spread)
