@@ -33,6 +33,12 @@ def main():
                          "closed form where valid, the production "
                          "default; analytic = closed form, "
                          "ops/gram_analytic; exact = pixel reduction)")
+    ap.add_argument("--trace-solver", type=str, default="mu",
+                    choices=["mu", "fista"],
+                    help="trace-subproblem solver (mu = reference "
+                         "multiplicative rule; fista = accelerated "
+                         "projected gradient, same cost/iter, faster "
+                         "convergence on overlapping neurons)")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +91,10 @@ def main():
             opt = dataclasses.replace(opt, learning_rate=args.lr)
         if args.rounds:
             opt = dataclasses.replace(opt, outer_rounds=args.rounds)
+    if args.trace_solver != "mu":
+        import dataclasses
+
+        opt = dataclasses.replace(opt, trace_solver=args.trace_solver)
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     print(f"simulating K={sim.num_neurons} T={sim.num_frames} "

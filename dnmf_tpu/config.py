@@ -95,18 +95,28 @@ class OptimizerConfig:
     sigma_anneal: Tuple[float, ...] = ()
     # Per-neuron footprint-width fitting (BEYOND the reference, which
     # freezes sigma at shape_std forever — /root/reference/Demix/
-    # dNMF.py:29).  When True, each non-annealed round runs
-    # ``sigma_steps`` Adam iterations on log-sigma against
+    # dNMF.py:29).  When True, every ``sigma_every``-th non-annealed
+    # round runs ``sigma_steps`` Adam iterations on log-sigma against
     # ``sigma_frames`` evenly-spaced frames (sigma is shared across
     # frames, so a subsample estimates the full gradient at a fraction
-    # of the cost; see models.dnmf.sigma_fit).
+    # of the cost; see models.dnmf.sigma_fit).  The defaults keep the
+    # fit inside ~10% of the round budget at K=500 (measured:
+    # every-round steps=4/frames=16 nearly DOUBLED the round time).
     fit_sigma: bool = False
-    sigma_lr: float = 0.02
-    sigma_steps: int = 4
-    sigma_frames: int = 16
+    sigma_lr: float = 0.05
+    sigma_steps: int = 2
+    sigma_frames: int = 8
+    sigma_every: int = 2
     # Clip bounds as multipliers of shape_std.  The upper bound also
     # sizes the analytic-Gram lattice window, so keep it modest.
     sigma_bounds: Tuple[float, float] = (0.5, 1.6)
+    # Trace-subproblem solver: "mu" is the reference's multiplicative
+    # rule (/root/reference/Demix/dNMF.py:139-149); "fista" solves the
+    # same convex subproblem by Nesterov-accelerated projected gradient
+    # (ops.mu.nnls_temporal) — identical per-iteration cost, O(1/k^2)
+    # convergence where MU stalls on correlated (overlapping-neuron)
+    # Gram columns.
+    trace_solver: str = "mu"
     seed: int = 0
 
 
@@ -134,6 +144,11 @@ class RegistrationConfig:
     splits: int = 1
     splits_rig: Optional[int] = None
     splits_els: Optional[int] = None
+    # Frames seeding the initial template.  ``None`` = ALL frames, the
+    # reference's ``bin_median`` behavior (/root/reference/Demix/
+    # MotionCorrect.py:432-494); an integer caps host reads on very
+    # long streamed recordings (the template is iterated afterwards).
+    template_init_max_frames: Optional[int] = None
     strides: Tuple[int, ...] = (96, 96)
     overlaps: Tuple[int, ...] = (32, 32)
     upsample_factor_grid: int = 4

@@ -408,11 +408,13 @@ class DeformableNMF:
             self.state = sharded_footprint_update(
                 self.state, grams, c1, mesh=self._mesh, iters=iters,
                 gamma=self.opt_config.gamma_traces,
+                solver=self.opt_config.trace_solver,
             )
         else:
             self.state = model_lib.footprint_update(
                 self.state, grams, c1, iters=iters,
                 gamma=self.opt_config.gamma_traces,
+                solver=self.opt_config.trace_solver,
             )
         m = {"phase": "traces", "c_mean": float(jnp.mean(self.state.c))}
         self.metrics.append(m)
@@ -478,6 +480,7 @@ class DeformableNMF:
         # update_footprints, after motion has produced a real warp).
         self._gram_audited = False
         anneal = self.opt_config.sigma_anneal
+        plain_rounds = 0  # non-annealed rounds seen (sigma_every cadence)
         for r in range(rounds):
             factor = anneal[r] if r < len(anneal) else 1.0
             self.state = self.state._replace(
@@ -495,9 +498,14 @@ class DeformableNMF:
                 if self.opt_config.fit_sigma and factor == 1.0:
                     # Width fitting waits out the annealed (deliberately
                     # widened) rounds — fitting sigma there would just
-                    # undo the anneal.
-                    self.update_sigma(video_flat)
-                    self._check_finite("sigma")
+                    # undo the anneal — and runs every ``sigma_every``-th
+                    # plain round (the subsample gradient is cheap but
+                    # not free; measured cost notes in config.py).
+                    if plain_rounds % max(self.opt_config.sigma_every,
+                                          1) == 0:
+                        self.update_sigma(video_flat)
+                        self._check_finite("sigma")
+                    plain_rounds += 1
                 traces_m = self.update_footprints(video_flat)
                 self._check_finite("traces")
             entry = {
@@ -549,6 +557,7 @@ class DeformableNMF:
                 use_pallas=self._use_pallas,
                 gram_mode=self._gram_mode,
                 gram_window=self._gram_window(),
+                trace_solver=self.opt_config.trace_solver,
             )
         else:
             self.state, pos_t, m = refine_lib.refined_rounds(
@@ -560,6 +569,7 @@ class DeformableNMF:
                 use_pallas=self._use_pallas,
                 gram_mode=self._gram_mode,
                 gram_window=self._gram_window(),
+                trace_solver=self.opt_config.trace_solver,
             )
         self.pos_t = pos_t
         self._check_finite("refine")
@@ -606,6 +616,7 @@ class DeformableNMF:
             use_pallas=self._use_pallas,
             gram_mode=self._gram_mode,
             gram_window=self._gram_window(),
+            trace_solver=self.opt_config.trace_solver,
         )
         for r in range(rounds):
             self.metrics.append({

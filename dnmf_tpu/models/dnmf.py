@@ -624,7 +624,7 @@ def compute_grams(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "gamma"),
+    jax.jit, static_argnames=("iters", "gamma", "solver"),
 )
 def footprint_update(
     state: DNMFState,
@@ -632,12 +632,26 @@ def footprint_update(
     c1: jnp.ndarray,
     iters: int,
     gamma: float = 0.0,
+    solver: str = "mu",
 ) -> DNMFState:
-    """``iters`` multiplicative trace updates on precomputed Grams
-    (replaces reference ``update_footprints``'s host NumPy loop)."""
-    c = mu_ops.run_mu_temporal(
-        state.c, grams, c1, iters=iters, gamma=gamma if gamma else None
-    )
+    """``iters`` trace updates on precomputed Grams (replaces reference
+    ``update_footprints``'s host NumPy loop).
+
+    ``solver="mu"`` is the reference's multiplicative rule
+    (``/root/reference/Demix/dNMF.py:139-149``); ``"fista"`` solves the
+    same convex subproblem by accelerated projected gradient
+    (:func:`dnmf_tpu.ops.mu.nnls_temporal`) — same per-iteration cost,
+    O(1/k^2) convergence on correlated (overlapping-neuron) Grams.
+    """
+    g = gamma if gamma else None
+    if solver == "mu":
+        c = mu_ops.run_mu_temporal(state.c, grams, c1, iters=iters,
+                                   gamma=g)
+    elif solver == "fista":
+        c = mu_ops.nnls_temporal(state.c, grams, c1, iters=iters,
+                                 gamma=g)
+    else:
+        raise ValueError(f"unknown trace solver: {solver!r}")
     return state._replace(c=c)
 
 
@@ -943,7 +957,8 @@ def compute_grams_streaming(
     jax.jit,
     static_argnames=("model", "optimizer", "rounds", "epochs", "mu_iters",
                      "gamma", "mu_gamma", "frame_block", "use_pallas",
-                     "pallas_interpret", "gram_mode", "gram_window"),
+                     "pallas_interpret", "gram_mode", "gram_window",
+                     "trace_solver"),
 )
 def fused_rounds(
     state: DNMFState,
@@ -960,6 +975,7 @@ def fused_rounds(
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
     gram_window: Optional[int] = None,
+    trace_solver: str = "mu",
 ) -> Tuple[DNMFState, dict]:
     """The full alternation schedule as ONE compiled program.
 
@@ -970,6 +986,8 @@ def fused_rounds(
     swaps the Gram pixel reduction for the closed form
     (:mod:`dnmf_tpu.ops.gram_analytic`).
     """
+    if trace_solver not in ("mu", "fista"):
+        raise ValueError(f"unknown trace solver: {trace_solver!r}")
 
     def one_epoch(st, _):
         grads, mses, regs = frame_grads_local(
@@ -990,10 +1008,13 @@ def fused_rounds(
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
             gram_mode=gram_mode, gram_window=gram_window,
         )
-        c = mu_ops.run_mu_temporal(
-            st.c, grams, c1, iters=mu_iters,
-            gamma=mu_gamma if mu_gamma else None,
-        )
+        mg = mu_gamma if mu_gamma else None
+        if trace_solver == "fista":
+            c = mu_ops.nnls_temporal(st.c, grams, c1, iters=mu_iters,
+                                     gamma=mg)
+        else:
+            c = mu_ops.run_mu_temporal(st.c, grams, c1, iters=mu_iters,
+                                       gamma=mg)
         st = st._replace(c=c)
         return st, {"recon_mse": mses[-1], "reg": regs[-1]}
 

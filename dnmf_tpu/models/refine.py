@@ -64,18 +64,20 @@ def _tracked_frame_footprints(beta_t, pos_t, sigma, model, vb):
     )
 
 
-def _refine_tuning(num_neurons: int):
-    """kblock/tile_p for the fused refinement kernels — the dbeta
-    kernels' sweep optima, shared so a re-tune applies everywhere; a
-    measured ``culled_refine`` cache entry overrides both."""
+def _refine_tuning(num_neurons: int) -> dict:
+    """Fused-refinement kernel parameters: the dbeta kernels' sweep
+    optima as the static fallback, overridden by any measured
+    ``culled_refine`` cache entry (kblock / tile_p / frames_per_step —
+    ``tools/autotune.py`` sweeps all three)."""
     from dnmf_tpu.models.dnmf import _CulledShim
     from dnmf_tpu.ops import tuning
 
     kb, tp = _CulledShim._tuning(num_neurons)
+    params = {"kblock": kb, "tile_p": tp}
     ent = tuning.lookup("culled_refine", k=int(num_neurons))
     if ent:
-        return ent.get("kblock", kb), ent.get("tile_p", tp)
-    return kb, tp
+        params.update(ent)
+    return params
 
 
 @functools.partial(
@@ -128,7 +130,7 @@ def refine_positions(
                              "footprints")
         from dnmf_tpu.ops import pallas_culled as pc
 
-        kb, tp = _refine_tuning(k)
+        tune = _refine_tuning(k)
         c_t = state.c.T  # [T, K]
 
         def epoch_fused(carry, _):
@@ -136,7 +138,7 @@ def refine_positions(
             mses, dpos = pc.refine_block_culled(
                 state.beta, pos_all, state.sigma, c_t, video_flat,
                 model.size, scaling=model.deformation.basis_scaling,
-                tile_p=tp, kblock=kb, interpret=pallas_interpret,
+                interpret=pallas_interpret, **tune,
             )
             # Anchor-tether gradient: d/dpos mean_k |pos - anchor|^2.
             g_all = dpos + (2.0 * prior / k) * (pos_all - anchors[None])
@@ -243,7 +245,8 @@ def tracked_grams(
                              "footprints")
         from dnmf_tpu.ops import pallas_culled as pc
 
-        kb, tp = _refine_tuning(state.pos.shape[0])
+        tune = _refine_tuning(state.pos.shape[0])
+        kb, tp = tune["kblock"], tune["tile_p"]
         if analytic_g:
             c1 = pc.c1_block_culled(
                 state.beta, pos_t, state.sigma, video_flat, model.size,
@@ -305,12 +308,19 @@ def refined_rounds(
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
     gram_window=None,
+    trace_solver: str = "mu",
 ) -> Tuple[DNMFState, jnp.ndarray, dict]:
-    """Alternate position refinement with tracked-Gram MU trace updates.
+    """Alternate position refinement with tracked-Gram trace updates.
 
     Returns ``(state with updated C, pos_t, metrics)`` — beta and the
     anchors are untouched; ``pos_t`` holds the per-frame refinement.
+    ``trace_solver="fista"`` swaps the MU trace updates for the
+    accelerated projected-gradient solve (ops.mu.nnls_temporal) — the
+    refinement phase targets exactly the overlapping-neuron tail where
+    MU's convergence degrades.
     """
+    if trace_solver not in ("mu", "fista"):
+        raise ValueError(f"unknown trace solver: {trace_solver!r}")
     metrics = {}
     for _ in range(rounds):
         pos_t, metrics = refine_positions(
@@ -325,6 +335,9 @@ def refined_rounds(
                               pallas_interpret=pallas_interpret,
                               gram_mode=gram_mode,
                               gram_window=gram_window)
-        c = mu_ops.run_mu_temporal(state.c, g, c1, iters=mu_iters)
+        if trace_solver == "fista":
+            c = mu_ops.nnls_temporal(state.c, g, c1, iters=mu_iters)
+        else:
+            c = mu_ops.run_mu_temporal(state.c, g, c1, iters=mu_iters)
         state = state._replace(c=c)
     return state, pos_t, metrics

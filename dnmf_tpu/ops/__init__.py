@@ -22,9 +22,11 @@ from dnmf_tpu.ops.gram_analytic import (
 )
 from dnmf_tpu.ops.jacobian import log_det_jacobian, quadratic_jacobian
 from dnmf_tpu.ops.mu import (
+    gram_lipschitz,
     mu_grams,
     mu_spatial_step,
     mu_temporal_step,
+    nnls_temporal,
     run_mu_temporal,
 )
 from dnmf_tpu.ops.resample import trilinear_resample
@@ -44,9 +46,11 @@ __all__ = [
     "analytic_grams_tracked",
     "log_det_jacobian",
     "quadratic_jacobian",
+    "gram_lipschitz",
     "mu_grams",
     "mu_spatial_step",
     "mu_temporal_step",
+    "nnls_temporal",
     "run_mu_temporal",
     "trilinear_resample",
 ]

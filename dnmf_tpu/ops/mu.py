@@ -122,6 +122,97 @@ def run_mu_temporal(
     return out
 
 
+def gram_lipschitz(grams: jnp.ndarray, gamma: Optional[float] = None,
+                   power_iters: int = 12) -> jnp.ndarray:
+    """Lipschitz constant of the trace-subproblem gradient.
+
+    ``max_t lambda_max(G_t)`` by batched power iteration (Grams are
+    PSD, so the dominant eigenvalue is the spectral norm), plus the
+    temporal Laplacian's ``4*gamma`` when smoothing is on.  Cost is
+    ``O(power_iters * T * K^2)`` — a fraction of one MU iteration
+    sweep — and a 1.02 safety factor absorbs the truncation.
+    """
+    t, k, _ = grams.shape
+    # Derive the seed from grams (ones_like) so it inherits grams'
+    # varying-manual-axes annotation under shard_map.
+    v = jnp.ones_like(grams[:, :, 0]) / jnp.sqrt(
+        jnp.asarray(k, grams.dtype))
+
+    def body(v, _):
+        w = jnp.einsum("tkl,tl->tk", grams, v,
+                       preferred_element_type=jnp.float32)
+        n = jnp.linalg.norm(w, axis=1, keepdims=True)
+        return w / jnp.maximum(n, 1e-30), n[:, 0]
+
+    v, norms = jax.lax.scan(body, v, None, length=power_iters)
+    lmax = jnp.max(norms[-1]) * 1.02
+    if gamma:
+        lmax = lmax + 4.0 * gamma
+    return jnp.maximum(lmax, 1e-12)
+
+
+def nnls_temporal(
+    c: jnp.ndarray,
+    grams: jnp.ndarray,
+    c1: jnp.ndarray,
+    iters: int,
+    gamma: Optional[float] = None,
+    lipschitz: Optional[jnp.ndarray] = None,
+    halo_fn=None,
+) -> jnp.ndarray:
+    """FISTA solve of the convex trace subproblem (BEYOND the reference).
+
+    With footprints fixed, the trace update minimizes the CONVEX
+    ``f(C) = sum_t (1/2 c_t^T G_t c_t - c1_t^T c_t)
+    (+ gamma * sum_t ||c_t - c_{t+1}||^2)`` over ``C >= 0`` — the same
+    objective the multiplicative rule descends (reference
+    ``/root/reference/Demix/dNMF.py:139-149``).  MU's per-iteration
+    contraction degrades as Gram columns correlate (overlapping
+    neurons: at 3.8 px separation with sigma=3 the cross term is ~0.66
+    of the diagonal, and 50 MU iterations leave percent-level crosstalk
+    in the traces).  Nesterov-accelerated projected gradient converges
+    at O(1/k^2) REGARDLESS of that correlation, at identical
+    per-iteration cost (the same ``[T,K,K]x[K,T]`` einsum).
+
+    Matches MU's stationary points exactly (same KKT system).
+
+    ``halo_fn`` (frame-sharded callers): given the current ``[K, Tl]``
+    iterate, returns ``(left_col, right_col)`` neighbor columns from
+    adjacent shards (see :func:`mu_temporal_step`'s ``halo``); the
+    smoothing gradient then couples correctly across shard edges.
+    ``lipschitz`` must then be the GLOBAL constant (``pmax`` of local
+    :func:`gram_lipschitz` estimates).
+    """
+    lv = lipschitz if lipschitz is not None else gram_lipschitz(
+        grams, gamma)
+    inv_l = 1.0 / lv
+
+    def grad(x):
+        g = jnp.einsum("tkl,lt->kt", grams, x,
+                       preferred_element_type=jnp.float32) - c1.T
+        if gamma is not None and gamma != 0.0:
+            if halo_fn is None:
+                reg = _neighbor_sum(x)
+            else:
+                left_col, right_col = halo_fn(x)
+                reg = (jnp.concatenate([left_col[:, None], x[:, :-1]], 1)
+                       + jnp.concatenate([x[:, 1:], right_col[:, None]],
+                                         1))
+            g = g + gamma * (2.0 * x - reg)
+        return g
+
+    def body(carry, _):
+        c_prev, y_c, tk = carry
+        c_new = jnp.maximum(y_c - inv_l * grad(y_c), 0.0)
+        tk1 = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk))
+        y_new = c_new + ((tk - 1.0) / tk1) * (c_new - c_prev)
+        return (c_new, y_new, tk1), None
+
+    init = (c, c, jnp.asarray(1.0, c.dtype))
+    (c_out, _, _), _ = jax.lax.scan(body, init, None, length=iters)
+    return c_out
+
+
 def mu_spatial_step(
     a: jnp.ndarray,
     c: jnp.ndarray,

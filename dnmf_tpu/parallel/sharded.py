@@ -223,7 +223,7 @@ def sharded_compute_grams(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "gamma", "mesh")
+    jax.jit, static_argnames=("iters", "gamma", "mesh", "solver")
 )
 def sharded_footprint_update(
     state: model_lib.DNMFState,
@@ -232,35 +232,58 @@ def sharded_footprint_update(
     mesh: Mesh,
     iters: int,
     gamma: float = 0.0,
+    solver: str = "mu",
 ) -> model_lib.DNMFState:
-    """Frame-sharded MU iterations with a +-1-frame ``ppermute`` halo."""
+    """Frame-sharded trace updates with a +-1-frame ``ppermute`` halo.
+
+    ``solver="mu"`` iterates the reference's multiplicative rule;
+    ``"fista"`` runs the accelerated projected-gradient solve
+    (:func:`dnmf_tpu.ops.mu.nnls_temporal`) — the smoothing gradient
+    uses the same halo exchange, and the Lipschitz constant is the
+    ``pmax`` of per-shard power-iteration estimates (the objective is
+    frame-separable apart from the temporal Laplacian, whose ``4*gamma``
+    bound is added after the reduction).
+    """
+    if solver not in ("mu", "fista"):
+        raise ValueError(f"unknown trace solver: {solver!r}")
     specs = _state_specs(state)
     n_time = mesh.shape[TIME_AXIS]
 
     def local_fn(state_loc, grams_loc, c1_loc):
         idx = jax.lax.axis_index(TIME_AXIS)
 
-        def one_iter(c_loc, _):
+        def edge_halo(c_loc):
+            from_left = jax.lax.ppermute(
+                c_loc[:, -1], TIME_AXIS,
+                [(i, i + 1) for i in range(n_time - 1)],
+            )
+            from_right = jax.lax.ppermute(
+                c_loc[:, 0], TIME_AXIS,
+                [(i + 1, i) for i in range(n_time - 1)],
+            )
+            left_col = jnp.where(idx == 0, c_loc[:, 0], from_left)
+            right_col = jnp.where(
+                idx == n_time - 1, c_loc[:, -1], from_right
+            )
+            return left_col, right_col
+
+        if solver == "fista":
+            l_loc = mu_ops.gram_lipschitz(grams_loc)
+            l_glob = jax.lax.pmax(l_loc, TIME_AXIS)
             if gamma:
-                # Halo: receive right-edge column of the left neighbor and
-                # left-edge column of the right neighbor.
-                from_left = jax.lax.ppermute(
-                    c_loc[:, -1], TIME_AXIS,
-                    [(i, i + 1) for i in range(n_time - 1)],
-                )
-                from_right = jax.lax.ppermute(
-                    c_loc[:, 0], TIME_AXIS,
-                    [(i + 1, i) for i in range(n_time - 1)],
-                )
-                # Global edges: replicate own edge column (reference
-                # edge-replication semantics).
-                left_col = jnp.where(idx == 0, c_loc[:, 0], from_left)
-                right_col = jnp.where(
-                    idx == n_time - 1, c_loc[:, -1], from_right
-                )
-                halo = (left_col, right_col)
-            else:
-                halo = None
+                l_glob = l_glob + 4.0 * gamma
+            c_out = mu_ops.nnls_temporal(
+                state_loc.c, grams_loc, c1_loc, iters=iters,
+                gamma=gamma if gamma else None, lipschitz=l_glob,
+                halo_fn=edge_halo if gamma else None,
+            )
+            return state_loc._replace(c=c_out)
+
+        def one_iter(c_loc, _):
+            # Halo: right-edge column of the left neighbor + left-edge
+            # column of the right neighbor; global edges replicate own
+            # edge column (reference edge-replication semantics).
+            halo = edge_halo(c_loc) if gamma else None
             c_new = mu_ops.mu_temporal_step(
                 c_loc, grams_loc, c1_loc,
                 gamma=gamma if gamma else None, halo=halo,
@@ -283,7 +306,7 @@ def sharded_footprint_update(
     static_argnames=("model", "mesh", "rounds", "epochs", "mu_iters",
                      "learning_rate", "prior", "frame_block",
                      "use_pallas", "pallas_interpret", "gram_mode",
-                     "gram_window"),
+                     "gram_window", "trace_solver"),
 )
 def sharded_refined_rounds(
     state: model_lib.DNMFState,
@@ -301,6 +324,7 @@ def sharded_refined_rounds(
     pallas_interpret: bool = False,
     gram_mode: str = "exact",
     gram_window=None,
+    trace_solver: str = "mu",
 ):
     """Frame-sharded per-frame position refinement + tracked-Gram MU.
 
@@ -314,6 +338,12 @@ def sharded_refined_rounds(
 
     Requires a time-only mesh (``pixel`` axis of size 1): the refinement
     loss reduces over whole frames.
+
+    ``trace_solver="fista"`` stays zero-communication: without temporal
+    smoothing the per-frame problems decouple, so each shard's (tighter)
+    local Lipschitz estimate is valid — iterate trajectories differ
+    slightly from the single-device run but converge to the same
+    optimum.
     """
     from dnmf_tpu.models import refine as refine_lib
 
@@ -334,6 +364,7 @@ def sharded_refined_rounds(
             frame_block=frame_block, pos_t=pos_loc,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
             gram_mode=gram_mode, gram_window=gram_window,
+            trace_solver=trace_solver,
         )
         return st, p_t, metrics
 

@@ -77,6 +77,25 @@ def test_trace_recovery_static_positions():
     assert np.all(corr > 0.8), corr
 
 
+def test_trace_recovery_fista_solver():
+    """trace_solver='fista' recovers at least as well as MU at the same
+    iteration budget, through the engine surface (single device)."""
+    import dataclasses
+
+    ds = _dataset()
+    eng = _engine(ds)
+    eng.opt_config = dataclasses.replace(eng.opt_config,
+                                         trace_solver="fista")
+    eng.update_footprints(ds, iters=50)
+    corr_f = trace_correlations(eng.traces, np.asarray(ds.traces))
+
+    eng_mu = _engine(ds)
+    eng_mu.update_footprints(ds, iters=50)
+    corr_mu = trace_correlations(eng_mu.traces, np.asarray(ds.traces))
+    assert np.all(corr_f > 0.8), corr_f
+    assert np.min(corr_f) >= np.min(corr_mu) - 1e-3, (corr_f, corr_mu)
+
+
 def test_motion_fit_reduces_loss_parallel():
     ds = _dataset(drift=1.0)
     eng = _engine(ds)

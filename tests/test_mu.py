@@ -76,6 +76,77 @@ def test_nonnegativity_preserved(rng):
     assert np.all(np.asarray(out) >= 0)
 
 
+def test_nnls_matches_exact_per_frame_solution(rng):
+    """FISTA converges to the per-frame exact NNLS solution (the convex
+    subproblem's unique-enough optimum) where MU at the same iteration
+    count still carries crosstalk."""
+    from scipy.optimize import nnls as scipy_nnls
+
+    # Strongly correlated columns: two near-duplicate footprints.
+    p, k, t = 60, 4, 5
+    a = rng.uniform(size=(p, k))
+    a[:, 1] = a[:, 0] + 0.15 * rng.uniform(size=p)  # heavy overlap
+    a_t = np.repeat(a[:, :, None], t, axis=2)
+    c = rng.uniform(0.1, 1.0, size=(k, t))
+    y = rng.uniform(size=(p, t))
+    grams, c1 = _grams(a_t, y)
+
+    ours = mu.nnls_temporal(jnp.asarray(c), grams, c1, iters=2000)
+    exact = np.stack(
+        [scipy_nnls(a, y[:, i])[0] for i in range(t)], axis=1)
+    # Near-duplicate columns leave the minimizer nearly degenerate
+    # along (e_0 - e_1); iterates converge slower than the objective.
+    np.testing.assert_allclose(np.asarray(ours), exact, rtol=5e-3,
+                               atol=5e-4)
+
+
+def test_nnls_smoothed_matches_mu_fixed_point(rng):
+    """With temporal smoothing on, FISTA and (long-run) MU minimize the
+    same objective — their solutions agree."""
+    a_t, c, y = _setup(rng)
+    grams, c1 = _grams(a_t, y)
+    via_mu = mu.run_mu_temporal(jnp.asarray(c), grams, c1, iters=4000,
+                                gamma=0.2)
+    via_fista = mu.nnls_temporal(jnp.asarray(c), grams, c1, iters=300,
+                                 gamma=0.2)
+    np.testing.assert_allclose(np.asarray(via_fista), np.asarray(via_mu),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_nnls_beats_mu_on_overlapping_neurons(rng):
+    """The motivating case: at equal iteration budget, FISTA's objective
+    is <= MU's on a correlated Gram (overlapping neurons)."""
+    p, k, t = 80, 6, 8
+    a = rng.uniform(size=(p, k))
+    a[:, 1] = a[:, 0] + 0.1 * rng.uniform(size=p)
+    a[:, 3] = a[:, 2] + 0.1 * rng.uniform(size=p)
+    a_t = np.repeat(a[:, :, None], t, axis=2)
+    c0 = rng.uniform(0.1, 1.0, size=(k, t))
+    y = rng.uniform(size=(p, t))
+    grams, c1 = _grams(a_t, y)
+
+    def obj(cm):
+        cm = np.asarray(cm)
+        g = np.asarray(grams)
+        q = np.einsum("kt,tkl,lt->", cm, g, cm)
+        return 0.5 * q - np.sum(np.asarray(c1).T * cm)
+
+    c_mu = mu.run_mu_temporal(jnp.asarray(c0), grams, c1, iters=50)
+    c_f = mu.nnls_temporal(jnp.asarray(c0), grams, c1, iters=50)
+    assert obj(c_f) <= obj(c_mu) + 1e-9
+    assert np.all(np.asarray(c_f) >= 0)
+
+
+def test_gram_lipschitz_bounds_spectrum(rng):
+    a_t, _, y = _setup(rng, p=50, k=5, t=7)
+    grams, _ = _grams(a_t, y)
+    lv = float(mu.gram_lipschitz(grams))
+    eigmax = max(np.linalg.eigvalsh(np.asarray(g)).max()
+                 for g in np.asarray(grams))
+    assert lv >= eigmax * 0.999  # safety factor covers truncation
+    assert lv <= eigmax * 1.05
+
+
 def test_spatial_step_matches_reference_equations(rng):
     p, k, t = 30, 4, 6
     a = rng.uniform(size=(p, k))

@@ -95,6 +95,25 @@ def test_sharded_mu_no_smoothing_matches():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_fista_with_halo_matches_single_device():
+    """FISTA under frame sharding == single-device FISTA: the smoothing
+    gradient's halo exchange AND the pmax'd global Lipschitz must both
+    be right for the iterates to match bit-for-bit-ish."""
+    model, optimizer, state, video = _setup()
+    mesh = make_mesh(num_time=8)
+    grams, c1 = M.compute_grams(state, video, model, frame_block=4)
+    for gamma in (0.0, 0.05):
+        ref = M.footprint_update(state, grams, c1, iters=25,
+                                 gamma=gamma, solver="fista")
+        sh = sharded_footprint_update(
+            shard_state(state, mesh), shard_video(grams, mesh),
+            shard_video(c1, mesh), mesh=mesh, iters=25, gamma=gamma,
+            solver="fista",
+        )
+        np.testing.assert_allclose(np.asarray(sh.c), np.asarray(ref.c),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_mesh_construction():
     mesh = make_mesh(num_time=4, num_batch=2)
     assert mesh.shape == {"batch": 2, "time": 4, "pixel": 1}

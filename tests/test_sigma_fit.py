@@ -104,7 +104,7 @@ def _engine(video0, pos, fit_sigma, rounds=4, k=K, t=T):
                           mu_iters=30, gamma_motion=0.1,
                           fit_sigma=fit_sigma, sigma_steps=20,
                           sigma_lr=0.05, sigma_frames=t,
-                          sigma_bounds=(0.5, 1.6))
+                          sigma_every=1, sigma_bounds=(0.5, 1.6))
     eng = DeformableNMF(model, opt, RuntimeConfig(frame_block=8),
                         positions=pos)
     eng.fit(video0, rounds=rounds)

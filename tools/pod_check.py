@@ -141,6 +141,18 @@ def run_all(n_devices: int | None = None, compiled_pallas: bool = False,
                                    rtol=1e-4, atol=1e-6)
     check("MU ppermute halo (sharded == single)", _halo)
 
+    # 3b. FISTA trace solve: the smoothing halo AND the pmax'd global
+    #     Lipschitz must both be right for iterates to match.
+    def _fista():
+        ref = M.footprint_update(state, grams, c1, iters=20, gamma=0.05,
+                                 solver="fista")
+        sh = sharded_footprint_update(
+            s_state, shard_video(grams, mesh), shard_video(c1, mesh),
+            mesh=mesh, iters=20, gamma=0.05, solver="fista")
+        np.testing.assert_allclose(np.asarray(sh.c), np.asarray(ref.c),
+                                   rtol=1e-4, atol=1e-6)
+    check("FISTA halo + pmax Lipschitz (sharded == single)", _fista)
+
     # 4. Fused Pallas kernels inside shard_map.
     def _pallas():
         sh_g, _ = sharded_compute_grams(
