@@ -143,6 +143,8 @@ def test_gram_dispatch_honors_pipelined_promotion(cache, rng):
 def test_refine_tuning_override(cache):
     from dnmf_tpu.models.refine import _refine_tuning
 
-    assert _refine_tuning(200) == (40, 4096)
-    tuning.record("culled_refine", {"k": 200}, {"kblock": 64}, 1.0, "d")
-    assert _refine_tuning(200) == (64, 4096)
+    assert _refine_tuning(200) == {"kblock": 40, "tile_p": 4096}
+    tuning.record("culled_refine", {"k": 200},
+                  {"kblock": 64, "frames_per_step": 2}, 1.0, "d")
+    assert _refine_tuning(200) == {"kblock": 64, "tile_p": 4096,
+                                   "frames_per_step": 2}

@@ -187,11 +187,12 @@ def main():
                     betas_j, pos_j, sigma_j, c_t, y_j, size, **params)
             return run
 
-        cands = [{"kblock": kb, "tile_p": 4096}
-                 for kb in sorted({40, 64, kb0})]
+        cands = [{"kblock": kb, "tile_p": 4096, "frames_per_step": f}
+                 for kb in sorted({40, 64, kb0})
+                 for f in (2, 4, 8)]
         all_results["motion"] = run_section(
             "motion", "culled_motion", {"k": k}, cands, build_motion,
-            {"kblock": kb0, "tile_p": 4096})
+            {"kblock": kb0, "tile_p": 4096, "frames_per_step": 8})
 
     if "refine" in sections:
         pos_all = jnp.broadcast_to(pos_j[None], (b, k, 3))
@@ -203,11 +204,35 @@ def main():
                     **params)
             return run
 
-        cands = [{"kblock": kb, "tile_p": 4096}
-                 for kb in sorted({40, 64, kb0})]
+        # frames_per_step matters here: the kernel's own default (8)
+        # predates the Gram kernel's measured F-cliff (F=4 lost 3x to
+        # the VMEM working set) — sweep it alongside the block shape.
+        cands = [{"kblock": kb, "tile_p": 4096, "frames_per_step": f}
+                 for kb in sorted({40, 64, kb0})
+                 for f in (1, 2, 4, 8)]
+        cands += [{"kblock": 40, "tile_p": tp, "frames_per_step": f}
+                  for tp in (2048, 8192)
+                  for f in (2, 4)]
+        # Round-4 extension around the k=200 winner (fps=2, kb=40,
+        # tp=8192 -> 5.71 ms/frame): narrower/wider neuron blocks and
+        # taller tiles chase the last 4% to the <= 5.5 target.
+        cands += [{"kblock": kb, "tile_p": tp, "frames_per_step": f}
+                  for kb in (32, 48)
+                  for tp in (8192,)
+                  for f in (1, 2)]
+        cands += [{"kblock": 40, "tile_p": 16384, "frames_per_step": f}
+                  for f in (1, 2)]
+        # Second extension around the measured kb=32/tp=8192/fps=2
+        # winner (5.55 ms/frame): narrower neuron blocks at the same
+        # tile height, and the winner's shape one fps step up.
+        cands += [{"kblock": kb, "tile_p": 8192, "frames_per_step": 2}
+                  for kb in (24, 28, 36)]
+        cands += [{"kblock": 32, "tile_p": 8192, "frames_per_step": 4},
+                  {"kblock": 32, "tile_p": 16384, "frames_per_step": 1},
+                  {"kblock": 32, "tile_p": 16384, "frames_per_step": 2}]
         all_results["refine"] = run_section(
             "refine", "culled_refine", {"k": k}, cands, build_refine,
-            {"kblock": kb0, "tile_p": 4096})
+            {"kblock": kb0, "tile_p": 4096, "frames_per_step": 8})
 
     if "warp" in sections:
         m, n, z = size

@@ -51,8 +51,11 @@ def run_config4(frames: int = 48, rounds: int = 5, epochs: int = 6,
                     "tunnel cannot stream config-4 IO — see docstring)",
         "protocol": f"{rounds}x({epochs} epochs + {mu_iters} MU), "
                     f"rigid-seeded, grams={gram_mode}"
-                    + (f", fit_sigma (GT spread {sigma_spread})"
-                       if fit_sigma or sigma_spread else ""),
+                    + (f", GT sigma spread {sigma_spread}"
+                       if sigma_spread else "")
+                    + (", fit_sigma" if fit_sigma
+                       else (", sigma FROZEN (reference behavior)"
+                             if sigma_spread else "")),
         "sigma_err_px": round(r["sigma_err"], 4),
         "synth_s": round(r["synth_s"], 1),
         "registration_seed_s": round(r["reg_s"], 1),

@@ -60,6 +60,15 @@ def main():
                     choices=["grid", "pipe"],
                     help="grid | pipe (manually-pipelined kernel; "
                          "--tps values are reused as nbuf depths)")
+    ap.add_argument("--cluster", action="store_true",
+                    help="cluster all neurons into one 64px-wide ball "
+                         "(maximal culling: nearly every tile skips "
+                         "every block) — compared against the default "
+                         "spread layout this measures how much of the "
+                         "kernel's time culling can touch at all; if "
+                         "clustered == spread the kernel is pure "
+                         "per-step machinery and a neuron-major layout "
+                         "(which multiplies tile visits) cannot win")
     args = ap.parse_args()
 
     b, k = args.frames, args.k
@@ -68,7 +77,10 @@ def main():
     betas = np.zeros((b, 10, 3), dtype=np.float32)
     betas[:, 1, 0] = betas[:, 2, 1] = betas[:, 3, 2] = 1.0
     betas += rng.normal(0, 0.01, betas.shape).astype(np.float32)
-    pos = rng.uniform(10, 500, (k, 3)).astype(np.float32)
+    if args.cluster:
+        pos = rng.uniform(224, 288, (k, 3)).astype(np.float32)
+    else:
+        pos = rng.uniform(10, 500, (k, 3)).astype(np.float32)
     pos[:, 2] = rng.uniform(2, 18, k)
     sigma = np.full((k,), 3.0, dtype=np.float32)
     y = rng.random((b, p), dtype=np.float32)
