@@ -512,6 +512,94 @@ def apply_shifts_fourier(
     return out
 
 
+def _keys_cubic_weights(f: jnp.ndarray) -> jnp.ndarray:
+    """4-tap Keys cubic-convolution weights at fractional offset ``f``.
+
+    ``a = -0.5`` — the classical Keys (1981) kernel and OpenCV's
+    ``INTER_CUBIC``, matching the reference's ``cv2.warpAffine`` apply
+    path (``/root/reference/Demix/MotionCorrect.py:387-426``).  Taps
+    sit at lattice offsets ``{-1, 0, 1, 2}`` around the sample; their
+    distances are ``{1+f, f, 1-f, 2-f}``.  Exactly reproduces
+    polynomials of degree <= 2 (third-order accurate).
+    """
+    a = -0.5
+    d = jnp.stack([f + 1.0, f, 1.0 - f, 2.0 - f])
+    near = (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0        # |d| <= 1
+    far = a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a  # 1 < |d| < 2
+    return jnp.where(d <= 1.0, near, far)
+
+
+def apply_shifts_cubic(
+    src: jnp.ndarray,
+    shifts: jnp.ndarray,
+    border_nan="min",
+) -> jnp.ndarray:
+    """Translate an image/volume by fractional ``shifts`` with separable
+    Keys cubic convolution — the spatial-domain analog of the
+    reference's ``apply_shift_iteration`` (``cv2.warpAffine`` +
+    ``INTER_CUBIC`` + border-min fill,
+    ``/root/reference/Demix/MotionCorrect.py:387-426``), whereas
+    :func:`apply_shifts_fourier` is the phase-ramp path.
+
+    Same shift convention as the Fourier apply: ``out[x] = src[x - s]``
+    (content moves by ``+s``).  Pure translations are separable, so the
+    kernel applies axis-by-axis: 4 gathers + a weighted sum per axis —
+    O(4 * ndim * P), bandwidth-bound, jit/vmap-friendly (``shifts`` may
+    be traced).
+
+    ``border_nan``: ``"min"`` (reference ``cv2`` border-constant fill
+    with the frame min — the default here to match it), ``True`` (NaN
+    fill), ``"copy"`` (replicate edge), ``False`` (wrap around).
+    """
+    out = src.astype(jnp.float32)
+    shifts = jnp.asarray(shifts, dtype=jnp.float32)
+    ndim = out.ndim
+    if border_nan == "min":
+        fill = jnp.min(out)
+    elif border_nan is True:
+        fill = jnp.nan
+    else:
+        fill = None  # "copy" / False need no constant
+    for d in range(ndim):
+        n = out.shape[d]
+        s = shifts[d]
+        base = jnp.floor(-s)
+        f = -s - base
+        w = _keys_cubic_weights(f)
+        idx0 = jnp.arange(n) + base.astype(jnp.int32)
+        acc = jnp.zeros_like(out)
+        fill_w = jnp.zeros((n,), jnp.float32)  # constant-border weight
+        for m in range(-1, 3):
+            idx = idx0 + m
+            if border_nan is False:
+                tap = jnp.take(out, jnp.mod(idx, n), axis=d)
+            elif border_nan == "copy":
+                tap = jnp.take(out, jnp.clip(idx, 0, n - 1), axis=d)
+            else:
+                # Constant border: accumulate the out-of-range weight
+                # separately and add `fill` ONCE at the end — weighting
+                # a NaN fill per-tap would poison zero-weight taps
+                # (0 * nan = nan).
+                valid = (idx >= 0) & (idx < n)
+                tap = jnp.take(out, jnp.clip(idx, 0, n - 1), axis=d)
+                sd = [1] * ndim
+                sd[d] = n
+                tap = jnp.where(valid.reshape(sd), tap, 0.0)
+                fill_w = fill_w + jnp.where(valid, 0.0, w[m + 1])
+            acc = acc + w[m + 1] * tap
+        if fill is not None:
+            sd = [1] * ndim
+            sd[d] = n
+            # Where any border weight accrued, blend in the constant;
+            # a NaN fill must override the partial sum entirely.
+            if border_nan is True:
+                acc = jnp.where((fill_w > 0).reshape(sd), jnp.nan, acc)
+            else:
+                acc = acc + (fill_w.reshape(sd)) * fill
+        out = acc
+    return out
+
+
 def bin_median(video: jnp.ndarray, window: int = 10,
                exclude_nans: bool = True) -> jnp.ndarray:
     """Template initializer: median over window-binned means

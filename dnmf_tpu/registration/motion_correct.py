@@ -310,7 +310,8 @@ def _apply_remap_field(img, rigid_shts, patch_shifts, grid_shape,
 # ----------------------------------------------------------------------
 @functools.partial(
     jax.jit,
-    static_argnames=("max_shifts", "upsample_factor", "border_nan"),
+    static_argnames=("max_shifts", "upsample_factor", "border_nan",
+                     "apply_mode"),
 )
 def rigid_correct_frames(
     frames: jnp.ndarray,
@@ -319,16 +320,25 @@ def rigid_correct_frames(
     upsample_factor: int = 10,
     border_nan=True,
     add_to_movie: float = 0.0,
+    apply_mode: str = "fourier",
 ):
     """Rigid-register a block of frames against a template.
 
     Args:
       frames: ``[B, ...spatial]``.
+      apply_mode: ``"fourier"`` (phase-ramp apply, the default) or
+        ``"cubic"`` (separable Keys cubic convolution — the spatial-
+        domain analog of the reference's ``apply_shift_iteration``
+        cv2.warpAffine INTER_CUBIC path with border-min fill,
+        ``/root/reference/Demix/MotionCorrect.py:387-426``; forces the
+        "min" border policy like the reference does).
 
     Returns:
       ``(corrected [B, ...], shifts [B, nd])`` — ``shifts`` is the
       *correction applied* (the reference's reported ``-rigid_shts``).
     """
+    if apply_mode not in ("fourier", "cubic"):
+        raise ValueError(f"unknown apply_mode: {apply_mode!r}")
     template = template + add_to_movie
     real_shape = frames.shape[1:]
     # Template transform once per block, not once per vmapped frame,
@@ -350,7 +360,11 @@ def rigid_correct_frames(
             frame, template_freq, upsample_factor=upsample_factor,
             max_shifts=max_shifts, target_is_freq=True,
         )
-        if matmul_dft:
+        if apply_mode == "cubic":
+            corrected = fft_reg.apply_shifts_cubic(
+                frame, -shifts, border_nan="min",
+            )
+        elif matmul_dft:
             # The matrix-DFT spectrum lives in a permuted layout; apply
             # from real space instead (one extra small rfft).
             corrected = fft_reg.apply_shifts_fourier(
@@ -898,6 +912,9 @@ def _host_frames(video, idx) -> np.ndarray:
     return np.asarray(video[np.asarray(idx)], dtype=np.float32)
 
 
+# Legacy default cap for template seeding (kept as the fallback for
+# callers that don't thread RegistrationConfig.template_init_max_frames;
+# ``None`` there = all frames, the reference's bin_median behavior).
 _TEMPLATE_INIT_MAX_FRAMES = 1000
 
 
@@ -910,17 +927,21 @@ def _streamed_min(video, block: int = 256) -> float:
     return float(lo)
 
 
-def _streamed_bin_median(video, gSig_filt=None) -> jnp.ndarray:
+def _streamed_bin_median(video, gSig_filt=None,
+                         max_frames=None) -> jnp.ndarray:
     """Template init: median over window-binned means, streamed.
 
     Matches ``fft_reg.bin_median``'s interleaved binning (reference
     ``bin_median``, ``:432-494``: reshape groups frame ``w*nw + n`` into
     window ``n``) while reading at most ``window`` frames onto the device
-    at a time.  For very long recordings only the first
-    ``_TEMPLATE_INIT_MAX_FRAMES`` frames seed the template — the template
-    is iterated afterwards anyway.
+    at a time.  ``max_frames=None`` seeds from ALL frames — the
+    reference's behavior (its ``bin_median`` sees the whole movie); an
+    integer caps the host reads for very long recordings (the template
+    is iterated afterwards anyway), via
+    ``RegistrationConfig.template_init_max_frames``.
     """
-    t = min(video.shape[0], _TEMPLATE_INIT_MAX_FRAMES)
+    t = video.shape[0] if max_frames is None else min(video.shape[0],
+                                                      max_frames)
     window = min(10, t)
     num_windows = t // window
     means = []
@@ -989,7 +1010,9 @@ def _batch_rigid(video, cfg: RegistrationConfig, template=None,
     workers materialize whole chunks — here device memory is bounded by
     ``cfg.frame_block`` frames and the movie accumulates host-side)."""
     if template is None:
-        template = _streamed_bin_median(video, cfg.gSig_filt)
+        template = _streamed_bin_median(
+            video, cfg.gSig_filt,
+            max_frames=cfg.template_init_max_frames)
     if bool(jnp.isnan(add_to_movie)):
         raise Exception("The movie contains NaNs. NaNs are not allowed!")
 

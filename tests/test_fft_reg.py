@@ -142,6 +142,78 @@ def test_apply_shifts_border_min(rng):
     np.testing.assert_allclose(out[:, 0], mn)
 
 
+def test_cubic_integer_shift_matches_fourier(rng):
+    """At integer shifts both apply paths are exact shifts with the same
+    min-filled border region."""
+    img = _rand_image(rng, (24, 20))
+    for shift in [(3.0, -2.0), (0.0, 4.0)]:
+        ours = np.asarray(fft_reg.apply_shifts_cubic(
+            jnp.asarray(img), jnp.asarray(shift), border_nan="min"))
+        ref = np.asarray(fft_reg.apply_shifts_fourier(
+            jnp.asarray(img), jnp.asarray(shift), border_nan="min"))
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_cubic_reproduces_linear_ramp(rng):
+    """Keys a=-0.5 interpolates degree<=2 polynomials exactly: a linear
+    ramp shifted by a fraction stays a linear ramp in the interior."""
+    x = np.arange(32, dtype=np.float32)
+    img = np.broadcast_to(0.5 * x + 3.0, (8, 32)).copy()
+    out = np.asarray(fft_reg.apply_shifts_cubic(
+        jnp.asarray(img), jnp.asarray([0.0, 0.3]), border_nan="min"))
+    expect = 0.5 * (x - 0.3) + 3.0
+    np.testing.assert_allclose(out[4, 2:-2], expect[2:-2], rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_cubic_fractional_shift_matches_scipy_spline(rng):
+    """Independent oracle: scipy's order-3 spline shift agrees with Keys
+    cubic convolution to interpolation error (measured 0.18% of range on
+    this fixture); the Fourier (sinc) apply is a looser sanity bound."""
+    from scipy.ndimage import shift as ndshift
+
+    img = _rand_image(rng, (48, 48))
+    shift = (1.7, -2.3)
+    ours = np.asarray(fft_reg.apply_shifts_cubic(
+        jnp.asarray(img), jnp.asarray(shift)))
+    sci = ndshift(img, shift, order=3, mode="nearest")
+    np.testing.assert_allclose(ours[4:-4, 4:-4], sci[4:-4, 4:-4],
+                               atol=5e-3 * np.ptp(img))
+    ref = np.asarray(fft_reg.apply_shifts_fourier(
+        jnp.asarray(img), jnp.asarray(shift), border_nan="min"))
+    np.testing.assert_allclose(ours[4:-4, 4:-4], ref[4:-4, 4:-4],
+                               atol=6e-2 * np.ptp(img))
+
+
+def test_cubic_border_policies(rng):
+    img = _rand_image(rng, (16, 16))
+    j = jnp.asarray(img)
+    s = jnp.asarray([2.5, 0.0])
+    out_min = np.asarray(fft_reg.apply_shifts_cubic(j, s, "min"))
+    assert np.allclose(out_min[0], np.min(img))
+    out_nan = np.asarray(fft_reg.apply_shifts_cubic(j, s, True))
+    assert np.all(np.isnan(out_nan[0])) and not np.any(
+        np.isnan(out_nan[8]))
+    out_copy = np.asarray(fft_reg.apply_shifts_cubic(j, s, "copy"))
+    assert np.all(np.isfinite(out_copy))
+    out_wrap = np.asarray(fft_reg.apply_shifts_cubic(j, s, False))
+    assert np.all(np.isfinite(out_wrap))
+
+
+def test_cubic_3d_and_jit(rng):
+    vol = _rand_image(rng, (16, 16, 8))
+    import jax
+
+    f = jax.jit(fft_reg.apply_shifts_cubic, static_argnames=())
+    out = np.asarray(f(jnp.asarray(vol), jnp.asarray([1.2, -0.7, 0.4])))
+    from scipy.ndimage import shift as ndshift
+
+    sci = ndshift(vol, (1.2, -0.7, 0.4), order=3, mode="nearest")
+    np.testing.assert_allclose(out[3:-3, 3:-3, 2:-2],
+                               sci[3:-3, 3:-3, 2:-2],
+                               atol=6e-3 * np.ptp(vol))
+
+
 def test_bin_median_matches_reference_binning(rng):
     video = rng.normal(size=(25, 8, 8)).astype(np.float32)
     ours = np.asarray(fft_reg.bin_median(jnp.asarray(video), window=10))

@@ -36,6 +36,39 @@ def test_rigid_recovers_known_shifts(rng):
     assert mc.border_to_0 == 3
 
 
+def test_rigid_cubic_apply_mode(rng):
+    """apply_mode='cubic' (the reference's apply_shift_iteration
+    cv2.warpAffine INTER_CUBIC analog) estimates the same shifts and
+    produces a correction close to the Fourier apply in the interior."""
+    from dnmf_tpu.registration.motion_correct import rigid_correct_frames
+
+    tmpl = _template(rng)
+    true = [(2, -1), (-3, 2)]
+    video = jnp.asarray(_rolled_video(tmpl, true))
+    corr_f, sh_f = rigid_correct_frames(video, jnp.asarray(tmpl), (5, 5))
+    corr_c, sh_c = rigid_correct_frames(video, jnp.asarray(tmpl), (5, 5),
+                                        apply_mode="cubic")
+    np.testing.assert_allclose(np.asarray(sh_c), np.asarray(sh_f),
+                               atol=1e-5)
+    f = np.nan_to_num(np.asarray(corr_f), nan=0.0)[:, 5:-5, 5:-5]
+    c = np.asarray(corr_c)[:, 5:-5, 5:-5]
+    np.testing.assert_allclose(c, f, atol=5e-2 * np.ptp(tmpl))
+
+
+def test_template_init_max_frames_cap(rng):
+    """None = all frames (reference behavior); an integer caps the
+    seeding reads."""
+    from dnmf_tpu.registration.motion_correct import _streamed_bin_median
+
+    tmpl = _template(rng, (16, 16))
+    video = np.stack([tmpl + 0.01 * i for i in range(40)])
+    full = np.asarray(_streamed_bin_median(video))
+    capped = np.asarray(_streamed_bin_median(video, max_frames=20))
+    ref_full = np.asarray(_streamed_bin_median(video, max_frames=40))
+    np.testing.assert_allclose(full, ref_full, atol=1e-6)
+    assert not np.allclose(full, capped)
+
+
 def test_rigid_template_iteration_without_template(rng):
     tmpl = _template(rng)
     true = [(1, 0), (0, 1), (-1, 0), (0, -1), (2, 1), (-2, -1)]
