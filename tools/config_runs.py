@@ -147,6 +147,8 @@ if __name__ == "__main__":
     ap.add_argument("--config4", action="store_true")
     ap.add_argument("--config5", action="store_true")
     ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--gram-mode", type=str, default="analytic",
                     choices=["exact", "analytic"],
                     help="MU Gram computation for config 4 "
@@ -162,6 +164,7 @@ if __name__ == "__main__":
     if args.config5:
         run_config5()
     if args.config4:
-        run_config4(frames=args.frames, gram_mode=args.gram_mode,
+        run_config4(frames=args.frames, rounds=args.rounds,
+                    epochs=args.epochs, gram_mode=args.gram_mode,
                     fit_sigma=args.fit_sigma,
                     sigma_spread=args.sigma_spread)
