@@ -190,6 +190,21 @@ def main():
         cands = [{"kblock": kb, "tile_p": 4096, "frames_per_step": f}
                  for kb in sorted({40, 64, kb0})
                  for f in (2, 4, 8)]
+        # The refine sweep's winners (narrow sublane-multiple blocks +
+        # taller tiles) are worth probing here too — same culled-slab
+        # architecture, different accumulators.
+        cands += [{"kblock": kb, "tile_p": tp, "frames_per_step": f}
+                  for kb in (24, 32)
+                  for tp in (4096, 8192)
+                  for f in (2, 4)]
+        cands += [{"kblock": 40, "tile_p": 8192, "frames_per_step": f}
+                  for f in (2, 4)]
+        # fps improved monotonically 2 -> 4 -> 8 in the k=200 sweep
+        # (the motion kernel has no [F, K, K] accumulator, so the
+        # Gram kernel's F-cliff doesn't apply): chase the trend.
+        cands += [{"kblock": kb, "tile_p": 8192, "frames_per_step": 8}
+                  for kb in (24, 40)]
+        cands += [{"kblock": 40, "tile_p": 4096, "frames_per_step": 16}]
         all_results["motion"] = run_section(
             "motion", "culled_motion", {"k": k}, cands, build_motion,
             {"kblock": kb0, "tile_p": 4096, "frames_per_step": 8})
