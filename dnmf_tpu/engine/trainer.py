@@ -472,6 +472,15 @@ class DeformableNMF:
         """Full alternation schedule; returns final state + metric log."""
         import contextlib
 
+        # Reject config conflicts up front — update_sigma would raise
+        # the same error, but only after a full motion phase (minutes of
+        # IO+compute on a long streamed recording).
+        if self.opt_config.fit_sigma and self._is_streaming(video):
+            raise ValueError(
+                "fit_sigma needs device-resident frames (the subsample "
+                "gather); fit the widths on a device-resident prefix or "
+                "disable fit_sigma for host-streamed recordings"
+            )
         # Prepare (flatten/clamp/shard) once for the whole schedule.
         video_flat = (video if self._is_streaming(video)
                       else DeformableNMF._Prepared(self._video_flat(video)))
@@ -589,7 +598,11 @@ class DeformableNMF:
 
         Functionally equivalent to :meth:`fit` in parallel motion mode
         (single-device, non-streaming); eliminates all host round-trips
-        between phases.  Metrics are per-round.
+        between phases.  Metrics are per-round.  ``sigma_anneal`` is
+        honored by running one fused segment per contiguous anneal
+        factor (still one dispatch when annealing is off);
+        ``fit_sigma`` needs :meth:`fit`'s host-side cadence and is
+        rejected rather than silently skipped.
         """
         if self._mesh is not None or self._is_streaming(video):
             raise ValueError(
@@ -598,6 +611,12 @@ class DeformableNMF:
             )
         if self.opt_config.motion_mode == "parity":
             raise ValueError("fit_fused requires motion_mode='parallel'")
+        if self.opt_config.fit_sigma:
+            raise ValueError(
+                "fit_fused compiles the whole schedule as one program "
+                "and cannot interleave the sigma-fitting cadence; use "
+                "fit() with fit_sigma=True"
+            )
         video_flat = self._video_flat(video)
         rounds = rounds or self.opt_config.outer_rounds
         # The fused schedule is ONE compiled program — a mid-run
@@ -606,23 +625,43 @@ class DeformableNMF:
         # again AFTER (witnesses the final warp's error in metrics).
         self._gram_audited = False
         self._maybe_audit_analytic()
-        self.state, metrics = model_lib.fused_rounds(
-            self.state, video_flat, self.model, self.optimizer,
-            rounds=rounds, epochs=self.opt_config.motion_epochs,
-            mu_iters=self.opt_config.mu_iters,
-            gamma=self.opt_config.gamma_motion,
-            mu_gamma=self.opt_config.gamma_traces,
-            frame_block=self.runtime.frame_block,
-            use_pallas=self._use_pallas,
-            gram_mode=self._gram_mode,
-            gram_window=self._gram_window(),
-            trace_solver=self.opt_config.trace_solver,
-        )
+        # Segment the schedule at anneal-factor changes: each segment
+        # runs with sigma = base * factor, matching fit()'s per-round
+        # anneal semantics (one segment — one dispatch — when off).
+        anneal = self.opt_config.sigma_anneal
+        factors = [anneal[r] if r < len(anneal) else 1.0
+                   for r in range(rounds)]
+        segments = []  # (factor, num_rounds) runs
+        for f in factors:
+            if segments and segments[-1][0] == f:
+                segments[-1][1] += 1
+            else:
+                segments.append([f, 1])
+        recon_mse, reg = [], []
+        for factor, seg_rounds in segments:
+            self.state = self.state._replace(
+                sigma=self._base_sigma * factor
+            )
+            self.state, metrics = model_lib.fused_rounds(
+                self.state, video_flat, self.model, self.optimizer,
+                rounds=seg_rounds, epochs=self.opt_config.motion_epochs,
+                mu_iters=self.opt_config.mu_iters,
+                gamma=self.opt_config.gamma_motion,
+                mu_gamma=self.opt_config.gamma_traces,
+                frame_block=self.runtime.frame_block,
+                use_pallas=self._use_pallas,
+                gram_mode=self._gram_mode,
+                gram_window=self._gram_window(),
+                trace_solver=self.opt_config.trace_solver,
+            )
+            recon_mse.extend(float(v) for v in metrics["recon_mse"])
+            reg.extend(float(v) for v in metrics["reg"])
+        self.state = self.state._replace(sigma=self._base_sigma)
         for r in range(rounds):
             self.metrics.append({
                 "phase": "round", "round": r,
-                "motion_recon_mse": float(metrics["recon_mse"][r]),
-                "motion_reg": float(metrics["reg"][r]),
+                "motion_recon_mse": recon_mse[r],
+                "motion_reg": reg[r],
             })
         self._gram_audited = False
         self._maybe_audit_analytic()

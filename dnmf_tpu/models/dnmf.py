@@ -720,6 +720,10 @@ def sigma_fit(
         params = _CulledShim._params("culled_refine", k)
         kb = params.get("kblock", _CulledShim._tuning(k)[0])
         tp = params.get("tile_p", _CulledShim._tuning(k)[1])
+        # Honor the swept frames_per_step too (the k=200/500 winners are
+        # 2/1, far from the kernel's default 8), capped by the block
+        # size so short blocks don't pad up to phantom kernel frames.
+        fps = min(int(params.get("frames_per_step", 8)), fb)
 
         def grads_for(sigma):
             pos_b = jnp.broadcast_to(state.pos[None],
@@ -730,7 +734,8 @@ def sigma_fit(
                 mses, _, dsig = pc.refine_block_culled(
                     beta_blk, pos_b, sigma, c_blk, y_blk, model.size,
                     scaling=model.deformation.basis_scaling,
-                    tile_p=tp, kblock=kb, want_dsigma=True,
+                    tile_p=tp, kblock=kb, frames_per_step=fps,
+                    want_dsigma=True,
                     interpret=pallas_interpret,
                 )
                 return None, (jnp.sum(dsig, axis=0), jnp.sum(mses))
@@ -743,29 +748,44 @@ def sigma_fit(
             return jnp.sum(dsigs, axis=0) / s_frames, \
                 jnp.sum(mses) / s_frames
     else:
-        def frame_loss(sigma, beta_t, y_t, c_t):
-            a = frame_footprints(beta_t, state.pos, sigma, model, vb,
-                                 _maybe_stored_a(state, model, vb))
-            recon = jnp.dot(a, c_t,
-                            precision=jax.lax.Precision.HIGHEST)
-            return jnp.mean((recon - y_t) ** 2)
+        # In resample mode the stored footprint volume must be built
+        # from the TRACED sigma (not state.sigma) or the gradient is
+        # identically zero — grid_sample only moves values around, it
+        # never re-widens them.  Differentiate the scanned total so the
+        # [P, K] volume is built once per Adam step, not per frame.
+        resample = model.deformation.footprint_mode == "resample"
+        grid = basis_ops.voxel_grid(model.size) if resample else None
 
-        vg = jax.vmap(jax.value_and_grad(frame_loss),
-                      in_axes=(None, 0, 0, 0))
+        def total_mse(sigma):
+            stored_a = (
+                fp_ops.gaussian_footprints(grid, state.pos, sigma)
+                if resample else None
+            )
 
-        def grads_for(sigma):
-            def block(_, xs):
+            def frame_loss(beta_t, y_t, c_t):
+                a = frame_footprints(beta_t, state.pos, sigma, model,
+                                     vb, stored_a)
+                recon = jnp.dot(a, c_t,
+                                precision=jax.lax.Precision.HIGHEST)
+                return jnp.mean((recon - y_t) ** 2)
+
+            def block(acc, xs):
                 beta_blk, y_blk, c_blk = xs
-                mses, g = vg(sigma, beta_blk, y_blk, c_blk)
-                return None, (jnp.sum(g, axis=0), jnp.sum(mses))
+                mses = jax.vmap(frame_loss)(beta_blk, y_blk, c_blk)
+                return acc + jnp.sum(mses), None
 
-            _, (gs, mses) = jax.lax.scan(
-                block, None,
+            total, _ = jax.lax.scan(
+                block, jnp.float32(0.0),
                 (betas_p.reshape(nb, fb, 10, 3),
                  y_p.reshape(nb, fb, p), c_p.reshape(nb, fb, k)),
             )
-            return jnp.sum(gs, axis=0) / s_frames, \
-                jnp.sum(mses) / s_frames
+            return total / s_frames
+
+        vg_total = jax.value_and_grad(total_mse)
+
+        def grads_for(sigma):
+            mse, g = vg_total(sigma)
+            return g, mse
 
     log_lo, log_hi = float(np.log(lo)), float(np.log(hi))
 

@@ -70,14 +70,8 @@ def _refine_tuning(num_neurons: int) -> dict:
     ``culled_refine`` cache entry (kblock / tile_p / frames_per_step —
     ``tools/autotune.py`` sweeps all three)."""
     from dnmf_tpu.models.dnmf import _CulledShim
-    from dnmf_tpu.ops import tuning
 
-    kb, tp = _CulledShim._tuning(num_neurons)
-    params = {"kblock": kb, "tile_p": tp}
-    ent = tuning.lookup("culled_refine", k=int(num_neurons))
-    if ent:
-        params.update(ent)
-    return params
+    return _CulledShim._params("culled_refine", num_neurons)
 
 
 @functools.partial(

@@ -569,6 +569,7 @@ def apply_shifts_cubic(
         idx0 = jnp.arange(n) + base.astype(jnp.int32)
         acc = jnp.zeros_like(out)
         fill_w = jnp.zeros((n,), jnp.float32)  # constant-border weight
+        fill_any = jnp.zeros((n,), jnp.float32)  # |weight| of OOB taps
         for m in range(-1, 3):
             idx = idx0 + m
             if border_nan is False:
@@ -585,7 +586,13 @@ def apply_shifts_cubic(
                 sd = [1] * ndim
                 sd[d] = n
                 tap = jnp.where(valid.reshape(sd), tap, 0.0)
+                # Signed sum for the constant blend (weights must total
+                # 1); magnitude sum for the NaN mask — Keys weights go
+                # negative, so a signed test would miss (or cancel away)
+                # out-of-range taps.
                 fill_w = fill_w + jnp.where(valid, 0.0, w[m + 1])
+                fill_any = fill_any + jnp.where(
+                    valid, 0.0, jnp.abs(w[m + 1]))
             acc = acc + w[m + 1] * tap
         if fill is not None:
             sd = [1] * ndim
@@ -593,7 +600,7 @@ def apply_shifts_cubic(
             # Where any border weight accrued, blend in the constant;
             # a NaN fill must override the partial sum entirely.
             if border_nan is True:
-                acc = jnp.where((fill_w > 0).reshape(sd), jnp.nan, acc)
+                acc = jnp.where((fill_any > 0).reshape(sd), jnp.nan, acc)
             else:
                 acc = acc + (fill_w.reshape(sd)) * fill
         out = acc

@@ -912,12 +912,6 @@ def _host_frames(video, idx) -> np.ndarray:
     return np.asarray(video[np.asarray(idx)], dtype=np.float32)
 
 
-# Legacy default cap for template seeding (kept as the fallback for
-# callers that don't thread RegistrationConfig.template_init_max_frames;
-# ``None`` there = all frames, the reference's bin_median behavior).
-_TEMPLATE_INIT_MAX_FRAMES = 1000
-
-
 def _streamed_min(video, block: int = 256) -> float:
     """Min over the whole movie, one host frame-block at a time (memmap
     safe; matches the reference's full-movie ``video.min()``)."""

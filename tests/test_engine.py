@@ -459,3 +459,45 @@ def test_auto_matches_explicit_analytic_factors():
     r_an = eng_an.fit(ds, rounds=2)
     np.testing.assert_allclose(r_auto.traces, r_an.traces, rtol=1e-6,
                                atol=1e-8)
+
+
+def test_fit_fused_rejects_fit_sigma():
+    """fit_fused cannot interleave the host-side sigma cadence — it must
+    refuse rather than silently skip the width fitting."""
+    ds = _dataset()
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt = OptimizerConfig(learning_rate=1e-3, motion_epochs=2,
+                          mu_iters=10, fit_sigma=True)
+    eng = DeformableNMF(model, opt, RuntimeConfig(frame_block=4),
+                        positions=ds.positions[:, :, 0])
+    with pytest.raises(ValueError, match="fit_sigma"):
+        eng.fit_fused(ds, rounds=2)
+
+
+def test_fit_fused_matches_fit_with_sigma_anneal():
+    """Annealed rounds segment the fused schedule; factors must match
+    fit()'s per-round sigma scaling (regression: anneal was ignored)."""
+    ds = _dataset(drift=0.5)
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+
+    def mk():
+        opt = OptimizerConfig(learning_rate=1e-3, batch_size=4,
+                              motion_epochs=3, mu_iters=30,
+                              gamma_motion=0.1,
+                              sigma_anneal=(1.5, 1.0))
+        return DeformableNMF(model, opt, RuntimeConfig(frame_block=4),
+                             positions=ds.positions[:, :, 0])
+
+    eng_a, eng_b = mk(), mk()
+    eng_a.fit(ds, rounds=3)
+    eng_b.fit_fused(ds, rounds=3)
+    np.testing.assert_allclose(
+        np.asarray(eng_b.state.beta), np.asarray(eng_a.state.beta),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(eng_b.traces, eng_a.traces, rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(eng_b.state.sigma),
+                               np.asarray(eng_a.state.sigma))

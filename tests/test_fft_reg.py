@@ -304,3 +304,21 @@ def test_matmul_impl_matches_rfft_impl(rng):
         max_shifts=(5, 5, 2), fft_impl="xla")
     np.testing.assert_allclose(np.asarray(s_m), np.asarray(s_f),
                                atol=1e-3)
+
+
+def test_cubic_nan_border_negative_weight_taps():
+    """The NaN mask must fire when the ONLY out-of-range tap carries a
+    negative Keys weight (regression: a signed `fill_w > 0` test let
+    those pixels through with a silently un-normalized value)."""
+    src = jnp.full((8,), 2.0, jnp.float32)
+    out = np.asarray(fft_reg.apply_shifts_cubic(src, jnp.asarray([-0.5]),
+                                                border_nan=True))
+    # out[x] = src[x + 0.5]: taps x-1..x+2.  x=0 reaches src[-1] and
+    # x=6 reaches src[8], each with Keys weight -0.0625 — NaN band.
+    assert np.isnan(out[0]) and np.isnan(out[6]) and np.isnan(out[7])
+    np.testing.assert_allclose(out[1:6], 2.0, rtol=1e-6)
+    # The "min" constant blend keeps the signed weights (they must sum
+    # to 1): a constant image stays exactly constant everywhere.
+    out_min = np.asarray(fft_reg.apply_shifts_cubic(
+        src, jnp.asarray([-0.5]), border_nan="min"))
+    np.testing.assert_allclose(out_min, 2.0, rtol=1e-6)

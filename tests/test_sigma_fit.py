@@ -179,3 +179,28 @@ def test_fit_sigma_rejects_streaming():
     sv = StreamingVideo(np.asarray(video), block=8)
     with pytest.raises(ValueError, match="fit_sigma"):
         eng.update_sigma(sv)
+
+
+def test_sigma_fit_resample_mode_has_real_gradients():
+    """In resample footprint mode the stored volume must be rebuilt from
+    the traced sigma (regression: it was built from state.sigma, making
+    the whole fit a silent no-op with identically-zero gradients)."""
+    pos, sigma_gt, traces, video = _fixture()
+    model, state = _state(pos, traces)
+    model_rs = ModelConfig(
+        size=SIZE, num_neurons=K, num_frames=T, shape_std=2.0,
+        deformation=DeformationConfig(footprint_mode="resample"),
+    )
+    sigma, mses = M.sigma_fit(
+        state, video, state.beta, state.c.T, model_rs,
+        steps=40, lr=0.05, lo=0.8, hi=4.0, frame_block=8,
+    )
+    assert float(jnp.max(jnp.abs(sigma - state.sigma))) > 0.1
+    assert float(mses[-1]) < float(mses[0])
+    # Identity warps: the resampled fit must land where analytic does.
+    s_an, _ = M.sigma_fit(
+        state, video, state.beta, state.c.T, model,
+        steps=40, lr=0.05, lo=0.8, hi=4.0, frame_block=8,
+    )
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(s_an),
+                               atol=0.05)
