@@ -38,7 +38,13 @@ BASELINE_FRAMES = 2  # frames for the torch-CPU reference measurement
 # round 2 — round-1 whole-brain numbers came from hand runs only).
 WB_SIZE = (512, 512, 20)
 WB_K = 200
-WB_T = 16           # frames measured (costs are per-frame; T-linear)
+# Frames measured.  The kernel passes (Grams/c1/motion/refine) stream
+# frame blocks and are T-linear, but the 50-iteration MU trace scan is
+# a FIXED ~26 ms device program regardless of T (measured flat at
+# T=16/64/128) — at T=16 its per-frame share was inflated 4-8x vs the
+# 1k-frame recording the round figure models, so measure at T=64 and
+# report the fixed total alongside.
+WB_T = 64
 WB_FRAME_BLOCK = 8
 # Practical peak for MFU: measured 8192^3 f32 matmul throughput on this
 # v5e chip (~125 TF/s; see .claude/skills/verify).
@@ -225,12 +231,14 @@ def _whole_brain_run():
     ga_ms = ga_sec / WB_T * 1e3
     frame_an_ms = ga_ms + motion_ms + mu_ms
     return {
-        "workload": f"{WB_SIZE[0]}x{WB_SIZE[1]}x{WB_SIZE[2]} K={WB_K}",
+        "workload": f"{WB_SIZE[0]}x{WB_SIZE[1]}x{WB_SIZE[2]} K={WB_K} "
+                    f"T={WB_T}",
         "gram_ms_per_frame": round(gram_ms, 2),
         "gram_analytic_ms_per_frame": round(ga_ms, 2),
         "gram_analytic_max_rel_err": round(ga_err, 6),
         "motion_ms_per_frame": round(motion_ms, 2),
         "mu50_ms_per_frame": round(mu_ms, 3),
+        "mu50_ms_total_fixed": round(mu_sec * 1e3, 1),
         "refine_epoch_ms_per_frame": round(r_sec / WB_T * 1e3, 2),
         "round_frames_per_sec": round(1e3 / frame_ms, 1),
         "round_analytic_frames_per_sec": round(1e3 / frame_an_ms, 1),
