@@ -125,8 +125,15 @@ def register_and_demix(
         size=(m, n, z), num_neurons=points.shape[0], num_frames=t,
         shape_std=3.0,
     )
+    # Default schedule = the measured convergence protocol at
+    # whole-brain scale (tools/tail_experiment.py; BASELINE.md round 4):
+    # 6x(12 epochs + 50 MU) drives warp error to ~0.03 px and min trace
+    # corr 0.934 -> 0.998 on overlapping neurons, where 3x(6..10) leaves
+    # the warp under-converged and footprint SHAPE distortion caps the
+    # worst neuron.  Pass a custom OptimizerConfig for lighter sweeps.
     opt_cfg = optimizer or OptimizerConfig(learning_rate=1e-3,
-                                           outer_rounds=3)
+                                           outer_rounds=6,
+                                           motion_epochs=12)
 
     beta0 = None
     if seed_deformation:
