@@ -40,6 +40,7 @@ from dnmf_tpu.config import (
     RegistrationConfig,
     RuntimeConfig,
     SimulatorConfig,
+    high_snr_registration,
 )
 
 __all__ = [
@@ -49,5 +50,6 @@ __all__ = [
     "RegistrationConfig",
     "RuntimeConfig",
     "SimulatorConfig",
+    "high_snr_registration",
     "__version__",
 ]

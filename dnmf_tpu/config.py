@@ -288,6 +288,22 @@ class RuntimeConfig:
     metrics_path: Optional[str] = None
 
 
+def high_snr_registration(**overrides) -> RegistrationConfig:
+    """Fast-correlation preset for KNOWN-HIGH-SNR recordings.
+
+    Runs the fused phase-correlation dots in single-pass bf16
+    (``dft_precision="default"``): measured 3.6 vs 4.9 ms/frame on the
+    whole-brain correlation stage.  NOT the default because at low SNR
+    it is a measured accuracy regression — on the
+    ``tools/dft_precision_sweep.py`` fixture (256x256x10, subpixel
+    shifts, usf=10) the -5 dB small-shift mean error nearly doubles
+    (0.026 -> 0.046 px) and estimates deviate from the "high" (bf16x3)
+    path by up to 0.125 px, i.e. a different subpixel bin.  Use only
+    where SNR is comfortably positive; any field can be overridden.
+    """
+    return RegistrationConfig(**{"dft_precision": "default", **overrides})
+
+
 def reference_demo_model(parity: bool = False) -> ModelConfig:
     """The reference demo model shapes (``/root/reference/demo.py:16-19``).
 

@@ -475,14 +475,27 @@ def simulate_cell(size4, mean, cov, color, noise_mean, noise_std,
     return out
 
 
+def unit_vector(data, axis=None):
+    """Normalize by Euclidean norm along ``axis`` (same contract as the
+    reference's vendored transformations helper,
+    ``/root/reference/WUtils/Simulator.py:340-360``, minus the in-place
+    ``out=`` plumbing, which nothing in either codebase uses)."""
+    import numpy as np
+
+    data = np.asarray(data, dtype=np.float64)
+    if axis is None and data.ndim == 1:
+        return data / np.sqrt(np.dot(data, data))
+    length = np.sqrt(np.sum(data * data, axis=axis, keepdims=True))
+    return data / length
+
+
 def rotation_matrix(angle, direction):
     """4x4 rotation about an axis direction (fresh implementation of the
     standard Rodrigues form; same contract as the reference's vendored
     helper, ``Simulator.py:318-338``)."""
     import numpy as np
 
-    d = np.asarray(direction[:3], dtype=np.float64)
-    d = d / np.linalg.norm(d)
+    d = unit_vector(np.asarray(direction[:3], dtype=np.float64))
     s, c = np.sin(angle), np.cos(angle)
     rot = c * np.eye(3) + (1 - c) * np.outer(d, d) + s * np.array(
         [[0, -d[2], d[1]], [d[2], 0, -d[0]], [-d[1], d[0], 0]]

@@ -530,6 +530,10 @@ class DeformableNMF:
                     f.write(json.dumps(entry) + "\n")
             if self.runtime.checkpoint_dir:
                 self.save(f"{self.runtime.checkpoint_dir}/round_{r}")
+        # End on the base widths even when sigma_anneal covers the final
+        # round — fit_fused restores the same way, and any subsequent
+        # refine()/trace use must not silently run at an annealed width.
+        self.state = self.state._replace(sigma=self._base_sigma)
         return FitResult(state=self.state, metrics=self.metrics)
 
     def refine(self, video, rounds: int = 3, epochs: int = 40,

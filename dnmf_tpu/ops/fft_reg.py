@@ -533,6 +533,7 @@ def apply_shifts_cubic(
     src: jnp.ndarray,
     shifts: jnp.ndarray,
     border_nan="min",
+    clamp_range: bool = True,
 ) -> jnp.ndarray:
     """Translate an image/volume by fractional ``shifts`` with separable
     Keys cubic convolution — the spatial-domain analog of the
@@ -549,17 +550,33 @@ def apply_shifts_cubic(
 
     ``border_nan``: ``"min"`` (reference ``cv2`` border-constant fill
     with the frame min — the default here to match it), ``True`` (NaN
-    fill), ``"copy"`` (replicate edge), ``False`` (wrap around).
+    fill), ``"copy"`` (replicate edge), ``"reflect"`` (mirror with the
+    edge sample duplicated — the reference's interior
+    ``cv2.BORDER_REFLECT``, ``:387,396``), ``False`` (wrap around).
+
+    ``clamp_range``: clip the output into ``[nanmin, nanmax]`` of the
+    input, exactly like the reference (``np.clip(cv2.warpAffine(...),
+    min_, max_)``, ``:393-396``) — the Keys kernel's negative lobes can
+    otherwise overshoot the input range near sharp edges.
+
+    Note on ``border_nan=True`` extent: the reference NaN-fills exactly
+    the ``ceil(shift)``/``floor(shift)`` border strips (``:398-408``);
+    here every pixel whose 4-tap stencil touches out-of-range is NaN —
+    up to 2 px trailing plus a 1-px negative-lobe ring wider.  The
+    old signed-weight test produced silently un-normalized values on
+    that ring; NaN-aware consumers should expect the extra ring.
     """
     out = src.astype(jnp.float32)
     shifts = jnp.asarray(shifts, dtype=jnp.float32)
     ndim = out.ndim
+    if clamp_range:
+        lo_v, hi_v = jnp.nanmin(out), jnp.nanmax(out)
     if border_nan == "min":
         fill = jnp.min(out)
     elif border_nan is True:
         fill = jnp.nan
     else:
-        fill = None  # "copy" / False need no constant
+        fill = None  # "copy" / "reflect" / False need no constant
     for d in range(ndim):
         n = out.shape[d]
         s = shifts[d]
@@ -576,6 +593,13 @@ def apply_shifts_cubic(
                 tap = jnp.take(out, jnp.mod(idx, n), axis=d)
             elif border_nan == "copy":
                 tap = jnp.take(out, jnp.clip(idx, 0, n - 1), axis=d)
+            elif border_nan == "reflect":
+                # cv2.BORDER_REFLECT: fedcba|abcdef|fedcba — reflect
+                # about the array edge WITH the edge sample duplicated.
+                period = 2 * n
+                im = jnp.mod(idx, period)
+                im = jnp.where(im >= n, period - 1 - im, im)
+                tap = jnp.take(out, im, axis=d)
             else:
                 # Constant border: accumulate the out-of-range weight
                 # separately and add `fill` ONCE at the end — weighting
@@ -604,6 +628,8 @@ def apply_shifts_cubic(
             else:
                 acc = acc + (fill_w.reshape(sd)) * fill
         out = acc
+    if clamp_range:
+        out = jnp.clip(out, lo_v, hi_v)  # NaNs pass through unchanged
     return out
 
 

@@ -47,23 +47,41 @@ def gaussian_footprints(
     Args:
       grid: ``[P, 3]`` coordinates (usually the identity voxel grid).
       pos: ``[K, 3]`` neuron centers.
-      sigma: ``[K]`` per-neuron standard deviations.
+      sigma: ``[K]`` per-neuron standard deviations, or ``[K, 3]``
+        PER-AXIS widths (anisotropic footprints — beyond the reference's
+        model class, whose sigma is one frozen scalar,
+        ``/root/reference/Demix/dNMF.py:29``; its own rotating-cell
+        fixture renders cells with cov diag(7, 2, 1e-6),
+        ``/root/reference/WUtils/Simulator.py:244-285``, that no
+        isotropic footprint represents).
 
     Returns:
       ``[P, K]`` footprint stack; matches the reference's ``self.A``
       (``/root/reference/Demix/dNMF.py:39-40``) flattened over voxels.
     """
     d = grid[:, None, :] - pos[None, :, :]
-    expo = -jnp.sum(d * d, axis=-1) / (sigma[None, :] ** 2)
+    if sigma.ndim == 2:
+        expo = -jnp.sum((d * d) / (sigma * sigma)[None, :, :], axis=-1)
+    else:
+        expo = -jnp.sum(d * d, axis=-1) / (sigma[None, :] ** 2)
     return jnp.exp(expo)
 
 
 def gaussian_weights(pos: jnp.ndarray, sigma: jnp.ndarray):
     """Affine exponent parameterization for the MXU formulation.
 
-    Returns ``(W, b)`` with ``W: [4, K]``, ``b: [K]`` such that
+    Isotropic ``sigma [K]``: returns ``(W [4, K], b [K])`` such that
     ``exponent = [psi, ||psi||^2] @ W + b``.
+    Anisotropic ``sigma [K, 3]``: returns ``(W [6, K], b [K])`` against
+    the augmented row ``[psi, psi^2]`` (per-axis squares).
     """
+    if sigma.ndim == 2:
+        inv_s2 = 1.0 / (sigma * sigma)  # [K, 3]
+        w_lin = 2.0 * pos.T * inv_s2.T  # [3, K]
+        w_quad = -inv_s2.T  # [3, K]
+        w = jnp.concatenate([w_lin, w_quad], axis=0)  # [6, K]
+        b = -jnp.sum(pos * pos * inv_s2, axis=-1)  # [K]
+        return w, b
     inv_s2 = 1.0 / (sigma**2)  # [K]
     w_lin = 2.0 * pos.T * inv_s2[None, :]  # [3, K]
     w_quad = -inv_s2[None, :]  # [1, K]
@@ -102,7 +120,7 @@ def evaluate_footprints(
     Args:
       psi: ``[P, 3]`` deformed voxel coordinates (``warp_points`` output).
       pos: ``[K, 3]`` neuron centers (undeformed frame-0 positions).
-      sigma: ``[K]`` footprint widths.
+      sigma: ``[K]`` footprint widths, or ``[K, 3]`` per-axis widths.
       size: volume size ``(M, N, Z)``; required if masking.
       mask_out_of_bounds: zero footprints where psi leaves the volume.
       formulation: ``"direct"`` (VPU, stable) or ``"matmul"`` (MXU).
@@ -114,7 +132,9 @@ def evaluate_footprints(
     if formulation == "matmul":
         w, b = gaussian_weights(pos, sigma)
         psi_aug = jnp.concatenate(
-            [psi, jnp.sum(psi * psi, axis=-1, keepdims=True)], axis=-1
+            [psi, psi * psi] if sigma.ndim == 2
+            else [psi, jnp.sum(psi * psi, axis=-1, keepdims=True)],
+            axis=-1,
         )
         expo = (
             jnp.dot(psi_aug, w, precision=precision,

@@ -125,13 +125,16 @@ def visualize_trajectory(p1, p2, save=False, file=None, flip_axis=True):
     _finish(fig, save, file)
 
 
-def visualize_video(video=None, tracks=None, labels=None, scale=1.0,
-                    fontsize=20, fps=10, save=False, file=None):
+def visualize_video(video=None, tracks=None, u_colors=True, labels=None,
+                    scale=1.0, fontsize=20, fps=10, save=False,
+                    file=None):
     """Animated max-projection with tracked centers (reference
     ``visualize_video``, ``/root/reference/visualization.py:37-109``).
 
     Args:
       video: ``[M, N, Z, T]``; tracks: ``[K, 3, T]``.
+      u_colors: per-track HSV colors (reference ``:38-41``); ``False``
+        draws every center marker (and label) black.
     """
     import matplotlib.animation as animation
     import matplotlib.pyplot as plt
@@ -146,7 +149,8 @@ def visualize_video(video=None, tracks=None, labels=None, scale=1.0,
         raise ValueError("need video or tracks")
     if tracks is not None:
         tracks = np.asarray(tracks)
-        colors = _hsv_colors(tracks.shape[0])
+        colors = (_hsv_colors(tracks.shape[0]) if u_colors
+                  else np.zeros((tracks.shape[0], 3)))
 
     fig, ax = plt.subplots(figsize=(10, 10))
     artists = []

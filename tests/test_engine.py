@@ -501,3 +501,19 @@ def test_fit_fused_matches_fit_with_sigma_anneal():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(eng_b.state.sigma),
                                np.asarray(eng_a.state.sigma))
+
+
+def test_fit_restores_base_sigma_when_anneal_covers_final_round():
+    """fit() must end at the base widths even when sigma_anneal covers
+    every round (regression: only fit_fused restored, so a post-fit
+    refine()/trace pass silently ran at the annealed width)."""
+    ds = _dataset(drift=0.5)
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt = OptimizerConfig(learning_rate=1e-3, motion_epochs=1,
+                          mu_iters=5, sigma_anneal=(1.5, 1.5))
+    eng = DeformableNMF(model, opt, RuntimeConfig(frame_block=4),
+                        positions=ds.positions[:, :, 0])
+    eng.fit(ds, rounds=2)
+    np.testing.assert_allclose(np.asarray(eng.state.sigma), 2.0,
+                               rtol=1e-6)

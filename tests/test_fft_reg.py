@@ -176,7 +176,10 @@ def test_cubic_fractional_shift_matches_scipy_spline(rng):
     shift = (1.7, -2.3)
     ours = np.asarray(fft_reg.apply_shifts_cubic(
         jnp.asarray(img), jnp.asarray(shift)))
-    sci = ndshift(img, shift, order=3, mode="nearest")
+    # The default clamps into the input range like the reference
+    # (apply_shift_iteration's np.clip) — clip the oracle the same way.
+    sci = np.clip(ndshift(img, shift, order=3, mode="nearest"),
+                  img.min(), img.max())
     np.testing.assert_allclose(ours[4:-4, 4:-4], sci[4:-4, 4:-4],
                                atol=5e-3 * np.ptp(img))
     ref = np.asarray(fft_reg.apply_shifts_fourier(
@@ -208,7 +211,8 @@ def test_cubic_3d_and_jit(rng):
     out = np.asarray(f(jnp.asarray(vol), jnp.asarray([1.2, -0.7, 0.4])))
     from scipy.ndimage import shift as ndshift
 
-    sci = ndshift(vol, (1.2, -0.7, 0.4), order=3, mode="nearest")
+    sci = np.clip(ndshift(vol, (1.2, -0.7, 0.4), order=3, mode="nearest"),
+                  vol.min(), vol.max())
     np.testing.assert_allclose(out[3:-3, 3:-3, 2:-2],
                                sci[3:-3, 3:-3, 2:-2],
                                atol=6e-3 * np.ptp(vol))
@@ -322,3 +326,45 @@ def test_cubic_nan_border_negative_weight_taps():
     out_min = np.asarray(fft_reg.apply_shifts_cubic(
         src, jnp.asarray([-0.5]), border_nan="min"))
     np.testing.assert_allclose(out_min, 2.0, rtol=1e-6)
+
+
+def test_cubic_clamps_overshoot_like_reference():
+    """Keys negative lobes overshoot at sharp edges; the reference clips
+    the warped output into [nanmin, nanmax] of the input
+    (apply_shift_iteration, /root/reference/Demix/MotionCorrect.py:393-396)
+    — the default must too, and clamp_range=False must expose the raw
+    convolution."""
+    step = np.zeros((8, 16), np.float32)
+    step[:, 8:] = 1.0
+    s = jnp.asarray([0.0, 0.4])
+    clamped = np.asarray(fft_reg.apply_shifts_cubic(
+        jnp.asarray(step), s, border_nan="min"))
+    raw = np.asarray(fft_reg.apply_shifts_cubic(
+        jnp.asarray(step), s, border_nan="min", clamp_range=False))
+    assert raw.max() > 1.0 + 1e-4 and raw.min() < -1e-4  # overshoots
+    assert clamped.max() <= 1.0 and clamped.min() >= 0.0
+    np.testing.assert_allclose(clamped,
+                               np.clip(raw, step.min(), step.max()))
+
+
+def test_cubic_reflect_border(rng):
+    """border_nan='reflect' == the reference's interior
+    cv2.BORDER_REFLECT (edge sample duplicated == scipy mode='reflect');
+    gated against scipy's order-3 spline on a smooth image (different
+    kernel family, so interpolation-error tolerance)."""
+    from scipy.ndimage import gaussian_filter
+    from scipy.ndimage import shift as ndshift
+
+    img = gaussian_filter(
+        rng.normal(size=(24, 24)).astype(np.float32), 2.0)
+    shift = (2.3, -1.6)
+    ours = np.asarray(fft_reg.apply_shifts_cubic(
+        jnp.asarray(img), jnp.asarray(shift), border_nan="reflect",
+        clamp_range=False))
+    sci = ndshift(img, shift, order=3, mode="reflect")
+    np.testing.assert_allclose(ours, sci, atol=2e-2 * np.ptp(img))
+    # Constant image: reflect taps are all valid values -> exact.
+    const = jnp.full((12,), 3.0, jnp.float32)
+    out = np.asarray(fft_reg.apply_shifts_cubic(
+        const, jnp.asarray([-1.5]), border_nan="reflect"))
+    np.testing.assert_allclose(out, 3.0, rtol=1e-6)
