@@ -54,6 +54,17 @@ class ModelConfig:
     num_neurons: int = 10  # K
     num_frames: int = 100  # T
     shape_std: float = 3.0  # sigma of the spherical Gaussian footprints
+    # 1: per-neuron scalar widths, sigma [K] (the reference's model
+    #    class, though IT freezes the scalar forever —
+    #    /root/reference/Demix/dNMF.py:29).
+    # 3: per-neuron PER-AXIS widths, sigma [K, 3] — anisotropic
+    #    footprints for z-elongated / misshapen neurons (the reference's
+    #    own rotating-cell fixture renders cells with cov diag(7, 2, ~0),
+    #    /root/reference/WUtils/Simulator.py:244-285, that no isotropic
+    #    model represents).  Combine with OptimizerConfig.fit_sigma to
+    #    FIT the per-axis widths; every path (XLA, fused Pallas kernels,
+    #    closed-form Grams) handles either shape natively.
+    sigma_axes: int = 1
     deformation: DeformationConfig = dataclasses.field(
         default_factory=DeformationConfig
     )

@@ -132,6 +132,58 @@ class RawFileVideo:
             yield jnp.asarray(chunk), start, valid
 
 
+class SpatialView:
+    """NumPy-like ``[T, M, N, Z]`` read view over a streaming source.
+
+    Registration (:class:`dnmf_tpu.registration.MotionCorrect`) consumes
+    host arrays through ``shape`` + ``__getitem__`` only; this adapter
+    satisfies that contract for ``StreamingVideo``/``RawFileVideo`` by
+    translating integer/slice/fancy indexing into grouped contiguous
+    ``read()`` calls — so the one-call pipeline
+    (:func:`dnmf_tpu.engine.pipeline.register_and_demix`) can register a
+    recording that never fits in memory.  Note the sources' ``read``
+    applies the NMF non-negativity clamp; for typical (non-negative)
+    raw recordings this is a no-op, and registration is shift-invariant
+    to it otherwise only approximately.
+    """
+
+    def __init__(self, source):
+        if getattr(source, "size", None) is None:
+            raise ValueError(
+                "registration needs the spatial shape — wrap a "
+                "[T, M, N, Z] source, not a flat [T, P] one"
+            )
+        self.source = source
+        self.shape = (source.num_frames,) + tuple(source.size)
+        self.ndim = 4
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, key) -> np.ndarray:
+        t = self.shape[0]
+        squeeze = False
+        if isinstance(key, slice):
+            start, stop, step = key.indices(t)
+            idx = np.arange(start, stop, step)
+        elif np.isscalar(key) or (isinstance(key, np.ndarray)
+                                  and key.ndim == 0):
+            idx = np.asarray([int(key) % t])
+            squeeze = True
+        else:
+            idx = np.asarray(key).reshape(-1)
+        out = np.empty((len(idx),) + self.shape[1:], np.float32)
+        i = 0
+        while i < len(idx):  # group ascending contiguous runs
+            j = i
+            while j + 1 < len(idx) and idx[j + 1] == idx[j] + 1:
+                j += 1
+            chunk = self.source.read(int(idx[i]), int(idx[j]) + 1)
+            out[i:j + 1] = chunk.reshape((j - i + 1,) + self.shape[1:])
+            i = j + 1
+        return out[0] if squeeze else out
+
+
 def open_raw_video(path: str, shape, block: int = 64,
                    num_threads: int = 4, prefetch: bool = True):
     """Open a raw float32 recording with the native prefetching reader,

@@ -89,20 +89,51 @@ def register_and_demix(
        per-frame deformation initialized from the registration shifts
        (``seed_deformation``) so the fit starts near the rigid solution
        instead of the identity.
+
+    ``video`` may also be a host-streamed source — a ``StreamingVideo``
+    / ``RawFileVideo`` over a ``[T, M, N, Z]`` recording, or an
+    ``np.memmap`` — in which case every stage streams: registration
+    reads frame blocks host-side (:class:`dnmf_tpu.data.streaming.
+    SpatialView`), the fit runs the streamed epochs, sigma fitting
+    gathers its fixed-size subsample via ``read()``, and refinement
+    runs block-locally in one pass.  Device memory is bounded by the
+    block size throughout — the scale the north-star configs demand
+    (the reference's only end-to-end flow holds everything in host RAM,
+    ``/root/reference/demo.py:41-46``).
     """
     if seed_mode not in ("auto", "affine", "quadratic"):
         raise ValueError(
             f"unknown seed_mode: {seed_mode!r} "
             "(expected 'auto', 'affine', or 'quadratic')")
-    video = jnp.asarray(video, dtype=jnp.float32)
-    t, m, n, z = video.shape
+    streaming = hasattr(video, "blocks") and not hasattr(
+        video, "frames_flat")
+    if streaming:
+        from dnmf_tpu.data.streaming import SpatialView
+
+        reg_video = SpatialView(video)  # validates the spatial shape
+        t, m, n, z = reg_video.shape
+        fit_video = video
+    elif isinstance(video, np.memmap):
+        # Memmapped recordings stream too — registration reads the map
+        # host-side and the fit wraps it in a block source.
+        from dnmf_tpu.data.streaming import StreamingVideo
+
+        t, m, n, z = video.shape
+        reg_video = video
+        fit_video = StreamingVideo(video)
+        streaming = True
+    else:
+        video = jnp.asarray(video, dtype=jnp.float32)
+        t, m, n, z = video.shape
+        reg_video = video
+        fit_video = None  # device-resident: reshaped below
 
     reg_cfg = registration or RegistrationConfig(
         max_shifts=(8, 8, 2), pw_rigid=True,
         strides=(max(m // 2, 8), max(n // 2, 8), max(z, 1)),
         overlaps=(8, 8, 0), is3d=True, border_nan=False,
     )
-    mc = MotionCorrect(video, reg_cfg).motion_correct()
+    mc = MotionCorrect(reg_video, reg_cfg).motion_correct()
 
     if points is None:
         if num_neurons is None:
@@ -198,11 +229,13 @@ def register_and_demix(
         positions=jnp.asarray(positions[:, :, 0], dtype=jnp.float32),
         beta0=beta0,
     )
-    fit = engine.fit(video.reshape(t, -1))
+    if fit_video is None:
+        fit_video = video.reshape(t, -1)
+    fit = engine.fit(fit_video)
     if refine_positions:
         # Final polish past the global-warp model class: per-frame
         # per-neuron anchors fitted to the reconstruction
         # (dnmf_tpu/models/refine.py).
-        fit = engine.refine(video.reshape(t, -1), rounds=refine_rounds,
+        fit = engine.refine(fit_video, rounds=refine_rounds,
                             epochs=refine_epochs)
     return PipelineResult(fit=fit, motion=mc, positions=positions)

@@ -422,26 +422,36 @@ class DeformableNMF:
 
     def update_sigma(self, video, steps: Optional[int] = None) -> dict:
         """Fit per-neuron footprint widths on a frame subsample
-        (:func:`dnmf_tpu.models.dnmf.sigma_fit`) — sigma ``[K]`` joins
-        the alternation, which the frozen-sigma reference cannot do
+        (:func:`dnmf_tpu.models.dnmf.sigma_fit`) — sigma (``[K]`` or
+        per-axis ``[K, 3]``) joins the alternation, which the
+        frozen-sigma reference cannot do
         (``/root/reference/Demix/dNMF.py:29``).  Updates both the live
-        sigma and the anneal base."""
-        if self._is_streaming(video):
-            raise ValueError(
-                "fit_sigma needs device-resident frames (the subsample "
-                "gather); fit the widths on a device-resident prefix or "
-                "disable fit_sigma for host-streamed recordings"
-            )
+        sigma and the anneal base.
+
+        Streamed sources work too: the subsample is a FIXED-SIZE host
+        gather (``sigma_frames`` frames via ``source.read``), so the
+        cost is independent of the recording length.
+        """
         cfg = self.opt_config
-        video_flat = self._video_flat(video)
         t = self.model.num_frames
         s = min(cfg.sigma_frames, t)
-        idx = jnp.asarray(np.linspace(0, t - 1, s).round().astype(int))
+        idx = np.linspace(0, t - 1, s).round().astype(int)
+        if self._is_streaming(video):
+            # Fixed-size host gather — sigma is shared across frames, so
+            # ``sigma_frames`` frames estimate the full-recording
+            # gradient regardless of T (sources' read() already applies
+            # the NMF clamp).
+            video_sub = jnp.asarray(np.concatenate(
+                [video.read(int(i), int(i) + 1) for i in idx], axis=0))
+        else:
+            video_flat = self._video_flat(video)
+            video_sub = jnp.take(video_flat, jnp.asarray(idx), axis=0)
+        idx = jnp.asarray(idx)
         lo = cfg.sigma_bounds[0] * self.model.shape_std
         hi = cfg.sigma_bounds[1] * self.model.shape_std
         sigma, mses = model_lib.sigma_fit(
             self.state,
-            jnp.take(video_flat, idx, axis=0),
+            video_sub,
             jnp.take(self.state.beta, idx, axis=0),
             jnp.take(self.state.c, idx, axis=1).T,
             self.model, steps=steps or cfg.sigma_steps,
@@ -472,15 +482,6 @@ class DeformableNMF:
         """Full alternation schedule; returns final state + metric log."""
         import contextlib
 
-        # Reject config conflicts up front — update_sigma would raise
-        # the same error, but only after a full motion phase (minutes of
-        # IO+compute on a long streamed recording).
-        if self.opt_config.fit_sigma and self._is_streaming(video):
-            raise ValueError(
-                "fit_sigma needs device-resident frames (the subsample "
-                "gather); fit the widths on a device-resident prefix or "
-                "disable fit_sigma for host-streamed recordings"
-            )
         # Prepare (flatten/clamp/shard) once for the whole schedule.
         video_flat = (video if self._is_streaming(video)
                       else DeformableNMF._Prepared(self._video_flat(video)))
@@ -547,6 +548,12 @@ class DeformableNMF:
         the warp cannot (hard-fixture corr 0.86 -> 0.98 measured; see
         :mod:`dnmf_tpu.models.refine`).  Stores the refined positions on
         ``self.pos_t`` (``[T, K, 3]``, model coordinate frame).
+
+        Host-streamed sources (``StreamingVideo``/``RawFileVideo``) run
+        the per-frame-independent alternation block-locally in ONE pass
+        over the recording (:func:`dnmf_tpu.models.refine.
+        refined_rounds_streaming`); factors match the device-resident
+        path (gated in tests).
         """
         from dnmf_tpu.models import refine as refine_lib
 
@@ -555,6 +562,37 @@ class DeformableNMF:
                 "position refinement reduces over whole frames — "
                 "unsupported on a pixel-sharded mesh (use mesh_time)"
             )
+        if self._is_streaming(video):
+            if self._mesh is not None:
+                raise NotImplementedError(
+                    "streamed refinement is single-device (per-frame "
+                    "independent — shard the recording across engines "
+                    "instead)"
+                )
+            self._maybe_audit_analytic()
+            t0 = time.time()
+            self.state, pos_t, m = refine_lib.refined_rounds_streaming(
+                self.state, video, self.model, rounds=rounds,
+                epochs=epochs, mu_iters=mu_iters,
+                learning_rate=learning_rate, prior=prior,
+                pos_t=getattr(self, "pos_t", None),
+                use_pallas=self._use_pallas,
+                gram_mode=self._gram_mode,
+                gram_window=self._gram_window(),
+                trace_solver=self.opt_config.trace_solver,
+            )
+            self.pos_t = pos_t
+            self._check_finite("refine")
+            entry = {
+                "phase": "refine", "rounds": rounds, "epochs": epochs,
+                "seconds": time.time() - t0,
+                "recon_mse": float(np.mean(np.asarray(m["recon_mse"]))),
+            }
+            self.metrics.append(entry)
+            if self.runtime.metrics_path:
+                with open(self.runtime.metrics_path, "a") as f:
+                    f.write(json.dumps(entry) + "\n")
+            return FitResult(state=self.state, metrics=self.metrics)
         video_flat = self._video_flat(video)
         self._maybe_audit_analytic()
         t0 = time.time()

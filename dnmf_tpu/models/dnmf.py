@@ -44,7 +44,8 @@ class DNMFState(NamedTuple):
     beta: ``[T, 10, 3]`` per-frame quadratic deformation coefficients.
     c: ``[K, T]`` non-negative traces.
     pos: ``[K, 3]`` neuron centers (frame-0 positions).
-    sigma: ``[K]`` footprint widths.
+    sigma: ``[K]`` footprint widths, or ``[K, 3]`` per-axis widths
+      (``ModelConfig.sigma_axes == 3`` — anisotropic footprints).
     opt_state: optax state for the beta optimizer.
     """
 
@@ -82,7 +83,14 @@ def init_state(
         positions = 1.0 + jax.random.uniform(k_p, (k_count, 3)) * jnp.asarray(
             model.size, dtype=jnp.float32
         )
-    sigma = jnp.full((k_count,), model.shape_std, dtype=jnp.float32)
+    if model.sigma_axes not in (1, 3):
+        raise ValueError(
+            f"sigma_axes must be 1 (isotropic) or 3 (per-axis), got "
+            f"{model.sigma_axes}"
+        )
+    sig_shape = ((k_count,) if model.sigma_axes == 1
+                 else (k_count, 3))
+    sigma = jnp.full(sig_shape, model.shape_std, dtype=jnp.float32)
     opt_state = optimizer.init(beta)
     return DNMFState(beta=beta, c=c, pos=positions, sigma=sigma,
                      opt_state=opt_state)
@@ -681,12 +689,15 @@ def sigma_fit(
     the scalar ``shape_std`` forever (``/root/reference/Demix/dNMF.py:29``),
     so dim / misshapen / atypically-sized neurons are stuck with the
     global width — the measured per-neuron recovery tail.  Here sigma
-    ``[K]`` joins the alternation: the data-term gradient wrt each
-    neuron's width comes from the fused culled kernel
+    joins the alternation — ``[K]`` scalar widths or ``[K, 3]``
+    PER-AXIS widths (``ModelConfig.sigma_axes == 3``; anisotropic
+    z-elongated/flattened neurons): the data-term gradient wrt each
+    neuron's width(s) comes from the fused culled kernel
     (:func:`dnmf_tpu.ops.pallas_culled.refine_block_culled` with
-    ``want_dsigma=True``) or XLA autodiff, averaged over a frame
-    subsample (sigma is shared across frames, so a subsample estimates
-    the full-recording gradient at a fraction of the cost).
+    ``want_dsigma=True`` — per-axis second moments) or XLA autodiff,
+    averaged over a frame subsample (sigma is shared across frames, so
+    a subsample estimates the full-recording gradient at a fraction of
+    the cost).
 
     Args:
       video_sub: ``[S, P]`` subsampled frames.
@@ -696,7 +707,7 @@ def sigma_fit(
       lo / hi: sigma clip bounds in PIXELS (keep ``hi`` inside the
         analytic-Gram window bound — the trainer derives both).
 
-    Returns ``(sigma [K], mse_trace [steps])``.
+    Returns ``(sigma, mse_trace [steps])`` — sigma in the input shape.
     """
     s_frames, p = video_sub.shape
     k = state.c.shape[0]

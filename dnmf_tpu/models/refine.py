@@ -335,3 +335,127 @@ def refined_rounds(
             c = mu_ops.run_mu_temporal(state.c, g, c1, iters=mu_iters)
         state = state._replace(c=c)
     return state, pos_t, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "rounds", "epochs", "mu_iters", "block",
+                     "use_pallas", "pallas_interpret", "gram_mode",
+                     "gram_window", "trace_solver"),
+)
+def _refined_rounds_block(
+    state: DNMFState,
+    frames: jnp.ndarray,
+    start: jnp.ndarray,
+    valid: jnp.ndarray,
+    pos_t_pad: jnp.ndarray,
+    model: ModelConfig,
+    rounds: int,
+    epochs: int,
+    mu_iters: int,
+    learning_rate: float,
+    prior: float,
+    block: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    gram_mode: str = "exact",
+    gram_window=None,
+    trace_solver: str = "mu",
+):
+    """One streamed block's FULL refinement alternation.
+
+    Per-frame problems are independent (positions, tracked Grams, AND
+    the un-smoothed trace update all factor over frames), so the whole
+    ``rounds x (epochs Adam + MU)`` schedule runs block-locally — ONE
+    pass over the recording instead of ``rounds x (epochs + 1)``.  One
+    compiled program serves every block (the final partial block is
+    zero-padded; its outputs are masked/sliced by the caller).
+    """
+    beta_pad = jnp.concatenate(
+        [state.beta, basis_ops.identity_beta(block)], axis=0
+    )
+    c_pad = jnp.pad(state.c, ((0, 0), (0, block)))
+    state_loc = state._replace(
+        beta=jax.lax.dynamic_slice_in_dim(beta_pad, start, block),
+        c=jax.lax.dynamic_slice_in_dim(c_pad, start, block, axis=1),
+    )
+    pos_blk = jax.lax.dynamic_slice_in_dim(pos_t_pad, start, block)
+
+    def one_round(carry, _):
+        pos_b, st = carry
+        pos_b, m = refine_positions(
+            st, pos_b, frames, model, epochs=epochs,
+            learning_rate=learning_rate, prior=prior,
+            frame_block=block, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
+        )
+        g, c1 = tracked_grams(st, pos_b, frames, model,
+                              frame_block=block,
+                              use_pallas=use_pallas,
+                              pallas_interpret=pallas_interpret,
+                              gram_mode=gram_mode,
+                              gram_window=gram_window)
+        if trace_solver == "fista":
+            c = mu_ops.nnls_temporal(st.c, g, c1, iters=mu_iters)
+        else:
+            c = mu_ops.run_mu_temporal(st.c, g, c1, iters=mu_iters)
+        return (pos_b, st._replace(c=c)), m["recon_mse"]
+
+    (pos_blk, state_loc), mses = jax.lax.scan(
+        one_round, (pos_blk, state_loc), None, length=rounds
+    )
+    mask = (jnp.arange(block) < valid).astype(jnp.float32)
+    return pos_blk, state_loc.c, jnp.sum(mses[-1] * mask)
+
+
+def refined_rounds_streaming(
+    state: DNMFState,
+    source,
+    model: ModelConfig,
+    rounds: int = 2,
+    epochs: int = 20,
+    mu_iters: int = 30,
+    learning_rate: float = 0.05,
+    prior: float = 1e-3,
+    pos_t: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    gram_mode: str = "exact",
+    gram_window=None,
+    trace_solver: str = "mu",
+) -> Tuple[DNMFState, jnp.ndarray, dict]:
+    """:func:`refined_rounds` over a host-streamed video source.
+
+    Identical math to the device-resident path (gated in tests): the
+    refinement alternation is per-frame independent, so each streamed
+    block runs its complete schedule in one compiled dispatch
+    (:func:`_refined_rounds_block`) — device memory is bounded by the
+    source's block size and the recording is read ONCE, with the
+    source's prefetch overlapping the per-block compute.
+    """
+    t = state.beta.shape[0]
+    k = state.pos.shape[0]
+    if pos_t is None:
+        pos_t = jnp.broadcast_to(state.pos[None], (t, k, 3))
+    pos_t_pad = jnp.concatenate(
+        [pos_t, jnp.broadcast_to(state.pos[None],
+                                 (source.block, k, 3))], axis=0
+    )
+    pos_out, c_out, sse = [], [], []
+    for frames, start, valid in source.blocks():
+        pos_blk, c_blk, s = _refined_rounds_block(
+            state, frames, start, valid, pos_t_pad, model,
+            rounds=rounds, epochs=epochs, mu_iters=mu_iters,
+            learning_rate=learning_rate, prior=prior,
+            block=source.block, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret, gram_mode=gram_mode,
+            gram_window=gram_window, trace_solver=trace_solver,
+        )
+        pos_out.append(pos_blk)
+        c_out.append(c_blk)
+        sse.append(s)
+    pos_t_new = jnp.concatenate(pos_out, axis=0)[:t]
+    c_new = jnp.concatenate(c_out, axis=1)[:, :t]
+    mse = jnp.stack(sse).sum() / t
+    return (state._replace(c=c_new), pos_t_new,
+            {"recon_mse": mse})

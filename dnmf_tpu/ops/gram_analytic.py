@@ -15,6 +15,13 @@ The product of two Gaussians is a Gaussian: with ``c_k = 1/s_k^2``,
   G_kl = exp(-gamma |p_k - p_l|^2) * S(m, c)
   S(m, c) = sum_x w(psi(x))^2 exp(-c |psi(x) - m|^2)
 
+Everything here is PER-AXIS under the hood (``c``, ``gamma``, ``m``
+carry a trailing axis-3 dim), so ANISOTROPIC per-axis widths
+``sigma [K, 3]`` — beyond the reference's frozen scalar model class —
+are exactly as cheap as isotropic ``[K]``: the Gaussian-product
+identity factorizes independently along each axis and the lattice sums
+were already one-per-axis.
+
 ``S`` is a local property of the warp around ``x_m = psi^{-1}(m)``.
 Linearizing ``psi`` there (``u_d ~= m_d + J_dd (x_d - x_{m,d})``, with
 the off-diagonal mixing a second-order effect — the determinant of a
@@ -108,7 +115,9 @@ def analytic_gram_frame(
     Args:
       beta: ``[10, 3]`` warp coefficients.
       pos: ``[K, 3]`` anchor positions (pixel space).
-      sigma: ``[K]`` footprint widths.
+      sigma: ``[K]`` footprint widths, or ``[K, 3]`` per-axis widths
+        (anisotropic footprints — the per-axis Gaussian-product
+        factorization makes them free here).
       size: volume shape ``(M, N, Z)``.
       window: half-width (in lattice steps) of the per-axis sums; must
         cover the pair Gaussian's support — ``>= ~3.3 * max(sigma)``
@@ -122,14 +131,16 @@ def analytic_gram_frame(
     size_t = tuple(int(s) for s in size)
     hi = jnp.asarray([float(s - 1) for s in size_t], jnp.float32)
 
-    ck = 1.0 / (sigma.astype(jnp.float32) ** 2)          # [K]
-    c = ck[:, None] + ck[None, :]                        # [K, K]
-    gamma = ck[:, None] * ck[None, :] / c
-    wk = (ck[:, None] / c)[..., None]                    # [K, K, 1]
-    wl = (ck[None, :] / c)[..., None]
-    delta2 = jnp.sum(
-        (pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
-    pairfac = jnp.exp(-gamma * delta2)                   # [K, K]
+    sig = sigma.astype(jnp.float32)
+    if sig.ndim == 1:                                    # -> [K, 3]
+        sig = jnp.broadcast_to(sig[:, None], sig.shape + (3,))
+    ck = 1.0 / (sig * sig)                               # [K, 3]
+    c = ck[:, None, :] + ck[None, :, :]                  # [K, K, 3]
+    gamma = ck[:, None, :] * ck[None, :, :] / c          # [K, K, 3]
+    wk = ck[:, None, :] / c                              # [K, K, 3]
+    wl = ck[None, :, :] / c
+    delta2 = (pos[:, None, :] - pos[None, :, :]) ** 2    # [K, K, 3]
+    pairfac = jnp.exp(-jnp.sum(gamma * delta2, axis=-1))  # [K, K]
 
     m = wk * pos[:, None, :] + wl * pos[None, :, :]      # [K, K, 3]
     xk = _invert_positions(pos, beta, size_t, scaling, iters)
@@ -210,25 +221,24 @@ def analytic_gram_frame(
         ut = u0b[..., thin]                              # [K, K, Z]
         dist = jnp.minimum(ut, hi[thin] - ut)
         ramp = jnp.clip(1.0 + dist, 0.0, 1.0)
-        cz = c[..., None]
         s_planes = ramp * ramp * jnp.exp(
-            -cz * (ut - m[..., thin, None]) ** 2)        # [K, K, Z]
-        zshape = s_planes.shape
+            -c[..., thin, None] * (ut - m[..., thin, None]) ** 2)
+        zshape = s_planes.shape                          # [K, K, Z]
         for d in range(3):
             if d == thin:
                 continue
             s_planes = s_planes * axis_sum(
                 d, u0b[..., d], jddb[..., d],
                 jnp.broadcast_to(xc[..., d, None], zshape),
-                jnp.broadcast_to(cz, zshape),
+                jnp.broadcast_to(c[..., d, None], zshape),
                 jnp.broadcast_to(m[..., d, None], zshape),
             )
         return pairfac * jnp.sum(s_planes, axis=-1)
 
     s = jnp.ones_like(pairfac)
     for d in range(3):
-        s = s * axis_sum(d, u0[..., d], jdd[..., d], xc[..., d], c,
-                         m[..., d])
+        s = s * axis_sum(d, u0[..., d], jdd[..., d], xc[..., d],
+                         c[..., d], m[..., d])
     return pairfac * s
 
 

@@ -55,30 +55,38 @@ def _sorted_params(pos, sigma, kb, nkb, c_block=None):
     """Sort neurons by m; build padded param columns + block m-ranges.
 
     Returns ``(perm, params [K_pad, 8], blocks [nkb_pad, 2], [w2])`` with
-    ``K_pad = nkb * kb``; padded neurons sit at 1e4 with unit scale (they
-    evaluate to exactly 0) and never extend a block's range.  Col 3 is
-    ``inv_s2 * log2(e)`` for the exp2-form footprint evaluation
-    (``pallas_kernels._footprint_tile``).
+    ``K_pad = nkb * kb``; padded neurons sit at 1e4 with unit scales
+    (they evaluate to exactly 0) and never extend a block's range.
+    Cols ``SCALE_COLS`` (3, 5, 6) hold the per-axis ``inv_s2_d *
+    log2(e)`` for the exp2-form footprint evaluation — ``sigma`` may be
+    ``[K]`` (isotropic: equal scales) or ``[K, 3]`` (anisotropic).
+    With ``c_block``: params col 4 = c; w2 cols 0:3 = ``2 c p_d/s_d^2``
+    (B2 weights), cols 3:6 = ``2 c / s_d^2`` (per-axis B1 weights).
     """
     k = pos.shape[0]
     k_pad = nkb * kb
     perm = jnp.argsort(pos[:, 0])
     pos_s = pos[perm]
     sigma_s = sigma[perm]
-    inv_s2 = 1.0 / (sigma_s**2)
+    inv_s2 = pk._per_axis_inv_s2(sigma_s)  # [K, 3]
 
     params = jnp.full((k_pad, 8), 0.0, dtype=jnp.float32)
     params = params.at[:, :3].set(
         jnp.pad(pos_s, ((0, k_pad - k), (0, 0)), constant_values=1e4)
     )
-    params = params.at[:k, 3].set(inv_s2 * pk.LOG2E)
-    params = params.at[k:, 3].set(1.0)
+    for d, col in enumerate(pk.SCALE_COLS):
+        params = params.at[:k, col].set(inv_s2[:, d] * pk.LOG2E)
+        params = params.at[k:, col].set(1.0)
 
     m_pad = jnp.pad(pos_s[:, 0], (0, k_pad - k),
                     constant_values=jnp.inf).reshape(nkb, kb)
     m_pad_neg = jnp.pad(pos_s[:, 0], (0, k_pad - k),
                         constant_values=-jnp.inf).reshape(nkb, kb)
-    s_pad = jnp.pad(sigma_s, (0, k_pad - k)).reshape(nkb, kb)
+    # Culling happens along m only — the reach is the m-axis width
+    # (anisotropic z-flattened neurons cull TIGHTER than an isotropic
+    # bound would).
+    sig_m = sigma_s[:, 0] if sigma_s.ndim == 2 else sigma_s
+    s_pad = jnp.pad(sig_m, (0, k_pad - k)).reshape(nkb, kb)
     reach = REACH_SIGMAS * jnp.max(s_pad, axis=1)
     blocks = jnp.stack(
         [jnp.min(m_pad, axis=1) - reach,
@@ -92,12 +100,12 @@ def _sorted_params(pos, sigma, kb, nkb, c_block=None):
     c_s = c_block[:, perm]
     out = jnp.broadcast_to(params, (bsz, k_pad, 8))
     out = out.at[:, :k, 4].set(c_s)
-    out = out.at[:, :k, 5].set(2.0 * c_s * inv_s2[None, :])
     w2 = jnp.zeros((bsz, k_pad, 8), dtype=jnp.float32)
     for d in range(3):
         w2 = w2.at[:, :k, d].set(
-            2.0 * c_s * (pos_s[:, d] * inv_s2)[None, :]
+            2.0 * c_s * (pos_s[:, d] * inv_s2[:, d])[None, :]
         )
+        w2 = w2.at[:, :k, 3 + d].set(2.0 * c_s * inv_s2[None, :, d])
     return perm, out, blocks, w2
 
 
@@ -112,23 +120,27 @@ def _sorted_params_tracked(pos_t, sigma, kb, nkb, c_block=None):
     is the min/max over ALL frames of its members' m, padded by reach.
 
     Returns ``(perm, params [B, K_pad, 8], blocks [nkb, 2])`` with
-    params cols ``(pos_m, pos_n, pos_z, inv_s2 * log2e, c, 0, 0, 0)``
-    (col 4 only when ``c_block [B, K]`` is given).
+    params cols ``(pos_m, pos_n, pos_z, inv_s2_m * log2e, c,
+    inv_s2_n * log2e, inv_s2_z * log2e, 0)`` — per-axis scales in
+    ``SCALE_COLS``; ``sigma`` may be ``[K]`` or ``[K, 3]`` (col 4 only
+    when ``c_block [B, K]`` is given).
     """
     bsz, k = pos_t.shape[0], pos_t.shape[1]
     k_pad = nkb * kb
     perm = jnp.argsort(jnp.mean(pos_t[:, :, 0], axis=0))
     pos_s = pos_t[:, perm]  # [B, K, 3]
     sigma_s = sigma[perm]
-    inv_s2 = 1.0 / (sigma_s**2)
+    inv_s2 = pk._per_axis_inv_s2(sigma_s)  # [K, 3]
 
     params = jnp.zeros((bsz, k_pad, 8), dtype=jnp.float32)
     params = params.at[:, :, :3].set(
         jnp.pad(pos_s, ((0, 0), (0, k_pad - k), (0, 0)),
                 constant_values=1e4)
     )
-    params = params.at[:, :k, 3].set(inv_s2[None, :] * pk.LOG2E)
-    params = params.at[:, k:, 3].set(1.0)
+    for d, col in enumerate(pk.SCALE_COLS):
+        params = params.at[:, :k, col].set(
+            inv_s2[None, :, d] * pk.LOG2E)
+        params = params.at[:, k:, col].set(1.0)
     if c_block is not None:
         params = params.at[:, :k, 4].set(c_block[:, perm])
 
@@ -137,7 +149,8 @@ def _sorted_params_tracked(pos_t, sigma, kb, nkb, c_block=None):
                     constant_values=jnp.inf).reshape(nkb, kb)
     m_pad_neg = jnp.pad(jnp.max(m_all, axis=0), (0, k_pad - k),
                         constant_values=-jnp.inf).reshape(nkb, kb)
-    s_pad = jnp.pad(sigma_s, (0, k_pad - k)).reshape(nkb, kb)
+    sig_m = sigma_s[:, 0] if sigma_s.ndim == 2 else sigma_s
+    s_pad = jnp.pad(sig_m, (0, k_pad - k)).reshape(nkb, kb)
     reach = REACH_SIGMAS * jnp.max(s_pad, axis=1)
     blocks = jnp.stack(
         [jnp.min(m_pad, axis=1) - reach,
@@ -148,12 +161,15 @@ def _sorted_params_tracked(pos_t, sigma, kb, nkb, c_block=None):
 
 
 def _block_footprint(psi, pos_ref, lo, kb):
-    # Col 3 = inv_s2 * log2(e): exp2 form of the Gaussian (see
-    # pallas_kernels._footprint_tile).
-    d2 = (pos_ref[lo:lo + kb, 0:1] - psi[0]) ** 2
-    d2 += (pos_ref[lo:lo + kb, 1:2] - psi[1]) ** 2
-    d2 += (pos_ref[lo:lo + kb, 2:3] - psi[2]) ** 2
-    return jnp.exp2(-d2 * pos_ref[lo:lo + kb, 3:4])
+    # Cols SCALE_COLS = per-axis inv_s2_d * log2(e): exp2 form of the
+    # (possibly anisotropic) Gaussian (pallas_kernels._footprint_tile).
+    expo = (pos_ref[lo:lo + kb, 0:1] - psi[0]) ** 2 \
+        * pos_ref[lo:lo + kb, 3:4]
+    expo += (pos_ref[lo:lo + kb, 1:2] - psi[1]) ** 2 \
+        * pos_ref[lo:lo + kb, 5:6]
+    expo += (pos_ref[lo:lo + kb, 2:3] - psi[2]) ** 2 \
+        * pos_ref[lo:lo + kb, 6:7]
+    return jnp.exp2(-expo)
 
 
 def _pad_frame_group(b_pad, betas, pos_t=None, c_block=None):
@@ -1023,18 +1039,22 @@ def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
     """Data term + raw position-gradient moments, per-frame positions.
 
     Per frame: ``recon = w * sum_k c_k A_k`` with
-    ``A_k = exp(-|psi - pos_k|^2 / s_k^2)`` at the frame's OWN positions
-    (``pos_ref [F, K_pad, 8]``, col 4 = c).  Outputs the masked SSE and
-    the raw moments ``dp[k, d] = sum_p r_p w_p A_pk psi_pd`` (d < 3) and
+    ``A_k = exp(-sum_d (psi_d - pos_kd)^2 / s_kd^2)`` at the frame's OWN
+    positions (``pos_ref [F, K_pad, 8]``, col 4 = c; per-axis widths).
+    Outputs the masked SSE and the raw moments
+    ``dp[k, d] = sum_p r_p w_p A_pk psi_pd`` (d < 3) and
     ``dp[k, 3] = sum_p r_p w_p A_pk``; the wrapper assembles
-    ``dL/dpos_kd = (4 c_k / s_k^2 / P) (dp[k, d] - pos_kd dp[k, 3])``.
+    ``dL/dpos_kd = (4 c_k / s_kd^2 / P) (dp[k, d] - pos_kd dp[k, 3])``.
     Unlike the beta gradient there is no fade-derivative term — the fade
     depends on psi only, not on the neuron positions.
 
-    ``ncols=8`` adds the second moment ``dp[k, 4] = sum_p r w A |psi|^2``
-    (cols 5-7 zero), from which the wrapper assembles the per-neuron
-    SIGMA gradient ``dL/ds_k = (4 c_k / (P s_k^3)) sum_p r w A d2``
-    via ``d2``'s binomial expansion around ``pos_k``.
+    ``ncols=8`` adds the PER-AXIS second moments
+    ``dp[k, 4+d] = sum_p r w A psi_pd^2`` (col 7 zero), from which the
+    wrapper assembles the per-neuron SIGMA gradient
+    ``dL/ds_kd = (4 c_k / (P s_kd^3)) sum_p r w A (psi_d - pos_kd)^2``
+    via each axis's binomial expansion around ``pos_kd`` (isotropic
+    callers sum the three axis terms — same math as the old
+    ``|psi|^2`` single moment).
     """
     tile = pl.program_id(1)
 
@@ -1082,10 +1102,8 @@ def _refine_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, y_ref,
         rw = r * w_f
         rows = [psi_f[0], psi_f[1], psi_f[2], jnp.ones_like(rw)]
         if ncols > 4:
-            psi2 = psi_f[0] * psi_f[0] + psi_f[1] * psi_f[1] \
-                + psi_f[2] * psi_f[2]
-            rows.append(psi2)
-            rows.extend([jnp.zeros_like(rw)] * (ncols - 5))
+            rows.extend([psi_f[d] * psi_f[d] for d in range(3)])
+            rows.extend([jnp.zeros_like(rw)] * (ncols - 7))
         mrows = jnp.concatenate(rows, axis=0)  # [ncols, tp]
         for i in range(nkb):
             @pl.when(actives[i])
@@ -1215,25 +1233,31 @@ def refine_block_culled(
     mse = sse.reshape(b_pad)[:bsz] / p_count
     dp = dp[:bsz]  # [B, K_pad, ncols], sorted order
     pos_s = params[:bsz, :, :3]
-    inv_s2_log2e = params[:bsz, :, 3]  # inv_s2 * log2(e) (pad rows: 1)
     c_s = params[:bsz, :, 4]
-    inv_s2 = inv_s2_log2e / pk.LOG2E
-    coeff = 4.0 * c_s * inv_s2 / p_count
-    dpos_s = coeff[:, :, None] * (dp[:, :, :3]
-                                  - pos_s * dp[:, :, 3:4])
+    # Per-axis inv_s2 from the scale cols (pad rows carry 1).
+    inv_s2 = jnp.stack(
+        [params[:bsz, :, col] for col in pk.SCALE_COLS], axis=-1
+    ) / pk.LOG2E  # [B, K_pad, 3]
+    coeff = (4.0 * c_s[:, :, None] / p_count) * inv_s2
+    dpos_s = coeff * (dp[:, :, :3] - pos_s * dp[:, :, 3:4])
     inv = jnp.argsort(perm)
     if not want_dsigma:
         return mse, dpos_s[:, :k][:, inv]
-    # sum_p r w A d2 by binomial expansion of d2 = |psi - pos|^2:
-    # M2raw - 2 pos . M1 + |pos|^2 M0 (cancellation ~|pos|^2/d2 in f32
+    # sum_p r w A (psi_d - pos_d)^2 per axis by binomial expansion:
+    # M2_d - 2 pos_d M1_d + pos_d^2 M0 (cancellation ~pos^2/d2 in f32
     # — ~1e-3 relative at whole-brain coordinates, well inside the
     # optimizer's tolerance).
-    d2mom = (dp[:, :, 4]
-             - 2.0 * jnp.sum(pos_s * dp[:, :, :3], axis=-1)
-             + jnp.sum(pos_s * pos_s, axis=-1) * dp[:, :, 3])
-    # dL/ds_k = (4 c_k / (P s_k^3)) sum_p r w A d2;  1/s^3 = inv_s2^1.5.
-    dsig_s = (4.0 * c_s * inv_s2 ** 1.5 / p_count) * d2mom
-    return mse, dpos_s[:, :k][:, inv], dsig_s[:, :k][:, inv]
+    d2mom = (dp[:, :, 4:7]
+             - 2.0 * pos_s * dp[:, :, :3]
+             + pos_s * pos_s * dp[:, :, 3:4])  # [B, K_pad, 3]
+    # dL/ds_kd = (4 c_k / (P s_kd^3)) sum_p r w A d2_d; 1/s^3 = inv_s2^1.5.
+    dsig_ax = (4.0 * c_s[:, :, None] * inv_s2 ** 1.5
+               / p_count) * d2mom                # [B, K_pad, 3]
+    if sigma.ndim == 2:  # anisotropic: per-axis gradient [B, K, 3]
+        return mse, dpos_s[:, :k][:, inv], dsig_ax[:, :k][:, inv]
+    # Isotropic: the shared-width gradient is the sum of axis terms.
+    return (mse, dpos_s[:, :k][:, inv],
+            jnp.sum(dsig_ax, axis=-1)[:, :k][:, inv])
 
 
 def _gram_kernel_streamed(blocks_ref, pos_ref, psim_ref, psin_ref,
@@ -1318,9 +1342,9 @@ def _xla_psi_rows(betas, size, scaling):
 
 def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
                           y_ref, sse_ref, dbeta_ref, sse_acc, dbeta_acc,
-                          s_scr, b1_scr, b2x_scr, b2y_scr, b2z_scr, *,
-                          size, scaling, tile_p, p_count, n_tiles, kb,
-                          nkb, f):
+                          s_scr, b1x_scr, b1y_scr, b1z_scr, b2x_scr,
+                          b2y_scr, b2z_scr, *, size, scaling, tile_p,
+                          p_count, n_tiles, kb, nkb, f):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -1352,10 +1376,13 @@ def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
         for i in range(nkb)
     ]
 
-    # Row scratches: S = cA, B1 = (2c/s^2)A, B2_d = (2 c p_d / s^2)A,
-    # accumulated over active neuron blocks, frames on sublanes.
+    # Row scratches: S = cA, B1_d = (2c/s_d^2)A, B2_d = (2 c p_d/s_d^2)A
+    # (per-axis widths; isotropic is the equal-scales case), accumulated
+    # over active neuron blocks, frames on sublanes.
     s_scr[:] = jnp.zeros_like(s_scr)
-    b1_scr[:] = jnp.zeros_like(b1_scr)
+    b1x_scr[:] = jnp.zeros_like(b1x_scr)
+    b1y_scr[:] = jnp.zeros_like(b1y_scr)
+    b1z_scr[:] = jnp.zeros_like(b1z_scr)
     b2x_scr[:] = jnp.zeros_like(b2x_scr)
     b2y_scr[:] = jnp.zeros_like(b2y_scr)
     b2z_scr[:] = jnp.zeros_like(b2z_scr)
@@ -1368,9 +1395,9 @@ def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
                 lo = i * kb
                 a = _block_footprint(psi_f, pos_ref[fi], lo, kb)
                 weights = jnp.concatenate(
-                    [pos_ref[fi, lo:lo + kb, 4:6],
-                     w2_ref[fi, lo:lo + kb, 0:3],
-                     jnp.zeros((kb, 3), dtype=jnp.float32)],
+                    [pos_ref[fi, lo:lo + kb, 4:5],
+                     w2_ref[fi, lo:lo + kb, 0:6],
+                     jnp.zeros((kb, 1), dtype=jnp.float32)],
                     axis=1,
                 )  # [kb, 8]
                 rows = jax.lax.dot_general(
@@ -1379,13 +1406,15 @@ def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
                     precision=hi_prec,
                 )  # [8, tp]
                 s_scr[fi:fi + 1, :] += rows[0:1, :]
-                b1_scr[fi:fi + 1, :] += rows[1:2, :]
-                b2x_scr[fi:fi + 1, :] += rows[2:3, :]
-                b2y_scr[fi:fi + 1, :] += rows[3:4, :]
-                b2z_scr[fi:fi + 1, :] += rows[4:5, :]
+                b2x_scr[fi:fi + 1, :] += rows[1:2, :]
+                b2y_scr[fi:fi + 1, :] += rows[2:3, :]
+                b2z_scr[fi:fi + 1, :] += rows[3:4, :]
+                b1x_scr[fi:fi + 1, :] += rows[4:5, :]
+                b1y_scr[fi:fi + 1, :] += rows[5:6, :]
+                b1z_scr[fi:fi + 1, :] += rows[6:7, :]
 
     s = s_scr[:]
-    b1 = b1_scr[:]
+    b1 = (b1x_scr[:], b1y_scr[:], b1z_scr[:])
     b2 = (b2x_scr[:], b2y_scr[:], b2z_scr[:])
     recon = w * s
     r = (recon - y_ref[:] * valid) * valid  # [F, tp]
@@ -1405,7 +1434,7 @@ def _motion_kernel_culled(off_ref, beta_ref, blocks_ref, pos_ref, w2_ref,
                          jnp.where(pd < hi_d - pd, 1.0, -1.0))
         w_over = jnp.where(wd > 0.0, w / jnp.maximum(wd, 1e-12), 0.0)
         dpsi_d = 2.0 * r * (
-            w * (b2[d] - pd * b1) + s * w_over * ramp_grad * sign
+            w * (b2[d] - pd * b1[d]) + s * w_over * ramp_grad * sign
         )
         if scaling == "normalized":
             dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
@@ -1514,12 +1543,8 @@ def motion_block_culled(
         scratch_shapes=[
             pltpu.VMEM((f_eff, 1), jnp.float32),
             pltpu.VMEM((f_eff, 3, 10), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-        ],
+        ] + [pltpu.VMEM((f_eff, tile_p), jnp.float32)
+             for _ in range(7)],  # S, B1 x3, B2 x3 row scratches
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

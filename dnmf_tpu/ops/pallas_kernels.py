@@ -40,8 +40,11 @@ dimension advances).
   gradient w.r.t. the deformation coefficients:
 
       recon_p = w_p * sum_k A_kp c_k,     r = recon - y
-      dL/dpsi_d = 2 r [ w (B2_d - psi_d B1) + S dw/dpsi_d ]
-      B1 = (2c/sigma^2) A,  B2_d = (2 c p_d / sigma^2) A,  S = c A
+      dL/dpsi_d = 2 r [ w (B2_d - psi_d B1_d) + S dw/dpsi_d ]
+      B1_d = (2c/s_d^2) A,  B2_d = (2 c p_d / s_d^2) A,  S = c A
+
+  (per-axis widths ``s_d`` — anisotropic ``sigma [K, 3]`` and isotropic
+  ``[K]`` share one code path; the weights dot stays 8-wide either way)
 
   (product rule over the border fade ``w``): the whole backward pass is
   two extra small matmuls fused into the same pixel pass — no autodiff
@@ -162,50 +165,72 @@ def _fade_row(psi, size):
 LOG2E = 1.4426950408889634  # exp(-x) == exp2(-x * log2(e))
 
 
+SCALE_COLS = (3, 5, 6)  # per-axis inv_s2 * log2(e) param columns
+
+
+def _per_axis_inv_s2(sigma):
+    """``[K, 3]`` per-axis inverse squared widths from ``sigma [K]``
+    (isotropic — the same value on every axis) or ``[K, 3]``
+    (anisotropic footprints, beyond the reference's frozen-scalar model
+    class, ``/root/reference/Demix/dNMF.py:29``).  Every kernel is
+    per-axis natively; isotropic is the equal-widths special case, so
+    there is ONE code path and no aniso branch divergence."""
+    sig = sigma.astype(jnp.float32)
+    if sig.ndim == 1:
+        sig = jnp.broadcast_to(sig[:, None], sig.shape + (3,))
+    return 1.0 / (sig * sig)
+
+
 def _footprint_tile(psi, pos_ref):
-    """Raw Gaussians ``A [K8, tp] = exp(-sum_d (psi_d - p_kd)^2 / s_k^2)``.
+    """Raw Gaussians ``A [K8, tp] = exp(-sum_d (psi_d - p_kd)^2 / s_kd^2)``.
 
     ``psi``: 3 x ``[1, tp]`` (a single frame's rows); ``pos_ref``:
-    ``[K8, 8]`` columns ``(px, py, pz, inv_s2 * log2(e), ...)`` — only
-    the first 4 used here; padded neurons sit at 1e4 so they evaluate to
+    ``[K8, 8]`` columns ``(px, py, pz, ...)`` with the per-axis exponent
+    scales ``inv_s2_d * log2(e)`` in cols ``SCALE_COLS`` (3, 5, 6);
+    padded neurons sit at 1e4 with unit scales so they evaluate to
     exactly 0.  The exponent runs as ``exp2`` with log2(e) pre-folded
-    into the scale column: same math, one fewer multiply and the VPU's
+    into the scale columns: same math, one fewer multiply and the VPU's
     native base-2 exponential.
     """
-    d2 = (pos_ref[:, 0:1] - psi[0]) ** 2
-    d2 += (pos_ref[:, 1:2] - psi[1]) ** 2
-    d2 += (pos_ref[:, 2:3] - psi[2]) ** 2
-    return jnp.exp2(-d2 * pos_ref[:, 3:4])
+    expo = (pos_ref[:, 0:1] - psi[0]) ** 2 * pos_ref[:, 3:4]
+    expo += (pos_ref[:, 1:2] - psi[1]) ** 2 * pos_ref[:, 5:6]
+    expo += (pos_ref[:, 2:3] - psi[2]) ** 2 * pos_ref[:, 6:7]
+    return jnp.exp2(-expo)
 
 
 def _neuron_params(pos, sigma, k8, c_block=None):
     """``[K8, 8]`` per-neuron parameter columns (see _footprint_tile).
 
     With ``c_block [B, K]`` given, returns ``(params [B, K8, 8],
-    w2 [B, K8, 8])`` where params cols 4:6 hold the motion-kernel trace
-    weights ``(c, 2c/s^2)`` and w2 cols 0:3 hold ``2 c p_d / s^2``.
+    w2 [B, K8, 8])`` where params col 4 holds the motion-kernel trace
+    weight ``c``, w2 cols 0:3 hold ``2 c p_d / s_d^2`` (the B2 weights)
+    and w2 cols 3:6 hold ``2 c / s_d^2`` (the per-axis B1 weights).
 
-    Col 3 carries ``inv_s2 * log2(e)`` — the exponent scale for the
-    ``exp2``-form footprint tile (see :func:`_footprint_tile`).
+    Cols ``SCALE_COLS`` carry the per-axis ``inv_s2_d * log2(e)`` —
+    the exponent scales for the ``exp2``-form footprint tile
+    (:func:`_footprint_tile`); ``sigma`` may be ``[K]`` or ``[K, 3]``.
     """
     k = pos.shape[0]
-    inv_s2 = 1.0 / (sigma**2)
+    inv_s2 = _per_axis_inv_s2(sigma)  # [K, 3]
     base = jnp.full((k8, 8), 0.0, dtype=jnp.float32)
     base = base.at[:, :3].set(
         jnp.pad(pos, ((0, k8 - k), (0, 0)), constant_values=1e4)
     )
-    base = base.at[:k, 3].set(inv_s2 * LOG2E)
-    base = base.at[k:, 3].set(1.0)
+    for d, col in enumerate(SCALE_COLS):
+        base = base.at[:k, col].set(inv_s2[:, d] * LOG2E)
+        base = base.at[k:, col].set(1.0)
     if c_block is None:
         return base
     bsz = c_block.shape[0]
     out = jnp.broadcast_to(base, (bsz, k8, 8))
     out = out.at[:, :k, 4].set(c_block)
-    out = out.at[:, :k, 5].set(2.0 * c_block * inv_s2[None, :])
     w2 = jnp.zeros((bsz, k8, 8), dtype=jnp.float32)
     for d in range(3):
         w2 = w2.at[:, :k, d].set(
-            2.0 * c_block * (pos[:, d] * inv_s2)[None, :]
+            2.0 * c_block * (pos[:, d] * inv_s2[:, d])[None, :]
+        )
+        w2 = w2.at[:, :k, 3 + d].set(
+            2.0 * c_block * inv_s2[None, :, d]
         )
     return out, w2
 
@@ -397,9 +422,9 @@ def gram_frame(beta_t, pos, sigma, y, size, scaling="normalized",
 # Motion kernel (data term + analytic gradient)
 # ----------------------------------------------------------------------
 def _motion_kernel(off_ref, beta_ref, pos_ref, w2_ref, y_ref, sse_ref,
-                   dbeta_ref, sse_acc, dbeta_acc, s_scr, b1_scr, b2x_scr,
-                   b2y_scr, b2z_scr, *, size, scaling, tile_p, p_count,
-                   n_tiles, f):
+                   dbeta_ref, sse_acc, dbeta_acc, s_scr, b1x_scr,
+                   b1y_scr, b1z_scr, b2x_scr, b2y_scr, b2z_scr, *, size,
+                   scaling, tile_p, p_count, n_tiles, f):
     tile = pl.program_id(1)
 
     @pl.when(tile == 0)
@@ -414,16 +439,18 @@ def _motion_kernel(off_ref, beta_ref, pos_ref, w2_ref, y_ref, sse_ref,
     w = _fade_row(psi, size) * valid  # [F, tp]
 
     # Per-frame row quantities via one [K8, 8] x [K8, tp] contraction on
-    # the sublane axis: rows 0 = S = c A, 1 = B1 = (2c/s^2) A,
-    # 2:5 = B2_d = (2 c p_d / s^2) A.  Stacked into [F, tp] scratch so
-    # the gradient row math below vectorizes across frames.
+    # the sublane axis: rows 0 = S = c A, 1:4 = B2_d = (2 c p_d/s_d^2) A,
+    # 4:7 = B1_d = (2c/s_d^2) A (per-axis widths — isotropic is the
+    # equal-scales case; same dot shape either way).  Stacked into
+    # [F, tp] scratch so the gradient row math below vectorizes across
+    # frames.
     hi_prec = jax.lax.Precision.HIGHEST
     for fi in range(f):
         psi_f = tuple(p[fi:fi + 1, :] for p in psi)
         a = _footprint_tile(psi_f, pos_ref[fi])  # [K8, tp]
         weights = jnp.concatenate(
-            [pos_ref[fi, :, 4:6], w2_ref[fi, :, 0:3],
-             jnp.zeros((a.shape[0], 3), dtype=jnp.float32)],
+            [pos_ref[fi, :, 4:5], w2_ref[fi, :, 0:6],
+             jnp.zeros((a.shape[0], 1), dtype=jnp.float32)],
             axis=1,
         )  # [K8, 8]
         rows = jax.lax.dot_general(
@@ -431,13 +458,15 @@ def _motion_kernel(off_ref, beta_ref, pos_ref, w2_ref, y_ref, sse_ref,
             preferred_element_type=jnp.float32, precision=hi_prec,
         )  # [8, tp]
         s_scr[fi:fi + 1, :] = rows[0:1, :]
-        b1_scr[fi:fi + 1, :] = rows[1:2, :]
-        b2x_scr[fi:fi + 1, :] = rows[2:3, :]
-        b2y_scr[fi:fi + 1, :] = rows[3:4, :]
-        b2z_scr[fi:fi + 1, :] = rows[4:5, :]
+        b2x_scr[fi:fi + 1, :] = rows[1:2, :]
+        b2y_scr[fi:fi + 1, :] = rows[2:3, :]
+        b2z_scr[fi:fi + 1, :] = rows[3:4, :]
+        b1x_scr[fi:fi + 1, :] = rows[4:5, :]
+        b1y_scr[fi:fi + 1, :] = rows[5:6, :]
+        b1z_scr[fi:fi + 1, :] = rows[6:7, :]
 
     s = s_scr[:]
-    b1 = b1_scr[:]
+    b1 = (b1x_scr[:], b1y_scr[:], b1z_scr[:])
     b2 = (b2x_scr[:], b2y_scr[:], b2z_scr[:])
 
     recon = w * s
@@ -462,7 +491,7 @@ def _motion_kernel(off_ref, beta_ref, pos_ref, w2_ref, y_ref, sse_ref,
                          jnp.where(pd < hi_d - pd, 1.0, -1.0))
         w_over = jnp.where(wd > 0.0, w / jnp.maximum(wd, 1e-12), 0.0)
         dpsi_d = 2.0 * r * (
-            w * (b2[d] - pd * b1) + s * w_over * ramp_grad * sign
+            w * (b2[d] - pd * b1[d]) + s * w_over * ramp_grad * sign
         )
         if scaling == "normalized":
             dpsi_d = dpsi_d * (max(float(size[d]) - 1.0, 1.0) / 2.0)
@@ -567,12 +596,8 @@ def motion_block(
         scratch_shapes=[
             pltpu.VMEM((f_eff, 1), jnp.float32),
             pltpu.VMEM((f_eff, 3, 10), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-            pltpu.VMEM((f_eff, tile_p), jnp.float32),
-        ],
+        ] + [pltpu.VMEM((f_eff, tile_p), jnp.float32)
+             for _ in range(7)],  # S, B1 x3, B2 x3 row scratches
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -698,11 +698,15 @@ class MotionCorrect:
                  **overrides):
         if not isinstance(video, (list, tuple)):
             video = [video]
-        # Videos stay HOST-resident (NumPy views; memmaps untouched) —
-        # the batch drivers stream frame blocks to the device, so device
-        # memory never scales with T.
+        # Videos stay HOST-resident (NumPy views; memmaps untouched;
+        # duck-typed read views like data.streaming.SpatialView pass
+        # through — the drivers only touch .shape and __getitem__) —
+        # the batch drivers stream frame blocks to the device, so
+        # device memory never scales with T.
         self.video = [
-            v if isinstance(v, np.ndarray)
+            v if (isinstance(v, np.ndarray)
+                  or (hasattr(v, "shape") and hasattr(v, "__getitem__")
+                      and not hasattr(v, "devices")))
             else np.asarray(v, dtype=np.float32)
             for v in video
         ]

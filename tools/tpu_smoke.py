@@ -45,8 +45,12 @@ def _f64_reference(size, pos, sigma, beta, y, scaling):
     psi = phi @ beta.astype(np.float64)
     if scaling == "normalized":
         psi = (psi + 1.0) / 2.0 * np.maximum(sz - 1.0, 1.0)
-    d2 = ((psi[:, None, :] - pos[None].astype(np.float64)) ** 2).sum(-1)
-    a = np.exp(-d2 / sigma.astype(np.float64)[None] ** 2)
+    sig = sigma.astype(np.float64)
+    if sig.ndim == 1:
+        sig = np.broadcast_to(sig[:, None], sig.shape + (3,))
+    expo = (((psi[:, None, :] - pos[None].astype(np.float64)) ** 2)
+            / (sig[None] ** 2)).sum(-1)
+    a = np.exp(-expo)
     hi = sz - 1.0
     w = np.clip(1 + np.minimum(psi, hi - psi), 0, 1).prod(1)
     aw = a * w[:, None]
@@ -71,7 +75,7 @@ def check(name, got, want, rtol, atol):
 
 
 def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4,
-        grad_probes=True):
+        grad_probes=True, aniso=False):
     import jax
     import jax.numpy as jnp
 
@@ -84,7 +88,12 @@ def run(size, k, scaling, tile_p, rtol=1e-3, atol=1e-4,
     total_p = int(np.prod(size))
     hi = np.maximum(np.array(size, dtype=np.float64) - 4, 5)
     pos = rng.uniform(3, hi, (k, 3)).astype(np.float32)
-    sigma = rng.uniform(2.0, 3.5, (k,)).astype(np.float32)
+    if aniso:  # per-axis widths, z-flattened (sigma [K, 3])
+        print(f"-- anisotropic sigma [K, 3] pass ({scaling}) --")
+        sigma = rng.uniform(2.0, 3.5, (k, 3)).astype(np.float32)
+        sigma[:, 2] *= 0.6
+    else:
+        sigma = rng.uniform(2.0, 3.5, (k,)).astype(np.float32)
     beta = np.asarray(B.identity_beta(1))[0] + (
         0.002 * rng.normal(size=(10, 3)).astype(np.float32)
         if scaling == "normalized" else 0.0
@@ -304,6 +313,8 @@ def main():
     ok &= run((64, 32, 4), 12, "pixel", 2048)
     ok &= run((64, 32, 4), 12, "normalized", 2048)
     ok &= run((96, 64, 2), 80, "normalized", 4096)  # culled multi-block
+    # Anisotropic sigma [K, 3] through every kernel + the closed form.
+    ok &= run((64, 32, 4), 12, "normalized", 2048, aniso=True)
     ok &= run_registration()
     if args.full:
         ok &= run((512, 512, 20), 200, "normalized", 8192,
