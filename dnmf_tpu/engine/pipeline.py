@@ -75,6 +75,7 @@ def register_and_demix(
     runtime: Optional[RuntimeConfig] = None,
     seed_deformation: bool = True,
     seed_mode: str = "auto",
+    seeder: str = "summary",
     refine_positions: bool = False,
     refine_rounds: int = 3,
     refine_epochs: int = 40,
@@ -105,6 +106,10 @@ def register_and_demix(
         raise ValueError(
             f"unknown seed_mode: {seed_mode!r} "
             "(expected 'auto', 'affine', or 'quadratic')")
+    if seeder not in ("summary", "template"):
+        raise ValueError(
+            f"unknown seeder: {seeder!r} "
+            "(expected 'summary' or 'template')")
     streaming = hasattr(video, "blocks") and not hasattr(
         video, "frames_flat")
     if streaming:
@@ -138,10 +143,26 @@ def register_and_demix(
     if points is None:
         if num_neurons is None:
             raise ValueError("need either points or num_neurons")
-        template = np.asarray(mc.total_template_els
-                              if reg_cfg.pw_rigid
-                              else mc.total_template_rig)
-        points = detect_peaks(template, num_neurons)
+        if seeder == "summary":
+            # Correlation x PNR seeding (one extra streamed pass):
+            # robust where raw intensity is not — bright neuropil /
+            # bleed-through carries no temporal peak and vignetting
+            # no neighbor-coherent transients
+            # (dnmf_tpu/ops/seeding.py; VERDICT r4 weak #4).
+            from dnmf_tpu.ops.seeding import (
+                detect_peaks_summary,
+                summary_images,
+            )
+
+            src = fit_video if streaming else np.asarray(video)
+            corr_img, pnr_img = summary_images(src, (m, n, z))
+            points = detect_peaks_summary(corr_img, pnr_img,
+                                          num_neurons)
+        else:
+            template = np.asarray(mc.total_template_els
+                                  if reg_cfg.pw_rigid
+                                  else mc.total_template_rig)
+            points = detect_peaks(template, num_neurons)
     points = np.asarray(points, dtype=np.float64)
 
     if reg_cfg.pw_rigid:

@@ -1,0 +1,153 @@
+"""Correlation/PNR seeding (ops.seeding; VERDICT r4 weak #4).
+
+The intensity detector ranks voxels by template brightness, so bright
+smooth neuropil / bleed-through outranks dim neurons.  The summary
+seeder scores temporal structure instead; these tests gate (a) the
+streamed-moment math against direct NumPy computation, (b) recovery on
+a fixture built to break the intensity detector, and (c) the pipeline
+wiring.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dnmf_tpu.data import simulator
+from dnmf_tpu.data.streaming import StreamingVideo
+from dnmf_tpu.engine.pipeline import detect_peaks
+from dnmf_tpu.ops import basis as B
+from dnmf_tpu.ops.footprints import gaussian_footprints
+from dnmf_tpu.ops.seeding import detect_peaks_summary, summary_images
+
+SIZE = (32, 32, 4)
+K, T = 5, 48
+
+
+def _bleed_fixture(seed=0):
+    """Dim neurons + a BRIGHT smooth background blob + vignetting.
+
+    The blob is static (temporal flicker ~ noise) and brighter than any
+    neuron's template footprint; the vignette dims the corner neurons'
+    intensity below the blob's shoulder — raw-intensity seeding picks
+    the blob and drops/duplicates neurons.
+    """
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(
+        [[7.0, 7.0, 2.0], [24.0, 7.0, 1.0], [7.0, 24.0, 2.0],
+         [24.0, 24.0, 1.0], [16.0, 16.0, 2.0]], jnp.float32)
+    sigma = jnp.full((K,), 2.0)
+    traces = simulator.exponential_traces(jax.random.PRNGKey(3), K, T,
+                                          density=0.15)
+    grid = B.voxel_grid(SIZE)
+    a = gaussian_footprints(grid, pos, sigma)  # [P, K]
+    video = np.asarray((a @ traces).T).reshape((T,) + SIZE)
+
+    mm, nn, zz = np.meshgrid(np.arange(SIZE[0]), np.arange(SIZE[1]),
+                             np.arange(SIZE[2]), indexing="ij")
+    # Bright wide static blob, away from every neuron center.
+    blob = 3.0 * np.exp(-((mm - 14.0) ** 2 + (nn - 22.0) ** 2)
+                        / (2 * 6.0 ** 2)).astype(np.float32)
+    # Multiplicative vignette: corners at 35% brightness.
+    r2 = ((mm - 15.5) / 15.5) ** 2 + ((nn - 15.5) / 15.5) ** 2
+    vignette = (1.0 - 0.325 * r2).astype(np.float32)
+    video = (video + blob[None]) * vignette[None]
+    video += 0.02 * rng.standard_normal(video.shape).astype(np.float32)
+    return np.maximum(video, 0.0), np.asarray(pos)
+
+
+def _recovered(peaks, gt, tol=3.0):
+    d = np.linalg.norm(gt[:, None, :] - peaks[None, :, :], axis=-1)
+    return (d.min(axis=1) < tol).sum()
+
+
+def test_summary_images_match_numpy_reference():
+    video, _pos = _bleed_fixture()
+    corr, pnr = summary_images(video, SIZE, frame_block=16)
+    flat = np.maximum(video.reshape(T, -1), 0.0).astype(np.float64)
+    mean = flat.mean(0)
+    std = flat.std(0)
+    vmax = flat.max(0)
+    noise = np.sqrt((np.diff(flat, axis=0) ** 2).mean(0) / 2.0)
+    pnr_ref = ((vmax - mean) / np.maximum(noise, 1e-6)).reshape(SIZE)
+    np.testing.assert_allclose(pnr, pnr_ref, rtol=2e-3, atol=1e-3)
+
+    vol = flat.reshape((T,) + SIZE)
+    csum = np.zeros(SIZE)
+    ccnt = np.zeros(SIZE)
+    for d in range(3):
+        a = vol[:, :, :, :]
+        b = np.roll(vol, -1, axis=1 + d)
+        cov = (a * b).mean(0) - mean.reshape(SIZE) * np.roll(
+            mean.reshape(SIZE), -1, axis=d)
+        den = std.reshape(SIZE) * np.roll(std.reshape(SIZE), -1,
+                                          axis=d)
+        c = np.where(den > 1e-12, cov / np.maximum(den, 1e-12), 0.0)
+        sl = [slice(None)] * 3
+        sl[d] = slice(0, SIZE[d] - 1)
+        sr = [slice(None)] * 3
+        sr[d] = slice(1, SIZE[d])
+        csum[tuple(sl)] += c[tuple(sl)]
+        ccnt[tuple(sl)] += 1
+        csum[tuple(sr)] += c[tuple(sl)]
+        ccnt[tuple(sr)] += 1
+    corr_ref = csum / np.maximum(ccnt, 1)
+    np.testing.assert_allclose(corr, corr_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_summary_images_streaming_matches_array():
+    video, _pos = _bleed_fixture()
+    c_a, p_a = summary_images(video, SIZE, frame_block=16)
+    c_b, p_b = summary_images(StreamingVideo(video, block=7), SIZE)
+    np.testing.assert_allclose(c_b, c_a, atol=1e-5)
+    np.testing.assert_allclose(p_b, p_a, rtol=1e-4, atol=1e-4)
+
+
+def test_summary_seeder_beats_intensity_on_bleedthrough():
+    video, pos = _bleed_fixture()
+    template = video.mean(0)
+    k_int = _recovered(detect_peaks(template, K, min_distance=5.0),
+                       pos)
+    corr, pnr = summary_images(video, SIZE)
+    peaks = detect_peaks_summary(corr, pnr, K, min_distance=5.0)
+    k_sum = _recovered(peaks, pos)
+    # The fixture is built so intensity seeding drops at least one
+    # neuron (the blob outranks a vignetted corner); the summary seeder
+    # must recover all K.
+    assert k_int < K, f"fixture too easy: intensity got {k_int}/{K}"
+    assert k_sum == K, (peaks, pos)
+
+
+def test_summary_seeder_threshold_fallback():
+    """Below-threshold volumes still return the best maxima (a short
+    low-SNR clip must not return zero seeds)."""
+    rng = np.random.default_rng(1)
+    video = 0.05 * rng.standard_normal((8,) + SIZE).astype(np.float32)
+    corr, pnr = summary_images(np.maximum(video, 0.0), SIZE)
+    peaks = detect_peaks_summary(corr, pnr, 3, min_distance=4.0)
+    assert len(peaks) == 3
+
+
+def test_pipeline_summary_seeder_wiring():
+    from dnmf_tpu.config import (
+        ModelConfig,
+        OptimizerConfig,
+        RegistrationConfig,
+    )
+    from dnmf_tpu.engine.pipeline import register_and_demix
+
+    video, pos = _bleed_fixture()
+    reg = RegistrationConfig(max_shifts=(2, 2, 1), pw_rigid=False,
+                             is3d=True, splits=2, border_nan=False)
+    model = ModelConfig(size=SIZE, num_neurons=K, num_frames=T,
+                        shape_std=2.0)
+    opt = OptimizerConfig(learning_rate=1e-3, outer_rounds=1,
+                          motion_epochs=1, mu_iters=10,
+                          gamma_motion=0.1)
+    res = register_and_demix(video, num_neurons=K, registration=reg,
+                             model=model, optimizer=opt)
+    assert _recovered(res.positions[:, :, 0], pos) == K
+    import pytest
+
+    with pytest.raises(ValueError, match="seeder"):
+        register_and_demix(video, num_neurons=K, seeder="pnr")

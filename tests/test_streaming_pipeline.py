@@ -190,13 +190,18 @@ def _pipeline_configs():
 
 def test_register_and_demix_streaming_matches_resident():
     """The one-call pipeline on a StreamingVideo reproduces the
-    device-resident run (registration, seeding, and fit all stream)."""
+    device-resident run (registration and fit both stream).  Seeds are
+    pinned: the summary images match streamed-vs-resident to ~1e-5
+    (gated in test_seeding), but near-tied peak scores can flip a
+    detected voxel by 1 px across block partitions — the factor gate
+    here is about registration + fit, not tie-breaking."""
     video, positions, traces = _fixture()
     reg, model, opt = _pipeline_configs()
-    res_a = register_and_demix(video, num_neurons=K, registration=reg,
+    pts = np.asarray(positions[:, :, 0], np.float64)
+    res_a = register_and_demix(video, points=pts, registration=reg,
                                model=model, optimizer=opt)
     source = StreamingVideo(np.asarray(video), block=4)
-    res_b = register_and_demix(source, num_neurons=K, registration=reg,
+    res_b = register_and_demix(source, points=pts, registration=reg,
                                model=model, optimizer=opt)
     np.testing.assert_array_equal(res_b.positions, res_a.positions)
     np.testing.assert_allclose(res_b.traces, res_a.traces, rtol=2e-4,
