@@ -498,6 +498,122 @@ def _streamed_io_run():
     }
 
 
+def _aniso_recovery_run():
+    """Anisotropic per-axis sigma witness (round 5): z-flattened
+    per-axis GT widths, fitted with sigma_axes=3 vs the isotropic
+    control on the SAME ground truth.  The lift is the representation
+    error an isotropic model cannot remove; round cost overhead is the
+    per-axis kernels' price at production cadence."""
+    import sys
+
+    import jax
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return None
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from wb_recovery import seeded_recovery
+
+    size, k, t = (256, 256, 10), 100, 32
+    rounds, epochs, mu_iters = 4, 8, 50
+    kw = dict(frame_block=8, fit_sigma=True, sigma_aniso=True)
+    r3 = seeded_recovery(size, k, t, rounds, epochs, mu_iters, **kw)
+    r1 = seeded_recovery(size, k, t, rounds, epochs, mu_iters,
+                         fit_sigma_axes=1, **kw)
+    return {
+        "workload": f"{size[0]}x{size[1]}x{size[2]} K={k} T={t}, "
+                    "aniso GT (z-flattened 0.6x, +-25%/axis), "
+                    f"{rounds}x({epochs}ep+{mu_iters}MU)+fit_sigma",
+        "sigma_err_px_aniso_fit": round(r3["sigma_err"], 3),
+        "sigma_err_px_iso_fit": round(r1["sigma_err"], 3),
+        "trace_corr_mean_aniso": round(float(np.mean(r3["corr"])), 4),
+        "trace_corr_mean_iso": round(float(np.mean(r1["corr"])), 4),
+        "trace_corr_min_aniso": round(float(np.min(r3["corr"])), 4),
+        "trace_corr_min_iso": round(float(np.min(r1["corr"])), 4),
+        "round_s_aniso": round(r3["round_s_steady"], 3),
+        "round_s_iso": round(r1["round_s_steady"], 3),
+    }
+
+
+def _streamed_pipeline_run():
+    """One-call pipeline on a raw-file source (round 5): a config-3-
+    SHAPED recording on disk runs register_and_demix end-to-end through
+    the native BlockReader with device memory bounded by the block
+    size; factors gated against the device-resident run.  Sized for
+    the tunneled link (real hosts stream GB/s over PCIe)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return None
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from wb_recovery import synthesize
+
+    from dnmf_tpu.config import ModelConfig, OptimizerConfig
+    from dnmf_tpu.data.streaming import open_raw_video
+    from dnmf_tpu.engine.pipeline import register_and_demix
+    from dnmf_tpu.utils.metrics import trace_correlations
+
+    size, k, t, blk = (128, 128, 8), 24, 48, 8
+    model = ModelConfig(size=size, num_neurons=k, num_frames=t,
+                        shape_std=3.0)
+    key = jax.random.PRNGKey(0)
+    pos_gt = 12.0 + jax.random.uniform(key, (k, 3)) * (
+        jnp.asarray(size, jnp.float32) - 24.0)
+    sigma_gt = jnp.full((k,), model.shape_std)
+    _betas, c_gt, video, _pt = synthesize(model, pos_gt, sigma_gt,
+                                          jax.random.PRNGKey(1))
+    host = np.maximum(np.asarray(video, np.float32), 0.0)
+    tmp = tempfile.NamedTemporaryFile(suffix=".raw", delete=False)
+    host.tofile(tmp.name)
+    tmp.close()
+
+    opt = OptimizerConfig(learning_rate=1e-3, outer_rounds=3,
+                          motion_epochs=8, mu_iters=50,
+                          gamma_motion=0.1)
+    pts = np.asarray(pos_gt, np.float64)
+
+    t0 = time.time()
+    res_r = register_and_demix(
+        host.reshape((t,) + size), points=pts, model=model,
+        optimizer=opt)
+    _ = float(np.sum(res_r.traces))
+    sec_resident = time.time() - t0
+
+    src = open_raw_video(tmp.name, (t,) + size, block=blk)
+    t0 = time.time()
+    res_s = register_and_demix(src, points=pts, model=model,
+                               optimizer=opt)
+    _ = float(np.sum(res_s.traces))
+    sec_streamed = time.time() - t0
+    os.unlink(tmp.name)
+
+    beta_err = float(np.max(np.abs(
+        np.asarray(res_s.fit.state.beta)
+        - np.asarray(res_r.fit.state.beta))))
+    c_err = float(np.max(np.abs(res_s.traces - res_r.traces))
+                  / max(np.max(np.abs(res_r.traces)), 1e-30))
+    corr = trace_correlations(res_s.traces, np.asarray(c_gt))
+    return {
+        "workload": f"{size[0]}x{size[1]}x{size[2]} K={k} T={t} "
+                    f"raw-f32 file, block={blk}, pw-rigid "
+                    "register->seed->demix one-call",
+        "pipeline_s_resident": round(sec_resident, 2),
+        "pipeline_s_streamed": round(sec_streamed, 2),
+        "trace_corr_mean": round(float(np.mean(corr)), 4),
+        "beta_max_abs_diff": beta_err,
+        "traces_max_rel_diff": c_err,
+        "factors_match": bool(beta_err < 1e-4 and c_err < 1e-4),
+    }
+
+
 def _torch_cpu_baseline_per_frame():
     """Per-frame cost of the reference-equivalent round on torch/NumPy CPU.
 
@@ -665,6 +781,8 @@ def main():
     registration = _guard(_registration_run)
     pipeline = _guard(_pipeline_recovery_run)
     streamed_io = _guard(_streamed_io_run)
+    aniso = _guard(_aniso_recovery_run)
+    streamed_pipeline = _guard(_streamed_pipeline_run)
     base_per_frame = _torch_cpu_baseline_per_frame()
     baseline_round = base_per_frame * T
     result = {
@@ -691,6 +809,8 @@ def main():
         "registration": registration,
         "pipeline": pipeline,
         "streamed_io": streamed_io,
+        "anisotropic": aniso,
+        "streamed_pipeline": streamed_pipeline,
     }
     print(json.dumps(result))
 

@@ -163,6 +163,36 @@ def run_all(n_devices: int | None = None, compiled_pallas: bool = False,
     mode = "compiled" if compiled_pallas else "interpret"
     check(f"Pallas-in-shard_map Grams ({mode})", _pallas)
 
+    # 3c. Anisotropic sigma [K, 3] replicates across the mesh and the
+    #     sharded epochs/Grams (XLA + analytic) match single-device.
+    def _aniso():
+        sig3 = jnp.asarray([[1.6, 2.2, 1.1], [2.4, 1.4, 1.3],
+                            [1.9, 1.9, 0.9]], jnp.float32)
+        st_a = state._replace(sigma=sig3)
+        s_st_a = shard_state(st_a, mesh)
+        ref_st, _ = M.motion_epoch_parallel(
+            st_a, video, model, optimizer, gamma=0.1, frame_block=2)
+        sh_st, _ = sharded_motion_epoch(
+            s_st_a, s_video, model, optimizer, gamma=0.1, mesh=mesh,
+            frame_block=2)
+        np.testing.assert_allclose(np.asarray(sh_st.beta),
+                                   np.asarray(ref_st.beta),
+                                   rtol=1e-5, atol=1e-7)
+        for gm in ("exact", "analytic"):
+            ref_g, ref_c1 = M.compute_grams(st_a, video, model,
+                                            frame_block=2,
+                                            gram_mode=gm)
+            sh_g, sh_c1 = sharded_compute_grams(
+                s_st_a, s_video, model, mesh=mesh, frame_block=2,
+                gram_mode=gm)
+            np.testing.assert_allclose(np.asarray(sh_g),
+                                       np.asarray(ref_g),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(sh_c1),
+                                       np.asarray(ref_c1),
+                                       rtol=1e-5, atol=1e-6)
+    check("anisotropic sigma sharded (== single)", _aniso)
+
     # 5. Tensor-parallel (pixel-sharded) Grams: traced voxel offsets +
     #    psum over the pixel axis.
     if n % 2 == 0:
