@@ -48,10 +48,17 @@ class StreamingVideo:
         Used by the mesh-sharded streaming drivers to assemble one
         per-shard block row from each shard's contiguous frame range.
         """
-        chunk = np.asarray(
+        return np.maximum(self.read_raw(start, stop), 0.0)
+
+    def read_raw(self, start: int, stop: int) -> np.ndarray:
+        """Host read WITHOUT the NMF non-negativity clamp — registration
+        must see the recording's true values (the reference registers
+        the raw movie; clamping would shift ``min_mov`` and the
+        templates on offset-subtracted recordings with negative
+        baselines)."""
+        return np.asarray(
             self.array[start:stop], dtype=np.float32
         ).reshape(stop - start, -1)
-        return np.maximum(chunk, 0.0)
 
     def blocks(self) -> Iterator[Tuple[jnp.ndarray, int, int]]:
         """Yield ``(frames [block, P] device array, start, valid)``."""
@@ -90,6 +97,7 @@ class RawFileVideo:
         from dnmf_tpu.native import BlockReader
 
         shape = tuple(int(s) for s in shape)
+        self.path = path
         self.num_frames = shape[0]
         self.size = shape[1:] if len(shape) == 4 else None
         self.num_voxels = int(np.prod(shape[1:]))
@@ -98,6 +106,7 @@ class RawFileVideo:
         self._reader = BlockReader(path, self.num_frames,
                                    self.num_voxels,
                                    num_threads=num_threads)
+        self._raw_map = None
 
     def __len__(self) -> int:
         return self.num_frames
@@ -107,6 +116,16 @@ class RawFileVideo:
 
     def read(self, start: int, stop: int) -> np.ndarray:
         return self._reader.read(start, stop)
+
+    def read_raw(self, start: int, stop: int) -> np.ndarray:
+        """Unclamped host read for registration (the native reader
+        clamps during its copy, so raw reads go through a lazily-opened
+        memmap over the same file)."""
+        if self._raw_map is None:
+            self._raw_map = np.memmap(
+                self.path, dtype=np.float32, mode="r",
+                shape=(self.num_frames, self.num_voxels))
+        return np.asarray(self._raw_map[start:stop], dtype=np.float32)
 
     def blocks(self) -> Iterator[Tuple[jnp.ndarray, int, int]]:
         starts = list(range(0, self.num_frames, self.block))
@@ -139,12 +158,12 @@ class SpatialView:
     host arrays through ``shape`` + ``__getitem__`` only; this adapter
     satisfies that contract for ``StreamingVideo``/``RawFileVideo`` by
     translating integer/slice/fancy indexing into grouped contiguous
-    ``read()`` calls — so the one-call pipeline
+    ``read_raw()`` calls — so the one-call pipeline
     (:func:`dnmf_tpu.engine.pipeline.register_and_demix`) can register a
-    recording that never fits in memory.  Note the sources' ``read``
-    applies the NMF non-negativity clamp; for typical (non-negative)
-    raw recordings this is a no-op, and registration is shift-invariant
-    to it otherwise only approximately.
+    recording that never fits in memory.  Reads are UNCLAMPED (the
+    reference registers the raw movie — ``min_mov`` and the templates
+    must see negative baselines on offset-subtracted recordings; the
+    NMF clamp applies only to the demixing reads).
     """
 
     def __init__(self, source):
@@ -156,6 +175,7 @@ class SpatialView:
         self.source = source
         self.shape = (source.num_frames,) + tuple(source.size)
         self.ndim = 4
+        self._read = getattr(source, "read_raw", source.read)
 
     def __len__(self) -> int:
         return self.shape[0]
@@ -168,17 +188,24 @@ class SpatialView:
             idx = np.arange(start, stop, step)
         elif np.isscalar(key) or (isinstance(key, np.ndarray)
                                   and key.ndim == 0):
-            idx = np.asarray([int(key) % t])
+            idx = np.asarray([int(key)])
             squeeze = True
         else:
             idx = np.asarray(key).reshape(-1)
+        # NumPy index semantics: negatives count from the end, anything
+        # outside [-t, t) raises.
+        if len(idx) and (idx.min() < -t or idx.max() >= t):
+            raise IndexError(
+                f"frame index out of range for {t} frames: "
+                f"[{idx.min()}, {idx.max()}]")
+        idx = np.where(idx < 0, idx + t, idx)
         out = np.empty((len(idx),) + self.shape[1:], np.float32)
         i = 0
         while i < len(idx):  # group ascending contiguous runs
             j = i
             while j + 1 < len(idx) and idx[j + 1] == idx[j] + 1:
                 j += 1
-            chunk = self.source.read(int(idx[i]), int(idx[j]) + 1)
+            chunk = self._read(int(idx[i]), int(idx[j]) + 1)
             out[i:j + 1] = chunk.reshape((j - i + 1,) + self.shape[1:])
             i = j + 1
         return out[0] if squeeze else out

@@ -133,10 +133,17 @@ def register_and_demix(
         reg_video = video
         fit_video = None  # device-resident: reshaped below
 
+    # return_mc=False: the pipeline consumes shifts/templates only —
+    # collecting the corrected movie host-side would materialize the
+    # full recording (twice: rigid + pw passes) and defeat the
+    # streaming path on larger-than-memory sources.  Pass an explicit
+    # RegistrationConfig(return_mc=True) to keep the corrected movie on
+    # ``result.motion.mc`` for recordings that fit.
     reg_cfg = registration or RegistrationConfig(
         max_shifts=(8, 8, 2), pw_rigid=True,
         strides=(max(m // 2, 8), max(n // 2, 8), max(z, 1)),
         overlaps=(8, 8, 0), is3d=True, border_nan=False,
+        return_mc=False,
     )
     mc = MotionCorrect(reg_video, reg_cfg).motion_correct()
 
@@ -148,14 +155,21 @@ def register_and_demix(
             # robust where raw intensity is not — bright neuropil /
             # bleed-through carries no temporal peak and vignetting
             # no neighbor-coherent transients
-            # (dnmf_tpu/ops/seeding.py; VERDICT r4 weak #4).
+            # (dnmf_tpu/ops/seeding.py; VERDICT r4 weak #4).  The pass
+            # rigid-corrects each block with the shifts estimated above
+            # so the peaks sit in TEMPLATE space (where
+            # apply_shifts_points expects frame-0/template positions),
+            # not at time-averaged drifted positions.
             from dnmf_tpu.ops.seeding import (
                 detect_peaks_summary,
                 summary_images,
             )
 
-            src = fit_video if streaming else np.asarray(video)
-            corr_img, pnr_img = summary_images(src, (m, n, z))
+            src = fit_video if streaming else video
+            rig = np.asarray(getattr(mc, "shifts_rig", []), np.float64)
+            moved = rig.size > 0 and np.abs(rig).max() > 1e-3
+            corr_img, pnr_img = summary_images(
+                src, (m, n, z), shifts=rig if moved else None)
             points = detect_peaks_summary(corr_img, pnr_img,
                                           num_neurons)
         else:
@@ -163,7 +177,28 @@ def register_and_demix(
                                   if reg_cfg.pw_rigid
                                   else mc.total_template_rig)
             points = detect_peaks(template, num_neurons)
+        # Detected peaks live in TEMPLATE space (summary blocks are
+        # shift-corrected into the template gauge; the template itself
+        # obviously is); apply_shifts_points expects FRAME-0 points
+        # (the reference contract for curated annotations), which
+        # differ by the frame-0 correction.
+        points = mc.template_points_to_frame0(points)
     points = np.asarray(points, dtype=np.float64)
+    if num_neurons is not None and points.shape[0] < num_neurons:
+        # min_distance packing can make the request infeasible; the fit
+        # proceeds with the seeds that exist, but silently shrinking K
+        # under a user-pinned ModelConfig would crash in the matmuls.
+        import warnings
+
+        warnings.warn(
+            f"seeder found {points.shape[0]} of the requested "
+            f"{num_neurons} neurons (min-distance packing limit)",
+            RuntimeWarning, stacklevel=2)
+        if model is not None and model.num_neurons != points.shape[0]:
+            raise ValueError(
+                f"ModelConfig.num_neurons={model.num_neurons} but only "
+                f"{points.shape[0]} seeds were detected — pass "
+                "points=... or a matching ModelConfig")
 
     if reg_cfg.pw_rigid:
         positions = mc.apply_shifts_points(points)

@@ -87,15 +87,40 @@ def _accum_block(carry, frames, valid, size):
     return (ref, s1, s2, sxy, sdiff2, vmax, prev, count + valid)
 
 
-def summary_images(video, size, frame_block: int = 16
+@functools.partial(jax.jit, static_argnames=("size",))
+def _accum_block_shifted(carry, frames, valid, shifts, size):
+    """Rigid-correct a ``[B, P]`` block (per-frame translation via the
+    registration apply, edge-replicated borders so no NaNs/wraps enter
+    the moments) before folding it into the summary accumulators —
+    seeds must live in template space, where ``apply_shifts_points``
+    expects them."""
+    from dnmf_tpu.ops import fft_reg
+
+    vol = frames.reshape((-1,) + size)
+    vol = jax.vmap(
+        lambda f, s: fft_reg.apply_shifts_fourier(
+            f, s, 0.0, border_nan="copy")
+    )(vol, shifts)
+    corrected = jnp.maximum(vol.reshape(frames.shape[0], -1), 0.0)
+    return _accum_block(carry, corrected, valid, size)
+
+
+def summary_images(video, size, frame_block: int = 16, shifts=None
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Local-correlation and PNR volumes from one streamed pass.
 
     Args:
-      video: ``[T, P]`` / ``[T, M, N, Z]`` array, or a streaming source
-        (``StreamingVideo`` / ``RawFileVideo``) with ``blocks()``.
+      video: ``[T, P]`` / ``[T, M, N, Z]`` array (NumPy or
+        device-resident JAX — device arrays are sliced per block, never
+        copied to host), or a streaming source (``StreamingVideo`` /
+        ``RawFileVideo``) with ``blocks()``.
       size: spatial shape ``(M, N, Z)``.
       frame_block: device block size for array inputs.
+      shifts: optional ``[T, 3]`` per-frame rigid correction shifts (the
+        registration's ``shifts_rig`` sign convention); when given, each
+        block is rigid-corrected on device before accumulation so the
+        summary volumes — and the peaks detected on them — sit in
+        template space rather than at time-averaged drifted positions.
 
     Returns:
       ``(corr [M, N, Z], pnr [M, N, Z])`` host arrays — mean Pearson
@@ -108,21 +133,37 @@ def summary_images(video, size, frame_block: int = 16
     zeros = jnp.zeros((p,), jnp.float32)
     carry = (zeros, zeros, zeros, jnp.zeros((3, p), jnp.float32),
              zeros, jnp.full((p,), -jnp.inf), zeros, jnp.int32(0))
+    if shifts is not None:
+        shifts = np.asarray(shifts, np.float32)
+        if shifts.shape[1] < 3:
+            shifts = np.pad(shifts,
+                            ((0, 0), (0, 3 - shifts.shape[1])))
+
+    def fold(carry, frames, start, valid):
+        if shifts is None:
+            return _accum_block(carry, frames, jnp.int32(valid), size)
+        sh = shifts[start:start + frames.shape[0]]
+        if sh.shape[0] < frames.shape[0]:  # padded tail block
+            sh = np.pad(sh, ((0, frames.shape[0] - sh.shape[0]),
+                             (0, 0)))
+        return _accum_block_shifted(carry, frames, jnp.int32(valid),
+                                    jnp.asarray(sh), size)
 
     if hasattr(video, "blocks") and not hasattr(video, "frames_flat"):
-        for frames, _start, valid in video.blocks():
-            carry = _accum_block(carry, frames, jnp.int32(valid), size)
+        for frames, start, valid in video.blocks():
+            carry = fold(carry, frames, start, valid)
     else:
-        arr = np.asarray(video, np.float32).reshape(
-            np.shape(video)[0], -1)
-        t = arr.shape[0]
+        t = int(np.shape(video)[0])
+        on_device = isinstance(video, jnp.ndarray)
+        arr = (video.reshape(t, -1) if on_device
+               else np.asarray(video, np.float32).reshape(t, -1))
         for s in range(0, t, frame_block):
-            blk = np.maximum(arr[s:s + frame_block], 0.0)
-            valid = blk.shape[0]
+            blk = arr[s:s + frame_block]
+            valid = int(blk.shape[0])
+            blk = jnp.maximum(jnp.asarray(blk, jnp.float32), 0.0)
             if valid < frame_block:
-                blk = np.pad(blk, ((0, frame_block - valid), (0, 0)))
-            carry = _accum_block(carry, jnp.asarray(blk),
-                                 jnp.int32(valid), size)
+                blk = jnp.pad(blk, ((0, frame_block - valid), (0, 0)))
+            carry = fold(carry, blk, s, valid)
 
     ref, s1, s2, sxy, sdiff2, vmax, _prev, count = (np.asarray(c)
                                                     for c in carry)
@@ -176,12 +217,16 @@ def detect_peaks_summary(
     Vectorized: candidates are the local maxima of the smoothed score
     volume within a ``min_distance`` window that clear BOTH thresholds
     (an OR would re-admit bright-but-flat bleed-through); suppression
-    then runs over that small set only.  Under-threshold volumes fall
-    back to the best available maxima so the requested K is met when
-    possible.
+    then runs over that small set only.  When the suppressed
+    threshold-passing set is short of ``num_peaks``, confirmed peaks
+    KEEP their slots and the remainder tops up from progressively
+    weaker tiers (sub-threshold maxima, then a bounded score-ranked
+    voxel scan for degenerate volumes) — never displacing a peak that
+    cleared both thresholds with one that did not.
 
-    Returns ``[K', 3]`` float coordinates, score-sorted, ``K' <=
-    num_peaks``.
+    Returns ``[K', 3]`` float coordinates, score-sorted within tiers,
+    ``K' <= num_peaks`` (short only when ``min_distance`` packing makes
+    the request infeasible).
     """
     from scipy.ndimage import gaussian_filter, maximum_filter
 
@@ -192,18 +237,37 @@ def detect_peaks_summary(
     local_max = score >= maximum_filter(score, size=2 * w + 1,
                                         mode="nearest")
     good = local_max & (corr >= min_corr) & (pnr >= min_pnr)
-    if good.sum() < num_peaks:  # threshold fallback: best maxima
-        good = local_max & (score > 0)
-    cand = np.argwhere(good)
-    order = np.argsort(score[tuple(cand.T)])[::-1]
-    cand = cand[order].astype(np.float64)
 
-    chosen = np.empty((0, 3), np.float64)
-    for c in cand:
-        if len(chosen) == num_peaks:
-            break
-        if len(chosen) == 0 or (
-                np.linalg.norm(chosen - c[None], axis=1)
-                >= min_distance).all():
-            chosen = np.concatenate([chosen, c[None]], axis=0)
-    return chosen
+    def ranked(mask):
+        cand = np.argwhere(mask)
+        order = np.argsort(score[tuple(cand.T)])[::-1]
+        return cand[order].astype(np.float64)
+
+    def suppress(chosen, cand):
+        for c in cand:
+            if len(chosen) == num_peaks:
+                break
+            if len(chosen) == 0 or (
+                    np.linalg.norm(
+                        np.asarray(chosen) - c[None], axis=1)
+                    >= min_distance).all():
+                chosen.append(c)
+        return chosen
+
+    chosen = suppress([], ranked(good))
+    if len(chosen) < num_peaks:
+        # Tier 2: sub-threshold local maxima with positive score.
+        chosen = suppress(chosen, ranked(local_max & ~good
+                                         & (score > 0)))
+    if len(chosen) < num_peaks:
+        # Tier 3 (degenerate volumes — flat/blank score): best
+        # remaining voxels by score, scan bounded so the pathological
+        # case stays cheap.
+        flat = np.argsort(score.reshape(-1))[::-1]
+        flat = flat[:max(200 * num_peaks, 10_000)]
+        cand = np.stack(np.unravel_index(flat, score.shape),
+                        axis=1).astype(np.float64)
+        chosen = suppress(chosen, cand)
+    if not chosen:
+        return np.empty((0, 3), np.float64)
+    return np.stack(chosen)

@@ -872,6 +872,37 @@ class MotionCorrect:
                 p_t[:, 2, t] += zs[t][nearest] - zs[0][nearest]
         return p_t
 
+    def template_points_to_frame0(self, points: np.ndarray
+                                  ) -> np.ndarray:
+        """Convert TEMPLATE-space coordinates (peaks detected on
+        ``total_template_*`` or on shift-corrected summary images) to
+        the FRAME-0 coordinates :meth:`apply_shifts_points` expects.
+
+        The reference's ``apply_shifts_points`` contract takes curated
+        frame-0/raw-space points (``/root/reference/Demix/
+        MotionCorrect.py:351-371``: ``P_T[t] = points - (s_t - s_0)``,
+        so ``P_T[0] == points``); template-space detections carry a
+        constant per-patch bias of the frame-0 correction ``s_0``
+        (alignment gauge: ``x_t + s_t = x_template`` for x/y, opposite
+        sign on z per the reference convention), which this removes.
+        """
+        points = np.array(points, dtype=np.float64, copy=True)
+        if self.config.pw_rigid:
+            centers = self._patch_centers()
+            d = np.linalg.norm(
+                centers[:, None, :points.shape[1]] - points[None],
+                axis=-1)
+            nearest = d.argmin(0)
+            points[:, 0] -= np.asarray(self.x_shifts_els)[0][nearest]
+            points[:, 1] -= np.asarray(self.y_shifts_els)[0][nearest]
+            if self.config.is3d and points.shape[1] > 2:
+                points[:, 2] += np.asarray(
+                    self.z_shifts_els)[0][nearest]
+        else:
+            s0 = np.asarray(self.shifts_rig)[0]
+            points[:, :s0.shape[0]] -= s0[None, :points.shape[1]]
+        return points
+
     def get_params(self) -> dict:
         cfg = self.config
         return {

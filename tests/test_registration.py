@@ -571,3 +571,38 @@ def test_niter_els_independent_of_niter_rig(rng, monkeypatch):
     )
     MotionCorrect(video, cfg2).motion_correct(template=jnp.asarray(tmpl))
     assert calls["els"] == 2
+
+
+def test_template_points_to_frame0_gauge(rng):
+    """Peaks detected on the registration template live in TEMPLATE
+    space, which differs from the frame-0 coordinates
+    ``apply_shifts_points`` expects (reference contract ``:351-371``,
+    ``P_T[0] == points``) by the frame-0 correction;
+    ``template_points_to_frame0`` removes that constant bias."""
+    tmpl = _template(rng)
+    mm, nn = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    blob = 5.0 * np.exp(-((mm - 30.0) ** 2 + (nn - 40.0) ** 2)
+                        / (2 * 2.0 ** 2)).astype(np.float32)
+    base = tmpl + blob  # bright neuron at (30, 40)
+    # Ramp STARTING AT A NONZERO shift: the self-built template's gauge
+    # (~median position) then differs from frame 0 by several pixels.
+    true = [(4, -3), (3, -2), (2, -1), (1, 0), (0, 1), (-1, 2),
+            (-2, 3), (-3, 4)]
+    video = _rolled_video(base, true)
+    frame0_pos = np.array([30.0 + 4, 40.0 - 3])
+
+    from dnmf_tpu.engine.pipeline import detect_peaks
+
+    for pw in (False, True):
+        cfg = RegistrationConfig(
+            max_shifts=(6, 6), pw_rigid=pw, splits=2,
+            strides=(32, 32), overlaps=(8, 8), border_nan=False)
+        mc = MotionCorrect(video, cfg).motion_correct()
+        template = np.asarray(mc.total_template_els if pw
+                              else mc.total_template_rig)
+        peaks = detect_peaks(template, 1)
+        bias = np.linalg.norm(peaks[0] - frame0_pos)
+        assert bias > 2.0, (pw, peaks, frame0_pos)  # gauge gap is real
+        p0 = mc.template_points_to_frame0(peaks)
+        err = np.linalg.norm(p0[0] - frame0_pos)
+        assert err <= 1.0, (pw, p0, frame0_pos, err)

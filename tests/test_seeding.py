@@ -128,6 +128,94 @@ def test_summary_seeder_threshold_fallback():
     assert len(peaks) == 3
 
 
+def test_detect_peaks_summary_confirmed_peaks_keep_slots():
+    """Top-up must not displace threshold-passing peaks: when the
+    confirmed set is short of K, sub-threshold maxima only FILL the
+    remaining slots, even when a sub-threshold artifact outscores a
+    confirmed peak on the smoothed product image."""
+    size = (40, 40, 4)
+    corr = np.zeros(size, np.float32)
+    pnr = np.zeros(size, np.float32)
+    a, b = (8, 8, 2), (30, 8, 2)  # above BOTH thresholds
+    c, d = (8, 30, 2), (30, 30, 2)  # below one threshold each
+    corr[a], pnr[a] = 0.90, 10.0  # score ~9
+    corr[b], pnr[b] = 0.55, 2.1  # score ~1.2 (weakest confirmed)
+    corr[c], pnr[c] = 0.95, 1.99  # pnr < 2 but score ~1.9 > b
+    corr[d], pnr[d] = 0.40, 50.0  # corr < 0.5, score ~20 (artifact)
+    peaks = detect_peaks_summary(corr, pnr, 3, min_distance=4.0)
+    assert len(peaks) == 3
+    got = {tuple(int(v) for v in p) for p in peaks}
+    assert a in got and b in got, got  # confirmed peaks kept
+    assert d in got, got  # best sub-threshold fills the last slot
+
+
+def test_detect_peaks_summary_degenerate_volume_still_seeds():
+    """A flat/blank score volume (zero-variance recording) must still
+    return the requested number of distance-separated seeds instead of
+    an empty array (tier-3 fallback)."""
+    corr = np.zeros((24, 24, 4), np.float32)
+    pnr = np.zeros((24, 24, 4), np.float32)
+    peaks = detect_peaks_summary(corr, pnr, 4, min_distance=4.0)
+    assert peaks.shape == (4, 3)
+    dist = np.linalg.norm(peaks[:, None] - peaks[None], axis=-1)
+    assert (dist[np.triu_indices(4, 1)] >= 4.0).all()
+
+
+def test_summary_images_shift_corrected_peaks_in_template_space():
+    """With per-frame rigid shifts, the summary pass must place peaks
+    in TEMPLATE space; without correction a drifting recording smears
+    the peak to the time-averaged position (the seeds then carry a
+    systematic (mean shift - shift_0) error through
+    apply_shifts_points)."""
+    from dnmf_tpu.ops import fft_reg
+
+    rng = np.random.default_rng(7)
+    pos = np.array([16.0, 10.0, 2.0])
+    grid = B.voxel_grid(SIZE)
+    a = gaussian_footprints(grid, jnp.asarray(pos)[None],
+                            jnp.full((1,), 2.0))
+    traces = simulator.exponential_traces(jax.random.PRNGKey(5), 1, T,
+                                          density=0.25)
+    clean = np.asarray((a @ traces).T).reshape((T,) + SIZE)
+    # Drift 0 -> 6 px along axis 0; displace each frame with the SAME
+    # apply function production uses, so shifts[t] is exactly the
+    # correction registration would estimate (sign-convention-proof).
+    drift = np.linspace(0.0, 6.0, T).astype(np.float32)
+    shifts = np.stack([drift, np.zeros(T), np.zeros(T)], axis=1)
+    frames = np.stack([
+        np.asarray(fft_reg.apply_shifts_fourier(
+            jnp.asarray(clean[t]), jnp.asarray(-shifts[t]), 0.0,
+            border_nan="copy"))
+        for t in range(T)
+    ])
+    video = np.maximum(
+        frames + 0.01 * rng.standard_normal(frames.shape), 0.0
+    ).astype(np.float32)
+
+    def peak(corr, pnr):
+        # The production extractor (smoothed product + local maxima) —
+        # a raw argmax is unstable on the clamped-noise plateau.
+        return detect_peaks_summary(corr, pnr, 1, min_distance=4.0)[0]
+
+    # The invariant: correcting the drifting recording must reproduce
+    # the STATIC recording's summary peak (the corr x pnr maximum of a
+    # clamped-noise fixture sits near, not exactly at, the footprint
+    # center — so gate against the static peak, not `pos`).
+    static = np.maximum(
+        clean + 0.01 * rng.standard_normal(clean.shape), 0.0
+    ).astype(np.float32)
+    c_s, p_s = summary_images(static, SIZE)
+    ref = peak(c_s, p_s)
+    assert np.linalg.norm(ref - pos) <= 3.0  # sanity: near the neuron
+
+    c_u, p_u = summary_images(video, SIZE)
+    c_c, p_c = summary_images(video, SIZE, shifts=shifts)
+    err_u = np.linalg.norm(peak(c_u, p_u) - ref)
+    err_c = np.linalg.norm(peak(c_c, p_c) - ref)
+    assert err_c <= 1.5, (err_c, peak(c_c, p_c), ref)
+    assert err_u > err_c + 1.0, (err_u, err_c)  # fixture is meaningful
+
+
 def test_pipeline_summary_seeder_wiring():
     from dnmf_tpu.config import (
         ModelConfig,

@@ -62,6 +62,50 @@ def test_spatial_view_indexing_matches_array():
     np.testing.assert_array_equal(sv[np.int64(3)], video[3])
 
 
+def test_spatial_view_registration_reads_are_unclamped():
+    """Registration must see the recording's true values: on
+    offset-subtracted recordings with negative baselines, a clamped
+    view would shift min_mov/templates vs the device-resident and
+    memmap paths (which register raw data)."""
+    video = np.arange(6 * 4 * 3 * 2, dtype=np.float32).reshape(
+        6, 4, 3, 2) - 50.0
+    src = StreamingVideo(video, block=2)
+    sv = SpatialView(src)
+    np.testing.assert_array_equal(sv[0:6], video)  # negatives intact
+    assert sv[:].min() < 0
+    # The NMF read path keeps the non-negativity clamp.
+    assert src.read(0, 6).min() == 0.0
+    np.testing.assert_array_equal(
+        src.read_raw(0, 6), video.reshape(6, -1))
+
+
+def test_spatial_view_negative_and_out_of_range_indices():
+    video = np.arange(6 * 4 * 3 * 2, dtype=np.float32).reshape(
+        6, 4, 3, 2)
+    sv = SpatialView(StreamingVideo(video, block=2))
+    np.testing.assert_array_equal(sv[-1], video[-1])
+    np.testing.assert_array_equal(sv[np.array([-1, -6, 2])],
+                                  video[np.array([-1, -6, 2])])
+    np.testing.assert_array_equal(sv[-3:-1], video[-3:-1])
+    for bad in (6, -7, np.array([0, 6]), np.array([-7])):
+        with pytest.raises(IndexError):
+            sv[bad]
+
+
+def test_raw_file_video_raw_reads(tmp_path):
+    from dnmf_tpu.data.streaming import open_raw_video
+
+    video = (np.arange(4 * 2 * 3 * 2, dtype=np.float32).reshape(
+        4, 2, 3, 2) - 20.0)
+    path = tmp_path / "neg.raw"
+    video.tofile(path)
+    src = open_raw_video(str(path), video.shape, block=2)
+    assert src.read(0, 4).min() == 0.0  # NMF reads clamp
+    np.testing.assert_array_equal(src.read_raw(0, 4),
+                                  video.reshape(4, -1))
+    np.testing.assert_array_equal(SpatialView(src)[1:3], video[1:3])
+
+
 def test_spatial_view_rejects_flat_sources():
     flat = StreamingVideo(np.zeros((6, 48), np.float32), block=2)
     with pytest.raises(ValueError, match="spatial shape"):
