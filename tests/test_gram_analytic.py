@@ -491,10 +491,16 @@ def test_adversarial_error_sweep(rng):
     tol = 0.02
 
     def check(name, size, k, sigma, beta_edit=None, sigma_mult=1.0,
-              margin=(0.0, 0.0, 0.0), seed=0, tol=tol):
+              margin=(0.0, 0.0, 0.0), seed=0, tol=tol, aniso=None):
         model, state, video = _setup(size, k=k, t=2, sigma=sigma,
                                      seed=seed,
                                      interior_margin=list(margin))
+        if aniso is not None:
+            # Per-axis [K, 3] widths drawn from per-axis ranges.
+            s = np.stack([np_rng.uniform(lo, hi, k)
+                          for (lo, hi) in aniso], axis=1)
+            state = state._replace(sigma=jnp.asarray(
+                s.astype(np.float32)))
         if sigma_mult != 1.0:
             state = state._replace(sigma=state.sigma * sigma_mult)
         betas = np.asarray(state.beta).copy()
@@ -542,6 +548,19 @@ def test_adversarial_error_sweep(rng):
     # Large-K regime (config-4 scale neuron count at test volume).
     check("K=500", (20, 18, 8), k=500, sigma=2.0, margin=(1, 1, 1),
           seed=3)
+
+    # Anisotropic [K, 3] widths (VERDICT r4 #8: the per-axis closed
+    # form must hold the same envelope).  Thin-z widths down to 0.5 px
+    # stress the plane-decomposition branch per axis independently.
+    check("aniso+border", (20, 18, 8), k=12, sigma=2.0,
+          margin=(0, 0, 0),
+          aniso=((1.5, 3.0), (1.5, 3.0), (0.5, 1.2)))
+    check("aniso+cross-quadratic", (20, 18, 8), k=10, sigma=2.0,
+          beta_edit=crossq, margin=(3, 3, 2),
+          aniso=((1.2, 2.8), (1.2, 2.8), (0.6, 1.5)))
+    check("aniso+annealed", (24, 20, 8), k=8, sigma=2.0,
+          sigma_mult=2.5, margin=(2, 2, 1),
+          aniso=((1.2, 2.2), (1.2, 2.2), (0.6, 1.0)))
 
 
 def test_trust_audit_helper_picks_worst_frame(rng):
