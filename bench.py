@@ -516,15 +516,20 @@ def _aniso_recovery_run():
     from wb_recovery import seeded_recovery
 
     size, k, t = (256, 256, 10), 100, 32
-    rounds, epochs, mu_iters = 4, 8, 50
-    kw = dict(frame_block=8, fit_sigma=True, sigma_aniso=True)
+    rounds, epochs, mu_iters = 6, 8, 50
+    # Ceiling sigma protocol (every round, 4 steps x 16 frames): width
+    # convergence IS the measurement here; the production cadence's 4
+    # total Adam steps leave sigma near its init either way.
+    kw = dict(frame_block=8, fit_sigma=True, sigma_aniso=True,
+              sigma_every=1, sigma_steps=4, sigma_frames=16)
     r3 = seeded_recovery(size, k, t, rounds, epochs, mu_iters, **kw)
     r1 = seeded_recovery(size, k, t, rounds, epochs, mu_iters,
                          fit_sigma_axes=1, **kw)
     return {
         "workload": f"{size[0]}x{size[1]}x{size[2]} K={k} T={t}, "
                     "aniso GT (z-flattened 0.6x, +-25%/axis), "
-                    f"{rounds}x({epochs}ep+{mu_iters}MU)+fit_sigma",
+                    f"{rounds}x({epochs}ep+{mu_iters}MU)+fit_sigma "
+                    "(ceiling cadence: every round, 4 steps x 16 fr)",
         "sigma_err_px_aniso_fit": round(r3["sigma_err"], 3),
         "sigma_err_px_iso_fit": round(r1["sigma_err"], 3),
         "trace_corr_mean_aniso": round(float(np.mean(r3["corr"])), 4),
